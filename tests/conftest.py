@@ -1,0 +1,31 @@
+"""Test bootstrap: force an 8-device virtual CPU mesh.
+
+Mirrors the reference's CPU unit tier (tests/conftest.py:14-17 sets
+VLLM_TARGET_DEVICE=cpu). The axon sitecustomize pins JAX_PLATFORMS=axon, so
+we must flip via jax.config (env vars are already consumed).
+
+Set OMNI_TPU_TEST_REAL_TPU=1 to run the suite against the real chip.
+"""
+
+import os
+
+os.environ.setdefault("OMNI_TPU_PLATFORM", "cpu")
+
+if os.environ.get("OMNI_TPU_TEST_REAL_TPU") != "1":
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "") +
+        " --xla_force_host_platform_device_count=8")
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+else:
+    os.environ["OMNI_TPU_PLATFORM"] = "tpu"
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def cpu_mesh():
+    import jax
+
+    return jax.make_mesh((2, 4), ("dp", "tp"))
