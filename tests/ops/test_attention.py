@@ -1,0 +1,183 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vllm_omni_tpu.ops.attention import (mha_xla, paged_attention_decode_xla,
+                                         paged_attention_decode_pallas,
+                                         paged_attention_prefill_xla,
+                                         quantize_kv, write_kv_pages)
+
+
+def naive_attention(q, k, v, scale, causal=False):
+    """Straight softmax attention, per-batch, with GQA repeat. Oracle."""
+    b, t, h, d = q.shape
+    hkv = k.shape[2]
+    g = h // hkv
+    k = np.repeat(np.asarray(k, np.float64), g, axis=2)
+    v = np.repeat(np.asarray(v, np.float64), g, axis=2)
+    q = np.asarray(q, np.float64)
+    out = np.zeros_like(q)
+    for bi in range(b):
+        for hi in range(h):
+            s = q[bi, :, hi] @ k[bi, :, hi].T * scale
+            if causal:
+                mask = np.tril(np.ones((t, k.shape[1])), k=k.shape[1] - t)
+                s = np.where(mask, s, -1e30)
+            p = np.exp(s - s.max(-1, keepdims=True))
+            p /= p.sum(-1, keepdims=True)
+            out[bi, :, hi] = p @ v[bi, :, hi]
+    return out
+
+
+class PagedCase:
+    """Builds a paged KV cache from dense per-seq K/V."""
+
+    def __init__(self, key, b=3, hkv=2, g=2, d=64, page_size=4, n_pages=64,
+                 ctx_lens=(7, 12, 3), kv_dtype=None):
+        ks = jax.random.split(jax.random.PRNGKey(key), 4)
+        self.b, self.hkv, self.g, self.d = b, hkv, g, d
+        self.h = hkv * g
+        self.page_size = page_size
+        s_max = max(ctx_lens)
+        self.ctx = np.array(ctx_lens, np.int32)
+        self.k_dense = jax.random.normal(ks[0], (b, s_max, hkv, d))
+        self.v_dense = jax.random.normal(ks[1], (b, s_max, hkv, d))
+        p_max = -(-s_max // page_size)
+        self.p_max = p_max
+        kp = jnp.zeros((hkv, n_pages, page_size, d))
+        vp = jnp.zeros((hkv, n_pages, page_size, d))
+        bt = np.zeros((b, p_max), np.int32)
+        next_page = 1
+        for bi in range(b):
+            n = -(-int(self.ctx[bi]) // page_size)
+            for pi in range(n):
+                bt[bi, pi] = next_page
+                lo, hi = pi * page_size, min((pi + 1) * page_size,
+                                             int(self.ctx[bi]))
+                kp = kp.at[:, next_page, :hi - lo].set(
+                    jnp.swapaxes(self.k_dense[bi, lo:hi], 0, 1))
+                vp = vp.at[:, next_page, :hi - lo].set(
+                    jnp.swapaxes(self.v_dense[bi, lo:hi], 0, 1))
+                next_page += 1
+        if kv_dtype:
+            kp, vp = quantize_kv(kp, vp, kv_dtype)
+        self.k_pages, self.v_pages = kp, vp
+        self.block_tables = jnp.asarray(bt)
+        self.q = jax.random.normal(ks[2], (b, self.h, d))
+
+    def dense_masked(self, bi):
+        n = int(self.ctx[bi])
+        return self.k_dense[bi, :n], self.v_dense[bi, :n]
+
+
+def test_decode_xla_matches_naive():
+    case = PagedCase(0)
+    scale = case.d ** -0.5
+    out = paged_attention_decode_xla(case.q, case.k_pages, case.v_pages,
+                                     case.block_tables,
+                                     jnp.asarray(case.ctx), scale)
+    for bi in range(case.b):
+        k, v = case.dense_masked(bi)
+        ref = naive_attention(case.q[bi][None, None], k[None], v[None],
+                              scale)  # [1,1,H,D]
+        np.testing.assert_allclose(np.asarray(out[bi]), ref[0, 0],
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_decode_pallas_matches_xla():
+    case = PagedCase(1, b=4, hkv=2, g=4, d=128, page_size=8, n_pages=32,
+                     ctx_lens=(9, 24, 17, 2))
+    scale = case.d ** -0.5
+    ref = paged_attention_decode_xla(case.q, case.k_pages, case.v_pages,
+                                     case.block_tables,
+                                     jnp.asarray(case.ctx), scale)
+    out = paged_attention_decode_pallas(case.q, case.k_pages, case.v_pages,
+                                        case.block_tables,
+                                        jnp.asarray(case.ctx), scale=scale,
+                                        pages_per_blk=2, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_decode_fp8_kv_close():
+    case = PagedCase(2, kv_dtype="fp8")
+    case_ref = PagedCase(2)
+    scale = case.d ** -0.5
+    out = paged_attention_decode_xla(case.q, case.k_pages, case.v_pages,
+                                     case.block_tables,
+                                     jnp.asarray(case.ctx), scale)
+    ref = paged_attention_decode_xla(case_ref.q, case_ref.k_pages,
+                                     case_ref.v_pages,
+                                     case_ref.block_tables,
+                                     jnp.asarray(case.ctx), scale)
+    err = np.abs(np.asarray(out) - np.asarray(ref)).max()
+    assert err < 0.2  # e4m3 ~3 mantissa bits on N(0,1) K/V
+
+
+def test_prefill_causal_matches_naive():
+    # fresh prefill: whole prompt is the chunk, q_start = 0
+    case = PagedCase(3, ctx_lens=(6, 6, 6))
+    scale = case.d ** -0.5
+    t = 6
+    key = jax.random.PRNGKey(99)
+    q = jax.random.normal(key, (case.b, t, case.h, case.d))
+    out = paged_attention_prefill_xla(
+        q, case.k_pages, case.v_pages, case.block_tables,
+        q_start=jnp.zeros(case.b, jnp.int32),
+        kv_lens=jnp.asarray(case.ctx), scale=scale)
+    for bi in range(case.b):
+        k, v = case.dense_masked(bi)
+        ref = naive_attention(q[bi][None], k[None], v[None], scale,
+                              causal=True)
+        np.testing.assert_allclose(np.asarray(out[bi]), ref[0], rtol=2e-5,
+                                   atol=2e-5)
+
+
+def test_prefill_chunked_matches_full():
+    """Chunk 2 of a prompt must equal the tail of a full-prompt prefill."""
+    case = PagedCase(4, ctx_lens=(12, 12, 12))
+    scale = case.d ** -0.5
+    qfull = jax.random.normal(jax.random.PRNGKey(7),
+                              (case.b, 12, case.h, case.d))
+    full = paged_attention_prefill_xla(
+        qfull, case.k_pages, case.v_pages, case.block_tables,
+        q_start=jnp.zeros(case.b, jnp.int32),
+        kv_lens=jnp.asarray(case.ctx), scale=scale)
+    chunk = paged_attention_prefill_xla(
+        qfull[:, 8:], case.k_pages, case.v_pages, case.block_tables,
+        q_start=jnp.full((case.b,), 8, jnp.int32),
+        kv_lens=jnp.asarray(case.ctx), scale=scale)
+    np.testing.assert_allclose(np.asarray(chunk), np.asarray(full[:, 8:]),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_write_kv_pages_roundtrip():
+    hkv, n_pages, ps, d = 2, 8, 4, 16
+    kp = jnp.zeros((hkv, n_pages, ps, d))
+    vp = jnp.zeros((hkv, n_pages, ps, d))
+    t = 5
+    k_new = jnp.arange(t * hkv * d, dtype=jnp.float32).reshape(t, hkv, d)
+    v_new = -k_new
+    # tokens land in page 2 slots 1..3 then page 5 slots 0..1
+    slots = jnp.asarray([2 * ps + 1, 2 * ps + 2, 2 * ps + 3, 5 * ps + 0,
+                         5 * ps + 1])
+    kp, vp = write_kv_pages(kp, vp, k_new, v_new, slots)
+    np.testing.assert_array_equal(np.asarray(kp[:, 2, 1]),
+                                  np.asarray(k_new[0]))
+    np.testing.assert_array_equal(np.asarray(kp[:, 5, 0]),
+                                  np.asarray(k_new[3]))
+    np.testing.assert_array_equal(np.asarray(vp[:, 5, 1]),
+                                  np.asarray(v_new[4]))
+    # untouched slots stay zero
+    assert float(jnp.abs(kp[:, 3]).sum()) == 0.0
+
+
+def test_mha_gqa_matches_naive():
+    key = jax.random.split(jax.random.PRNGKey(5), 3)
+    q = jax.random.normal(key[0], (2, 10, 8, 32))
+    k = jax.random.normal(key[1], (2, 10, 2, 32))
+    v = jax.random.normal(key[2], (2, 10, 2, 32))
+    out = mha_xla(q, k, v, scale=32 ** -0.5, causal=True)
+    ref = naive_attention(q, k, v, 32 ** -0.5, causal=True)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-5, atol=2e-5)

@@ -1,0 +1,323 @@
+"""Paged attention for continuous batching (XLA reference + Pallas TPU).
+
+Replaces upstream vLLM's CUDA paged-attention + flash-attn prefill
+(SURVEY.md §2.9 rows 1-2) with a TPU-native design.
+
+KV layout: per layer, K and V each live in HBM as
+    [num_kv_heads, num_pages, page_size, head_dim]
+(head-major so one attention program's pages are contiguous per head).
+Page 0 is the reserved null page — padding slots of block tables point at
+it. All shapes are static; per-request raggedness is expressed through
+int32 block tables + context lengths, never through dynamic shapes.
+
+Step shapes (matching core/scheduler.py's prefill/decode split):
+- decode: q [B, H, D], one new token per running request.
+- prefill: q [B, T, H, D]: B chunk rows padded to buckets; chunk token t of
+  row b sits at absolute position q_start[b] + t.
+
+GQA is native: H = num_kv_heads * group; KV heads are never repeated in
+memory.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vllm_omni_tpu.utils import cdiv
+
+NEG_INF = -1e30
+
+
+def make_kv_pages(num_layers: int, num_kv_heads: int, num_pages: int,
+                  page_size: int, head_dim: int, dtype) -> list:
+    """Allocate the paged KV cache: per layer a (K, V) pair."""
+    shape = (num_kv_heads, num_pages, page_size, head_dim)
+    return [(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+            for _ in range(num_layers)]
+
+
+# ---------------------------------------------------------------------------
+# KV page write + cache quantization
+# ---------------------------------------------------------------------------
+
+
+def write_kv_pages(k_pages: jnp.ndarray, v_pages: jnp.ndarray,
+                   k_new: jnp.ndarray, v_new: jnp.ndarray,
+                   slot_ids: jnp.ndarray
+                   ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Scatter new KV rows into pages.
+
+    k_new/v_new: [T, Hkv, D]; slot_ids: [T] flat slot index
+    (= page_id * page_size + offset). Padding rows must target page 0.
+    Under jit with donated cache buffers this lowers to an in-place scatter.
+    """
+    hkv, n_pages, page_size, d = k_pages.shape
+    kf = k_pages.reshape(hkv, n_pages * page_size, d)
+    vf = v_pages.reshape(hkv, n_pages * page_size, d)
+    kf = kf.at[:, slot_ids].set(jnp.swapaxes(k_new, 0, 1).astype(kf.dtype))
+    vf = vf.at[:, slot_ids].set(jnp.swapaxes(v_new, 0, 1).astype(vf.dtype))
+    return kf.reshape(k_pages.shape), vf.reshape(v_pages.shape)
+
+
+def quantize_kv(k: jnp.ndarray, v: jnp.ndarray, dtype: str):
+    """KV-cache quantization on write (reference: FP8 KV cache,
+    SURVEY.md §2.9). fp8 e4m3 has enough dynamic range for post-rope K/V;
+    int8 uses a fixed 1/16 scale (post-norm K/V are O(1))."""
+    if dtype == "fp8":
+        return k.astype(jnp.float8_e4m3fn), v.astype(jnp.float8_e4m3fn)
+    if dtype == "int8":
+        kq = jnp.clip(jnp.round(k.astype(jnp.float32) * 16.0), -127,
+                      127).astype(jnp.int8)
+        vq = jnp.clip(jnp.round(v.astype(jnp.float32) * 16.0), -127,
+                      127).astype(jnp.int8)
+        return kq, vq
+    return k, v
+
+
+def dequantize_kv(k: jnp.ndarray, v: jnp.ndarray, compute_dtype=jnp.float32):
+    if k.dtype == jnp.int8:
+        return (k.astype(compute_dtype) / 16.0,
+                v.astype(compute_dtype) / 16.0)
+    return k.astype(compute_dtype), v.astype(compute_dtype)
+
+
+# ---------------------------------------------------------------------------
+# XLA reference paths (CPU tier + oracle; also solid on TPU — XLA fuses the
+# softmax into the einsums)
+# ---------------------------------------------------------------------------
+
+
+def gather_kv_for_seqs(k_pages: jnp.ndarray, v_pages: jnp.ndarray,
+                       block_tables: jnp.ndarray
+                       ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """[B, P] page ids → [Hkv, B, P*page_size, D] (head-major kept)."""
+    b, p = block_tables.shape
+    hkv, _, ps, d = k_pages.shape
+    k = k_pages[:, block_tables]  # [Hkv, B, P, ps, D]
+    v = v_pages[:, block_tables]
+    return (k.reshape(hkv, b, p * ps, d), v.reshape(hkv, b, p * ps, d))
+
+
+def paged_attention_decode_xla(q: jnp.ndarray, k_pages: jnp.ndarray,
+                               v_pages: jnp.ndarray,
+                               block_tables: jnp.ndarray,
+                               context_lens: jnp.ndarray,
+                               scale: float) -> jnp.ndarray:
+    """q: [B, H, D] → [B, H, D]. context_lens counts tokens INCLUDING the
+    one being decoded (its KV is already written)."""
+    b, h, d = q.shape
+    k, v = gather_kv_for_seqs(k_pages, v_pages, block_tables)
+    k, v = dequantize_kv(k, v)
+    hkv, _, s_max, _ = k.shape
+    g = h // hkv
+    qf = q.astype(jnp.float32).reshape(b, hkv, g, d)
+    scores = jnp.einsum("bkgd,kbsd->bkgs", qf, k) * scale
+    mask = (jnp.arange(s_max)[None, :] < context_lens[:, None])
+    scores = jnp.where(mask[:, None, None, :], scores, NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bkgs,kbsd->bkgd", probs, v)
+    return out.reshape(b, h, d).astype(q.dtype)
+
+
+def paged_attention_prefill_xla(q: jnp.ndarray, k_pages: jnp.ndarray,
+                                v_pages: jnp.ndarray,
+                                block_tables: jnp.ndarray,
+                                q_start: jnp.ndarray,
+                                kv_lens: jnp.ndarray,
+                                scale: float,
+                                causal: bool = True) -> jnp.ndarray:
+    """Chunked-prefill attention reading context from pages.
+
+    q: [B, T, H, D]; token t of row b is at absolute position q_start[b]+t
+    and attends to positions <= its own (causal) that are < kv_lens[b].
+    Padding rows produce garbage the caller never reads.
+    """
+    b, t, h, d = q.shape
+    k, v = gather_kv_for_seqs(k_pages, v_pages, block_tables)
+    k, v = dequantize_kv(k, v)
+    hkv, _, s_max, _ = k.shape
+    g = h // hkv
+    qf = q.astype(jnp.float32).reshape(b, t, hkv, g, d)
+    scores = jnp.einsum("btkgd,kbsd->btkgs", qf, k) * scale
+    kv_pos = jnp.arange(s_max)[None, None, :]
+    q_pos = q_start[:, None] + jnp.arange(t)[None, :]
+    mask = kv_pos < kv_lens[:, None, None]
+    if causal:
+        mask = mask & (kv_pos <= q_pos[:, :, None])
+    scores = jnp.where(mask[:, :, None, None, :], scores, NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("btkgs,kbsd->btkgd", probs, v)
+    return out.reshape(b, t, h, d).astype(q.dtype)
+
+
+def mha_xla(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float,
+            causal: bool = False) -> jnp.ndarray:
+    """Plain dense attention [B,T,H,D] × [B,S,Hkv,D] — encoders and DiT
+    (non-causal full sequence)."""
+    b, t, h, d = q.shape
+    s, hkv = k.shape[1], k.shape[2]
+    g = h // hkv
+    qf = q.astype(jnp.float32).reshape(b, t, hkv, g, d)
+    scores = jnp.einsum("btkgd,bskd->btkgs", qf,
+                        k.astype(jnp.float32)) * scale
+    if causal:
+        mask = (jnp.arange(s)[None, :] <= jnp.arange(t)[:, None])
+        scores = jnp.where(mask[None, :, None, None, :], scores, NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("btkgs,bskd->btkgd", probs, v.astype(jnp.float32))
+    return out.reshape(b, t, h, d).astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Pallas decode kernel — THE hot loop (one token per running request).
+#
+# Grid: (B, num_kv_heads). Each program streams its sequence's pages from
+# HBM through a double-buffered VMEM scratch with online-softmax
+# accumulation. Block tables arrive via scalar prefetch so DMA addresses
+# are known before the body runs. Total HBM traffic per step =
+# sum(context_lens) * 2 * D * itemsize — decode speed-of-light.
+# ---------------------------------------------------------------------------
+
+
+def _decode_kernel(block_tables_ref, num_blocks_ref, context_lens_ref,
+                   q_ref, k_hbm, v_hbm, o_ref,
+                   k_buf, v_buf, k_sem, v_sem,
+                   *, pages_per_blk: int, page_size: int, scale: float):
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    n_blocks = num_blocks_ref[b]
+    ctx = context_lens_ref[b]
+    p_max = block_tables_ref.shape[1]
+
+    def start_fetch(blk, slot):
+        for i in range(pages_per_blk):
+            page_idx = jnp.minimum(blk * pages_per_blk + i, p_max - 1)
+            pid = block_tables_ref[b, page_idx]
+            pltpu.make_async_copy(k_hbm.at[h, pid], k_buf.at[slot, i],
+                                  k_sem.at[slot, i]).start()
+            pltpu.make_async_copy(v_hbm.at[h, pid], v_buf.at[slot, i],
+                                  v_sem.at[slot, i]).start()
+
+    def wait_fetch(slot):
+        for i in range(pages_per_blk):
+            pltpu.make_async_copy(k_hbm.at[0, 0], k_buf.at[slot, i],
+                                  k_sem.at[slot, i]).wait()
+            pltpu.make_async_copy(v_hbm.at[0, 0], v_buf.at[slot, i],
+                                  v_sem.at[slot, i]).wait()
+
+    @pl.when(n_blocks > 0)
+    def _():
+        start_fetch(0, 0)
+
+    blk_tokens = pages_per_blk * page_size
+    q = q_ref[0, 0].astype(jnp.float32)  # [G, D]
+    g, d = q.shape
+
+    def body(blk, carry):
+        acc, m, l = carry
+        slot = blk % 2
+
+        @pl.when(blk + 1 < n_blocks)
+        def _():
+            start_fetch(blk + 1, (blk + 1) % 2)
+
+        wait_fetch(slot)
+        k = k_buf[slot].reshape(blk_tokens, d).astype(jnp.float32)
+        v = v_buf[slot].reshape(blk_tokens, d).astype(jnp.float32)
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+        pos = blk * blk_tokens + jax.lax.broadcasted_iota(
+            jnp.int32, (1, blk_tokens), 1)
+        s = jnp.where(pos < ctx, s, NEG_INF)  # [G, blk_tokens]
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m - m_new)
+        l_new = alpha * l + jnp.sum(p, -1, keepdims=True)
+        acc_new = acc * alpha + jnp.dot(p, v,
+                                        preferred_element_type=jnp.float32)
+        return acc_new, m_new, l_new
+
+    init = (jnp.zeros((g, d), jnp.float32),
+            jnp.full((g, 1), NEG_INF, jnp.float32),
+            jnp.zeros((g, 1), jnp.float32))
+    acc, m, l = jax.lax.fori_loop(0, n_blocks, body, init)
+    o_ref[0, 0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "pages_per_blk", "interpret"))
+def paged_attention_decode_pallas(q: jnp.ndarray, k_pages: jnp.ndarray,
+                                  v_pages: jnp.ndarray,
+                                  block_tables: jnp.ndarray,
+                                  context_lens: jnp.ndarray,
+                                  scale: float,
+                                  pages_per_blk: int = 8,
+                                  interpret: bool = False) -> jnp.ndarray:
+    b, h, d = q.shape
+    hkv, n_pages, page_size, _ = k_pages.shape
+    g = h // hkv
+    p_max = block_tables.shape[1]
+    pages_per_blk = min(pages_per_blk, p_max)
+    num_blocks = (cdiv_arr(context_lens, page_size) + pages_per_blk -
+                  1) // pages_per_blk
+    q_r = q.reshape(b, hkv, g, d)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(b, hkv),
+        in_specs=[
+            pl.BlockSpec((1, 1, g, d), lambda i, j, *_: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  #K pages stay in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  #V pages stay in HBM
+        ],
+        out_specs=pl.BlockSpec((1, 1, g, d), lambda i, j, *_: (i, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, pages_per_blk, page_size, d), k_pages.dtype),
+            pltpu.VMEM((2, pages_per_blk, page_size, d), v_pages.dtype),
+            pltpu.SemaphoreType.DMA((2, pages_per_blk)),
+            pltpu.SemaphoreType.DMA((2, pages_per_blk)),
+        ],
+    )
+    kernel = functools.partial(_decode_kernel, pages_per_blk=pages_per_blk,
+                               page_size=page_size, scale=scale)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, hkv, g, d), q.dtype),
+        interpret=interpret,
+    )(block_tables, num_blocks, context_lens, q_r, k_pages, v_pages)
+    return out.reshape(b, h, d)
+
+
+def cdiv_arr(a: jnp.ndarray, b: int) -> jnp.ndarray:
+    return (a + b - 1) // b
+
+
+# ---------------------------------------------------------------------------
+# Dispatch
+# ---------------------------------------------------------------------------
+
+
+def paged_attention_decode(q, k_pages, v_pages, block_tables, context_lens,
+                           scale):
+    from vllm_omni_tpu.ops import use_pallas
+
+    if use_pallas() and k_pages.dtype != jnp.int8:
+        return paged_attention_decode_pallas(
+            q, k_pages, v_pages, block_tables, context_lens, scale=scale)
+    return paged_attention_decode_xla(q, k_pages, v_pages, block_tables,
+                                      context_lens, scale)
+
+
+def paged_attention_prefill(q, k_pages, v_pages, block_tables, q_start,
+                            kv_lens, scale, causal=True):
+    # Pallas prefill kernel lands next; the XLA path is flash-fused by the
+    # TPU compiler at these (bucketed) shapes.
+    return paged_attention_prefill_xla(q, k_pages, v_pages, block_tables,
+                                       q_start, kv_lens, scale, causal)
