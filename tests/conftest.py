@@ -28,4 +28,6 @@ import pytest  # noqa: E402
 def cpu_mesh():
     import jax
 
-    return jax.make_mesh((2, 4), ("dp", "tp"))
+    from vllm_omni_tpu.parallel import make_mesh
+
+    return make_mesh((2, 4), ("dp", "tp"))

@@ -1,0 +1,197 @@
+"""Per-stage AR/generation engine core.
+
+Ties the continuous-batching scheduler (core/scheduler.py) to the model
+runner (worker/model_runner.py): one `step()` = one scheduler decision +
+one jitted device program + host-side stop handling.
+
+Reference parity: the vLLM v1 EngineCore busy loop the reference wraps per
+stage (stage_engine_core_proc.py:41) plus OmniARScheduler's transfer-aware
+finish (omni_ar_scheduler.py:64-67) and OmniGenerationScheduler's one-shot
+mode (omni_generation_scheduler.py:36) — unified here.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Optional
+
+from vllm_omni_tpu.config.engine import EngineConfig
+from vllm_omni_tpu.core.outputs import CompletionOutput, RequestOutput
+from vllm_omni_tpu.core.request import Request, RequestStatus
+from vllm_omni_tpu.core.sampling_params import SamplingParams
+from vllm_omni_tpu.core.scheduler import Scheduler
+from vllm_omni_tpu.logger import init_logger
+from vllm_omni_tpu.models.weights import load_model
+from vllm_omni_tpu.utils import random_uuid
+from vllm_omni_tpu.worker.model_runner import ModelRunner, StepResult
+
+logger = init_logger(__name__)
+
+
+class EngineCore:
+    """Single-stage engine: add_request / step / abort."""
+
+    def __init__(self, config: EngineConfig, mesh=None,
+                 tokenizer: Any = None) -> None:
+        self.config = config
+        self.tokenizer = tokenizer
+        t0 = time.monotonic()
+        self.decoder_cfg, params, self.hf_config = load_model(config.model)
+        self.runner = ModelRunner(config, self.decoder_cfg, params,
+                                  mesh=mesh)
+        self.scheduler = Scheduler(config.scheduler, config.cache,
+                                   num_pages=self.runner.num_pages)
+        self.eos_token_ids = self._resolve_eos()
+        logger.info(
+            "engine up in %.1fs: %d layers, %d KV pages (%s), mode=%s",
+            time.monotonic() - t0, self.decoder_cfg.num_layers,
+            self.runner.num_pages, config.model.kv_cache_dtype,
+            config.scheduler.mode)
+
+    def _resolve_eos(self) -> set[int]:
+        eos = self.hf_config.get("eos_token_id")
+        if eos is None:
+            return set()
+        return set(eos) if isinstance(eos, (list, tuple)) else {int(eos)}
+
+    # -- request lifecycle --------------------------------------------------
+    def add_request(self, prompt_token_ids: list[int],
+                    sampling_params: Optional[SamplingParams] = None,
+                    request_id: Optional[str] = None,
+                    **kwargs: Any) -> str:
+        rid = request_id or random_uuid()
+        params = sampling_params or SamplingParams()
+        max_len = self.config.model.max_model_len
+        if len(prompt_token_ids) >= max_len:
+            raise ValueError(
+                f"prompt of {len(prompt_token_ids)} tokens exceeds "
+                f"max_model_len={max_len}")
+        req = Request(request_id=rid, prompt_token_ids=list(prompt_token_ids),
+                      sampling_params=params, **kwargs)
+        self.scheduler.add_request(req)
+        return rid
+
+    def abort_request(self, request_id: str) -> bool:
+        return self.scheduler.abort_request(request_id) is not None
+
+    def has_unfinished(self) -> bool:
+        return self.scheduler.has_unfinished()
+
+    # -- stepping -----------------------------------------------------------
+    def step(self) -> list[RequestOutput]:
+        sched = self.scheduler.schedule()
+        outputs: list[RequestOutput] = []
+        if sched.is_empty:
+            return outputs
+
+        if sched.prefills:
+            want_hidden = any(
+                s.request.sampling_params.return_hidden_states
+                for s in sched.prefills)
+            result = self.runner.execute_prefill(
+                sched.prefills, return_hidden=want_hidden)
+            for i, s in enumerate(sched.prefills):
+                req = s.request
+                rid_hidden = result.hidden_states.get(req.request_id)
+                if rid_hidden is not None:
+                    req.additional_information.setdefault(
+                        "hidden_states", []).append(rid_hidden)
+                self.scheduler.complete_prefill(s)
+                if not req.prefill_done:
+                    continue  # more chunks to go
+                if self.config.scheduler.mode == "generation" and \
+                        not req.resumable:
+                    # one-shot stage: done at prefill end
+                    self.scheduler.finish_request(
+                        req, RequestStatus.FINISHED_STOPPED)
+                    outputs.append(self._make_output(req, finished=True))
+                    continue
+                if req.status == RequestStatus.WAITING_FOR_CHUNK:
+                    continue  # resumable: wait for more input
+                # sample the first output token from the prefill logits
+                token = result.token_ids[i]
+                req.append_output_token(token)
+                fin = self._check_stop(req, token)
+                outputs.append(self._make_output(req, finished=fin))
+        elif sched.decodes:
+            want_hidden = any(r.sampling_params.return_hidden_states
+                              for r in sched.decodes)
+            result = self.runner.execute_decode(
+                sched.decodes, return_hidden=want_hidden)
+            for i, req in enumerate(sched.decodes):
+                token = result.token_ids[i]
+                req.append_output_token(token)
+                h = result.hidden_states.get(req.request_id)
+                if h is not None:
+                    req.additional_information.setdefault(
+                        "hidden_states", []).append(h)
+                fin = self._check_stop(req, token)
+                outputs.append(self._make_output(req, finished=fin))
+        return outputs
+
+    def run_to_completion(self) -> list[RequestOutput]:
+        """Drain the queue; return the final output per request."""
+        finals: dict[str, RequestOutput] = {}
+        while self.has_unfinished():
+            for out in self.step():
+                if out.finished:
+                    finals[out.request_id] = out
+        return list(finals.values())
+
+    # -- stop handling ------------------------------------------------------
+    def _check_stop(self, req: Request, token: int) -> bool:
+        p = req.sampling_params
+        n_out = req.num_output_tokens
+        status: Optional[RequestStatus] = None
+        if n_out >= p.max_tokens:
+            status = RequestStatus.FINISHED_LENGTH_CAPPED
+        elif req.num_tokens >= self.config.model.max_model_len:
+            status = RequestStatus.FINISHED_LENGTH_CAPPED
+        elif n_out >= p.min_tokens:
+            if not p.ignore_eos and token in self.eos_token_ids:
+                status = RequestStatus.FINISHED_STOPPED
+            elif token in set(p.stop_token_ids):
+                status = RequestStatus.FINISHED_STOPPED
+            elif p.stop and self.tokenizer is not None:
+                text = self.tokenizer.decode(req.output_token_ids)
+                if any(s in text for s in p.stop):
+                    status = RequestStatus.FINISHED_STOPPED
+        if status is None:
+            return False
+        self.scheduler.finish_request(req, status)
+        return True
+
+    # -- outputs ------------------------------------------------------------
+    def _make_output(self, req: Request, finished: bool) -> RequestOutput:
+        text = ""
+        if finished and self.tokenizer is not None and \
+                req.sampling_params.detokenize:
+            text = self.tokenizer.decode(req.output_token_ids,
+                                         skip_special_tokens=True)
+        comp = CompletionOutput(
+            index=0, text=text, token_ids=list(req.output_token_ids),
+            finish_reason=req.status.finish_reason if finished else None)
+        if finished and req.additional_information.get("hidden_states"):
+            import numpy as np
+
+            hs = req.additional_information["hidden_states"]
+            comp.hidden_states = np.concatenate(
+                [np.atleast_2d(h) for h in hs], axis=0)
+        return RequestOutput(
+            request_id=req.request_id,
+            prompt_token_ids=list(req.prompt_token_ids),
+            outputs=[comp], finished=finished,
+            additional_information=req.additional_information
+            if finished else {},
+            metrics=self._metrics(req) if finished else {})
+
+    def _metrics(self, req: Request) -> dict[str, float]:
+        m: dict[str, float] = {}
+        if req.first_token_time is not None:
+            m["ttft_s"] = req.first_token_time - req.arrival_time
+        if req.finish_time is not None:
+            m["e2e_s"] = req.finish_time - req.arrival_time
+            if req.num_output_tokens > 1 and req.first_token_time:
+                m["tpot_s"] = ((req.finish_time - req.first_token_time) /
+                               max(1, req.num_output_tokens - 1))
+        return m

@@ -1,0 +1,346 @@
+"""Generic dense / MoE transformer decoder (Llama, Qwen2, Qwen3, Qwen3-MoE).
+
+Covers the text backbones of the reference's AR families (thinker/talker
+towers of qwen2_5_omni / qwen3_omni, reference
+model_executor/models/qwen3_omni/*): pre-norm decoder blocks, GQA + RoPE,
+SwiGLU MLP or top-k routed MoE, optional QK-norm (Qwen3) and attention
+bias (Qwen2).
+
+Design (TPU-first, not a port):
+- A model is a pure function over a parameter *pytree* (nested dicts of
+  jnp arrays). No module classes — the runner jits closures over
+  `decoder_forward` and donates the KV cache buffers.
+- Attention is injected: the caller passes ``attn_apply(layer_idx, q, k,
+  v) -> out`` which owns paged-KV writes + paged attention (prefill or
+  decode). The model never sees cache layout.
+- Quantized linears carry their method in the *dtype* of the stored
+  weight (int8 / uint8-nibble-packed int4 / float8), so the pytree stays
+  pure arrays with no static leaves; see `linear`.
+- Sharding is a parallel pytree of PartitionSpecs (`param_shardings`):
+  column-parallel q/k/v/gate/up, row-parallel o/down — jit + XLA SPMD
+  inserts the psum that the reference got from NCCL all_reduce (reference
+  tensor-parallel docs docs/design/feature/tensor_parallel.md).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from vllm_omni_tpu.ops.layernorm import rms_norm
+from vllm_omni_tpu.ops.quant import quantized_matmul
+from vllm_omni_tpu.ops.rope import apply_rope, compute_cos_sin
+
+Params = dict
+AttnApply = Callable[[int, jnp.ndarray, jnp.ndarray, jnp.ndarray],
+                     jnp.ndarray]
+
+
+@dataclass(frozen=True)
+class DecoderConfig:
+    vocab_size: int
+    hidden_size: int
+    intermediate_size: int
+    num_layers: int
+    num_heads: int
+    num_kv_heads: int
+    head_dim: int
+    rope_theta: float = 10000.0
+    rms_norm_eps: float = 1e-6
+    tie_word_embeddings: bool = False
+    qk_norm: bool = False  # Qwen3 per-head RMSNorm on q/k
+    attention_bias: bool = False  # Qwen2 qkv bias
+    max_position_embeddings: int = 4096
+    # MoE (0 experts = dense). Qwen3-MoE: all layers sparse.
+    num_experts: int = 0
+    num_experts_per_tok: int = 0
+    moe_intermediate_size: int = 0
+    norm_topk_prob: bool = True
+
+    @property
+    def is_moe(self) -> bool:
+        return self.num_experts > 0
+
+    @property
+    def q_size(self) -> int:
+        return self.num_heads * self.head_dim
+
+    @property
+    def kv_size(self) -> int:
+        return self.num_kv_heads * self.head_dim
+
+
+# ---------------------------------------------------------------------------
+# Linear with quantization-by-dtype dispatch
+# ---------------------------------------------------------------------------
+
+
+def linear(x: jnp.ndarray, p: Params, group_size: int = 128) -> jnp.ndarray:
+    """x [..., K] @ weight [K, N]. `p` holds either {"w"} (full precision)
+    or {"w_q", "scale"} with the quant method encoded in w_q.dtype:
+    int8 → per-channel int8; uint8 → nibble-packed grouped int4;
+    float8_e4m3fn → fp8 W8A8. Optional bias under "b"."""
+    if "w" in p:
+        out = jnp.dot(x, p["w"].astype(x.dtype),
+                      preferred_element_type=jnp.float32).astype(x.dtype)
+    else:
+        w_q = p["w_q"]
+        if w_q.dtype == jnp.int8:
+            method = "int8"
+        elif w_q.dtype == jnp.uint8:
+            method = "int4"
+        else:
+            method = "fp8"
+        out = quantized_matmul(x, w_q, p["scale"], method,
+                               group_size=group_size)
+    if "b" in p:
+        out = out + p["b"].astype(out.dtype)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+
+def _attention_block(layer: Params, cfg: DecoderConfig, x: jnp.ndarray,
+                     cos: jnp.ndarray, sin: jnp.ndarray, layer_idx: int,
+                     attn_apply: AttnApply) -> jnp.ndarray:
+    b, t, _ = x.shape
+    d = cfg.head_dim
+    q = linear(x, layer["q_proj"]).reshape(b, t, cfg.num_heads, d)
+    k = linear(x, layer["k_proj"]).reshape(b, t, cfg.num_kv_heads, d)
+    v = linear(x, layer["v_proj"]).reshape(b, t, cfg.num_kv_heads, d)
+    if cfg.qk_norm:
+        q = rms_norm(q, layer["q_norm"], cfg.rms_norm_eps)
+        k = rms_norm(k, layer["k_norm"], cfg.rms_norm_eps)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+    attn = attn_apply(layer_idx, q, k, v)  # [B, T, Hq, D]
+    return linear(attn.reshape(b, t, cfg.q_size), layer["o_proj"])
+
+
+def _dense_mlp(layer: Params, x: jnp.ndarray) -> jnp.ndarray:
+    gate = linear(x, layer["gate_proj"])
+    up = linear(x, layer["up_proj"])
+    return linear(jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype) * up,
+                  layer["down_proj"])
+
+
+def _moe_mlp(layer: Params, cfg: DecoderConfig, x: jnp.ndarray
+             ) -> jnp.ndarray:
+    """Top-k routed MoE, dense dispatch.
+
+    Every expert runs on every token and results are combined with the
+    (sparse) routing weights. At serving batch sizes on TPU the MoE layer
+    is weight-bandwidth-bound — all experts' weights stream from HBM
+    regardless once the batch covers the expert set — so dense dispatch is
+    bandwidth-neutral and keeps shapes static for XLA. (A sorted grouped
+    Pallas matmul is the planned upgrade for large-batch prefill.)
+    """
+    b, t, h = x.shape
+    xf = x.reshape(b * t, h)
+    router_logits = jnp.dot(xf, layer["router"]["w"].astype(xf.dtype),
+                            preferred_element_type=jnp.float32)
+    probs = jax.nn.softmax(router_logits, axis=-1)  # [T, E]
+    topk_p, topk_i = jax.lax.top_k(probs, cfg.num_experts_per_tok)
+    if cfg.norm_topk_prob:
+        topk_p = topk_p / jnp.sum(topk_p, axis=-1, keepdims=True)
+    combine = jnp.zeros_like(probs).at[
+        jnp.arange(xf.shape[0])[:, None], topk_i].set(topk_p)  # [T, E]
+
+    ew = layer["experts"]
+    # [T,H] x [E,H,I] → [E,T,I]
+    gate = jnp.einsum("th,ehi->eti", xf, ew["gate"].astype(xf.dtype),
+                      preferred_element_type=jnp.float32)
+    up = jnp.einsum("th,ehi->eti", xf, ew["up"].astype(xf.dtype),
+                    preferred_element_type=jnp.float32)
+    act = jax.nn.silu(gate) * up
+    out = jnp.einsum("eti,eih->eth", act.astype(x.dtype),
+                     ew["down"].astype(x.dtype),
+                     preferred_element_type=jnp.float32)  # [E,T,H]
+    mixed = jnp.einsum("te,eth->th", combine.astype(jnp.float32), out)
+    return mixed.astype(x.dtype).reshape(b, t, h)
+
+
+def decoder_forward(params: Params, cfg: DecoderConfig,
+                    token_ids: Optional[jnp.ndarray],
+                    positions: jnp.ndarray, attn_apply: AttnApply,
+                    input_embeds: Optional[jnp.ndarray] = None
+                    ) -> jnp.ndarray:
+    """token_ids [B, T] (or input_embeds [B, T, H]) → hidden [B, T, H].
+
+    positions [B, T] absolute positions for RoPE. Embeddings-as-prompt
+    (input_embeds) is how next-stage talker prompts arrive (reference:
+    OmniEmbedsPrompt inputs/data.py:85).
+    """
+    if input_embeds is not None:
+        x = input_embeds
+    else:
+        x = jnp.take(params["embed"], token_ids, axis=0)
+    cos, sin = compute_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
+    for i, layer in enumerate(params["layers"]):
+        h = rms_norm(x, layer["input_norm"], cfg.rms_norm_eps)
+        x = x + _attention_block(layer, cfg, h, cos, sin, i, attn_apply)
+        h = rms_norm(x, layer["post_norm"], cfg.rms_norm_eps)
+        if cfg.is_moe:
+            x = x + _moe_mlp(layer, cfg, h)
+        else:
+            x = x + _dense_mlp(layer, h)
+    return rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+
+
+def compute_logits(params: Params, cfg: DecoderConfig,
+                   hidden: jnp.ndarray) -> jnp.ndarray:
+    """hidden [..., H] → logits [..., V] in float32."""
+    if cfg.tie_word_embeddings:
+        out = jnp.dot(hidden, params["embed"].T.astype(hidden.dtype),
+                      preferred_element_type=jnp.float32)
+    else:
+        out = linear(hidden, params["lm_head"]).astype(jnp.float32)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Init (random weights — tiny-model test tier, reference SURVEY.md §4
+# "tiny-model strategy")
+# ---------------------------------------------------------------------------
+
+
+def _init_linear(key, k_in: int, n_out: int, dtype, bias: bool = False,
+                 quant: Optional[str] = None,
+                 group_size: int = 128) -> Params:
+    w = (jax.random.normal(key, (k_in, n_out), jnp.float32) *
+         (k_in ** -0.5)).astype(dtype)
+    if quant is None:
+        p = {"w": w}
+    else:
+        from vllm_omni_tpu.ops.quant import (quantize_fp8, quantize_int4,
+                                             quantize_int8)
+
+        fn = {"int8": quantize_int8, "fp8": quantize_fp8,
+              "int4": lambda x: quantize_int4(x, group_size)}[quant]
+        q, s = fn(w)
+        # free the full-precision weight before the next linear inits so
+        # peak device memory stays near the quantized footprint
+        q, s = jax.block_until_ready((q, s))
+        del w
+        p = {"w_q": q, "scale": s}
+    if bias:
+        p["b"] = jnp.zeros((n_out,), dtype)
+    return p
+
+
+def init_params(cfg: DecoderConfig, key: jax.Array, dtype=jnp.bfloat16,
+                quant: Optional[str] = None,
+                group_size: int = 128) -> Params:
+    keys = iter(jax.random.split(key, cfg.num_layers * 8 + 4))
+    h, d = cfg.hidden_size, cfg.head_dim
+    params: Params = {
+        "embed": (jax.random.normal(next(keys), (cfg.vocab_size, h),
+                                    jnp.float32) * 0.02).astype(dtype),
+        "final_norm": jnp.ones((h,), dtype),
+        "layers": [],
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = _init_linear(next(keys), h, cfg.vocab_size, dtype)
+    for _ in range(cfg.num_layers):
+        layer: Params = {
+            "input_norm": jnp.ones((h,), dtype),
+            "post_norm": jnp.ones((h,), dtype),
+            "q_proj": _init_linear(next(keys), h, cfg.q_size, dtype,
+                                   cfg.attention_bias, quant, group_size),
+            "k_proj": _init_linear(next(keys), h, cfg.kv_size, dtype,
+                                   cfg.attention_bias, quant, group_size),
+            "v_proj": _init_linear(next(keys), h, cfg.kv_size, dtype,
+                                   cfg.attention_bias, quant, group_size),
+            "o_proj": _init_linear(next(keys), cfg.q_size, h, dtype,
+                                   False, quant, group_size),
+        }
+        if cfg.qk_norm:
+            layer["q_norm"] = jnp.ones((d,), dtype)
+            layer["k_norm"] = jnp.ones((d,), dtype)
+        if cfg.is_moe:
+            e, i = cfg.num_experts, cfg.moe_intermediate_size
+            k1, k2, k3, k4 = jax.random.split(next(keys), 4)
+            layer["router"] = {"w": (jax.random.normal(
+                k1, (h, e), jnp.float32) * h ** -0.5).astype(dtype)}
+            layer["experts"] = {
+                "gate": (jax.random.normal(k2, (e, h, i), jnp.float32) *
+                         h ** -0.5).astype(dtype),
+                "up": (jax.random.normal(k3, (e, h, i), jnp.float32) *
+                       h ** -0.5).astype(dtype),
+                "down": (jax.random.normal(k4, (e, i, h), jnp.float32) *
+                         i ** -0.5).astype(dtype),
+            }
+        else:
+            layer["gate_proj"] = _init_linear(
+                next(keys), h, cfg.intermediate_size, dtype, False, quant,
+                group_size)
+            layer["up_proj"] = _init_linear(
+                next(keys), h, cfg.intermediate_size, dtype, False, quant,
+                group_size)
+            layer["down_proj"] = _init_linear(
+                next(keys), cfg.intermediate_size, h, dtype, False, quant,
+                group_size)
+        params["layers"].append(layer)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Sharding (tensor parallel over mesh axis "tp")
+# ---------------------------------------------------------------------------
+
+_COL = {"q_proj", "k_proj", "v_proj", "gate_proj", "up_proj", "lm_head"}
+_ROW = {"o_proj", "down_proj"}
+
+
+def _linear_spec(name: str, leaf_name: str, leaf: Any) -> P:
+    col = name in _COL
+    if leaf_name == "w":
+        return P(None, "tp") if col else P("tp", None)
+    if leaf_name == "w_q":
+        return P(None, "tp") if col else P("tp", None)
+    if leaf_name == "b":
+        return P("tp") if col else P(None)
+    if leaf_name == "scale":
+        if leaf.ndim == 1:  # int8/fp8 per-channel [N]
+            return P("tp") if col else P(None)
+        # int4 grouped [K/G, N]
+        return P(None, "tp") if col else P("tp", None)
+    return P()
+
+
+def param_shardings(params: Params) -> Params:
+    """PartitionSpec pytree matching `params` for TP over axis "tp".
+
+    Replaces the reference's RankGenerator/GroupCoordinator machinery
+    (diffusion/distributed/parallel_state.py:676): the mesh + these specs
+    are the entire parallelism definition; XLA inserts the collectives.
+    """
+
+    def walk(path: tuple, leaf: Any) -> P:
+        names = [p.key for p in path if hasattr(p, "key")]
+        leaf_name = names[-1] if names else ""
+        parent = names[-2] if len(names) >= 2 else ""
+        if leaf_name == "embed":
+            return P(None, "tp")
+        if leaf_name in ("final_norm", "input_norm", "post_norm", "q_norm",
+                         "k_norm"):
+            return P()
+        if parent in _COL or parent in _ROW:
+            return _linear_spec(parent, leaf_name, leaf)
+        if parent == "router":
+            return P()
+        if parent == "experts":
+            if leaf_name in ("gate", "up"):
+                return P(None, None, "tp")
+            if leaf_name == "down":
+                return P(None, "tp", None)
+        return P()
+
+    return jax.tree_util.tree_map_with_path(walk, params)

@@ -1,0 +1,279 @@
+"""Checkpoint loading: HF config/safetensors → decoder param pytrees.
+
+Reference parity: upstream vLLM's weight loader + the reference's
+quantize-on-load path (reference quantization/int8_config.py:385
+Int8OnlineLinearMethod — weights are quantized as they stream in, so peak
+host memory stays at one tensor). Supports:
+
+- a local HF-format directory (config.json + *.safetensors),
+- the "dummy" model source: random weights from `hf_overrides` — the
+  tiny-model test tier (reference SURVEY.md §4 uses random-weight HF
+  checkpoints the same way).
+
+Weight-only INT8/INT4 and FP8 quantization happen at load; the quant
+method is encoded in array dtypes (see models/decoder.py `linear`).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vllm_omni_tpu.config.engine import ModelConfig
+from vllm_omni_tpu.logger import init_logger
+from vllm_omni_tpu.models.decoder import DecoderConfig, init_params
+from vllm_omni_tpu.ops.quant import (quantize_fp8, quantize_int4,
+                                     quantize_int8)
+
+logger = init_logger(__name__)
+
+# HF architecture name → config feature flags
+_ARCH_FLAGS = {
+    "LlamaForCausalLM": {},
+    "MistralForCausalLM": {},
+    "Qwen2ForCausalLM": {"attention_bias": True},
+    "Qwen3ForCausalLM": {"qk_norm": True},
+    "Qwen2MoeForCausalLM": {"attention_bias": True, "moe": True},
+    "Qwen3MoeForCausalLM": {"qk_norm": True, "moe": True},
+    # Omni text towers reuse the qwen3(-moe) block structure (reference
+    # model_executor/models/qwen3_omni/)
+    "Qwen3OmniMoeForConditionalGeneration": {"qk_norm": True, "moe": True},
+}
+
+
+def hf_config_to_decoder_config(hf: dict[str, Any]) -> DecoderConfig:
+    arch = (hf.get("architectures") or ["LlamaForCausalLM"])[0]
+    if arch not in _ARCH_FLAGS:
+        raise ValueError(
+            f"unsupported architecture {arch!r}; known: "
+            f"{sorted(_ARCH_FLAGS)}")
+    flags = _ARCH_FLAGS[arch]
+    num_heads = hf["num_attention_heads"]
+    head_dim = hf.get("head_dim") or hf["hidden_size"] // num_heads
+    return DecoderConfig(
+        vocab_size=hf["vocab_size"],
+        hidden_size=hf["hidden_size"],
+        intermediate_size=hf.get("intermediate_size", 4 * hf["hidden_size"]),
+        num_layers=hf["num_hidden_layers"],
+        num_heads=num_heads,
+        num_kv_heads=hf.get("num_key_value_heads", num_heads),
+        head_dim=head_dim,
+        rope_theta=hf.get("rope_theta", 10000.0),
+        rms_norm_eps=hf.get("rms_norm_eps", 1e-6),
+        tie_word_embeddings=hf.get("tie_word_embeddings", False),
+        qk_norm=flags.get("qk_norm", False),
+        attention_bias=hf.get("attention_bias",
+                              flags.get("attention_bias", False)),
+        max_position_embeddings=hf.get("max_position_embeddings", 4096),
+        num_experts=hf.get("num_experts", 0) if flags.get("moe") else 0,
+        num_experts_per_tok=hf.get("num_experts_per_tok", 0),
+        moe_intermediate_size=hf.get("moe_intermediate_size", 0),
+        norm_topk_prob=hf.get("norm_topk_prob", True),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quantize-on-load
+# ---------------------------------------------------------------------------
+
+# linears quantized by weight-only schemes; embeddings/norms/router stay
+# full precision (matches the reference: lm_head & embeddings excluded)
+_QUANT_LINEARS = {"q_proj", "k_proj", "v_proj", "o_proj", "gate_proj",
+                  "up_proj", "down_proj"}
+
+
+def _quantize_linear(w: jnp.ndarray, method: str, group_size: int) -> dict:
+    if method == "int8":
+        q, s = quantize_int8(w)
+    elif method == "int4":
+        q, s = quantize_int4(w, group_size)
+    elif method == "fp8":
+        q, s = quantize_fp8(w)
+    else:
+        raise ValueError(method)
+    return {"w_q": q, "scale": s}
+
+
+def quantize_params(params: dict, method: Optional[str],
+                    group_size: int = 128) -> dict:
+    """Walk a full-precision param pytree and quantize eligible linears
+    in place (returns the same structure)."""
+    if method is None:
+        return params
+
+    def walk(node: Any, name: str) -> Any:
+        if isinstance(node, dict):
+            if name in _QUANT_LINEARS and "w" in node:
+                newp = _quantize_linear(node["w"], method, group_size)
+                if "b" in node:
+                    newp["b"] = node["b"]
+                return newp
+            return {k: walk(v, k) for k, v in node.items()}
+        if isinstance(node, list):
+            return [walk(v, name) for v in node]
+        return node
+
+    return walk(params, "")
+
+
+def init_params_quantized(cfg: DecoderConfig, key, method: str,
+                          group_size: int = 128,
+                          dtype=jnp.bfloat16) -> dict:
+    """Random-weight init directly in quantized storage: each linear is
+    quantized the moment it's created, so peak memory stays near the
+    quantized footprint (big-model benchmarks on a 16 GB chip)."""
+    return init_params(cfg, key, dtype, quant=method, group_size=group_size)
+
+
+# ---------------------------------------------------------------------------
+# Safetensors → pytree
+# ---------------------------------------------------------------------------
+
+
+def _collect_safetensor_files(path: str) -> list[str]:
+    files = sorted(f for f in os.listdir(path) if f.endswith(".safetensors"))
+    if not files:
+        raise FileNotFoundError(f"no .safetensors under {path}")
+    return [os.path.join(path, f) for f in files]
+
+
+def _assign(params: dict, hf_name: str, value: np.ndarray, dtype,
+            cfg: DecoderConfig) -> bool:
+    """Map one HF tensor name into the param pytree. Linear weights are
+    transposed to [in, out] (we keep x @ W layout)."""
+    parts = hf_name.split(".")
+    if parts[0] == "model":
+        parts = parts[1:]
+
+    def as_dtype(v):
+        return jnp.asarray(v).astype(dtype)
+
+    if parts[:2] == ["embed_tokens", "weight"]:
+        params["embed"] = as_dtype(value)
+        return True
+    if parts[:2] == ["norm", "weight"]:
+        params["final_norm"] = as_dtype(value)
+        return True
+    if parts[:2] == ["lm_head", "weight"] or hf_name == "lm_head.weight":
+        params["lm_head"] = {"w": as_dtype(value.T)}
+        return True
+    if parts[0] != "layers":
+        return False
+    i = int(parts[1])
+    layer = params["layers"][i]
+    rest = parts[2:]
+    norm_map = {("input_layernorm", "weight"): "input_norm",
+                ("post_attention_layernorm", "weight"): "post_norm"}
+    if tuple(rest) in norm_map:
+        layer[norm_map[tuple(rest)]] = as_dtype(value)
+        return True
+    if rest[0] == "self_attn":
+        name = rest[1]
+        if name in ("q_norm", "k_norm"):
+            layer[name] = as_dtype(value)
+            return True
+        if name in ("q_proj", "k_proj", "v_proj", "o_proj"):
+            slot = layer.setdefault(name, {})
+            if rest[2] == "weight":
+                slot["w"] = as_dtype(value.T)
+            elif rest[2] == "bias":
+                slot["b"] = as_dtype(value)
+            return True
+        return False
+    if rest[0] == "mlp":
+        if rest[1] in ("gate_proj", "up_proj", "down_proj"):
+            layer.setdefault(rest[1], {})["w"] = as_dtype(value.T)
+            return True
+        if rest[1] == "gate" and rest[2] == "weight":  # MoE router
+            layer["router"] = {"w": as_dtype(value.T)}
+            return True
+        if rest[1] == "experts":
+            e = int(rest[2])
+            which = {"gate_proj": "gate", "up_proj": "up",
+                     "down_proj": "down"}[rest[3]]
+            ex = layer.setdefault("experts", {})
+            stack = ex.setdefault("_staging_" + which, {})
+            stack[e] = as_dtype(value.T)
+            return True
+    return False
+
+
+def _finalize_experts(params: dict, cfg: DecoderConfig) -> None:
+    """Stack per-expert staging tensors into [E, ...] arrays."""
+    for layer in params["layers"]:
+        ex = layer.get("experts")
+        if not isinstance(ex, dict):
+            continue
+        for which in ("gate", "up", "down"):
+            staging = ex.pop("_staging_" + which, None)
+            if staging is not None:
+                ex[which] = jnp.stack(
+                    [staging[e] for e in sorted(staging)], axis=0)
+
+
+def load_safetensors_params(path: str, cfg: DecoderConfig,
+                            dtype=jnp.bfloat16) -> dict:
+    from safetensors import safe_open
+
+    params: dict = {"layers": [dict() for _ in range(cfg.num_layers)]}
+    unmapped = []
+    for f in _collect_safetensor_files(path):
+        with safe_open(f, framework="numpy") as st:
+            for name in st.keys():
+                arr = st.get_tensor(name)
+                if arr.dtype == np.uint16:  # bf16 stored as raw uint16
+                    arr = arr.view(np.uint16)
+                    arr = jnp.asarray(arr).view(jnp.bfloat16)
+                if not _assign(params, name, arr, dtype, cfg):
+                    unmapped.append(name)
+    if unmapped:
+        logger.warning("unmapped checkpoint tensors: %s", unmapped[:10])
+    _finalize_experts(params, cfg)
+    if cfg.tie_word_embeddings:
+        params.pop("lm_head", None)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Entry
+# ---------------------------------------------------------------------------
+
+
+def load_model(model_config: ModelConfig,
+               dtype=None) -> tuple[DecoderConfig, dict, dict]:
+    """ModelConfig → (DecoderConfig, quantized params pytree, raw hf
+    config dict — the engine reads eos_token_id etc. from it)."""
+    if dtype is None:
+        dtype = jnp.bfloat16 if model_config.dtype == "bfloat16" \
+            else jnp.dtype(model_config.dtype)
+    src = model_config.model
+    if src == "dummy" or not os.path.isdir(src):
+        if src != "dummy":
+            raise FileNotFoundError(
+                f"model path {src!r} not found (HF hub download not "
+                "available in this environment; pass a local dir)")
+        hf = dict(model_config.hf_overrides)
+        cfg = hf_config_to_decoder_config(hf)
+        if model_config.quantization is not None:
+            # streaming init: quantize each linear as it's created
+            params = init_params_quantized(
+                cfg, jax.random.PRNGKey(model_config.seed),
+                model_config.quantization, model_config.quant_group_size,
+                dtype)
+            return cfg, params, hf
+        params = init_params(cfg, jax.random.PRNGKey(model_config.seed),
+                             dtype)
+    else:
+        with open(os.path.join(src, "config.json")) as f:
+            hf = json.load(f)
+        hf.update(model_config.hf_overrides)
+        cfg = hf_config_to_decoder_config(hf)
+        params = load_safetensors_params(src, cfg, dtype)
+    params = quantize_params(params, model_config.quantization,
+                             model_config.quant_group_size)
+    return cfg, params, hf

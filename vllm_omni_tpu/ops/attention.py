@@ -308,7 +308,9 @@ def paged_attention_decode(q, k_pages, v_pages, block_tables, context_lens,
                            scale):
     from vllm_omni_tpu.ops import use_pallas
 
-    if use_pallas() and k_pages.dtype != jnp.int8:
+    # Mosaic DMA slices must be 128-aligned on the lane (head_dim) axis.
+    if use_pallas() and k_pages.dtype != jnp.int8 and \
+            k_pages.shape[-1] % 128 == 0:
         return paged_attention_decode_pallas(
             q, k_pages, v_pages, block_tables, context_lens, scale=scale)
     return paged_attention_decode_xla(q, k_pages, v_pages, block_tables,

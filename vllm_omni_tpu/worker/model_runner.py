@@ -1,0 +1,371 @@
+"""AR model runner: bucketed jit prefill/decode steps over paged KV.
+
+Reference parity: worker/gpu_ar_model_runner.py:65 (GPUARModelRunner) and
+gpu_model_runner.py:41. TPU-first design:
+
+- Every scheduler step maps to exactly one jitted program chosen from a
+  small set of static *buckets* (decode batch size, prefill rows × chunk
+  tokens, page-table width). Buckets replace CUDA-graph capture
+  (SURVEY.md §7 design stance); XLA caches one executable per bucket.
+- The paged KV cache is a per-layer list of (K, V) HBM arrays
+  [Hkv, num_pages, page_size, D] *donated* through every step, so XLA
+  updates pages in place — no copy of the cache per token.
+- Sampling is fused into the step program (ops/sampler.py); only the
+  sampled int32 ids (and optionally last-layer hidden states for
+  next-stage handoff) come back to the host.
+- With a mesh, params/KV carry NamedShardings (TP on the heads axis) and
+  the same step functions run SPMD — XLA inserts the collectives.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding
+from jax.sharding import PartitionSpec as P
+
+from vllm_omni_tpu.config.engine import EngineConfig
+from vllm_omni_tpu.core.request import Request
+from vllm_omni_tpu.core.scheduler import ScheduledPrefill
+from vllm_omni_tpu.logger import init_logger
+from vllm_omni_tpu.models.decoder import (DecoderConfig, compute_logits,
+                                          decoder_forward, param_shardings)
+from vllm_omni_tpu.ops import sampler as sampler_ops
+from vllm_omni_tpu.ops.attention import (paged_attention_decode_pallas,
+                                         paged_attention_decode_xla,
+                                         paged_attention_prefill_xla,
+                                         quantize_kv, write_kv_pages)
+from vllm_omni_tpu.platforms import current_platform
+from vllm_omni_tpu.utils import cdiv, pick_bucket
+
+logger = init_logger(__name__)
+
+PREFILL_ROW_BUCKETS = (1, 2, 4, 8, 16)
+
+
+@dataclass
+class StepResult:
+    """Host-side result of one prefill/decode step."""
+
+    req_ids: list[str]
+    token_ids: list[int]  # sampled token per row (prefill: only valid for
+    # rows whose prompt completed this step)
+    logprobs: list[float]
+    hidden_states: dict[str, Any] = field(default_factory=dict)
+
+
+class ModelRunner:
+    def __init__(self, config: EngineConfig, decoder_cfg: DecoderConfig,
+                 params: dict, mesh: Optional[Mesh] = None,
+                 num_pages: Optional[int] = None) -> None:
+        self.config = config
+        self.cfg = decoder_cfg
+        self.mesh = mesh
+        self.platform = current_platform()
+        self.dtype = jnp.bfloat16 if config.model.dtype == "bfloat16" \
+            else jnp.dtype(config.model.dtype)
+        self.page_size = config.cache.page_size
+        self.num_pages = num_pages or config.cache.num_pages or \
+            self._derive_num_pages()
+        self.max_pages_per_seq = cdiv(config.model.max_model_len,
+                                      self.page_size)
+        kv_dtype = config.model.kv_cache_dtype
+        if kv_dtype == "auto":
+            kv_dtype = config.model.dtype
+        self.kv_quant = kv_dtype if kv_dtype in ("fp8", "int8") else "none"
+        self.kv_dtype = {"fp8": jnp.float8_e4m3fn, "int8": jnp.int8,
+                         "bfloat16": jnp.bfloat16,
+                         "float32": jnp.float32}[kv_dtype]
+        self.scale = decoder_cfg.head_dim ** -0.5
+
+        if mesh is not None:
+            specs = param_shardings(params)
+            params = jax.tree.map(
+                lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+                params, specs, is_leaf=lambda x: x is None)
+        self.params = params
+        self.kv_pages = self._alloc_kv()
+        self._fn_cache: dict[tuple, Any] = {}
+
+    # -- memory -------------------------------------------------------------
+    def _page_bytes(self) -> int:
+        itemsize = jnp.dtype(self.kv_dtype).itemsize if hasattr(
+            self, "kv_dtype") else 2
+        return (self.cfg.num_layers * 2 * self.cfg.num_kv_heads *
+                self.page_size * self.cfg.head_dim * itemsize)
+
+    def _derive_num_pages(self) -> int:
+        """Size the KV pool from free HBM (reference: gpu_memory_utils /
+        gpu_memory_utilization in stage YAMLs)."""
+        dev = jax.devices()[0]
+        try:
+            stats = dev.memory_stats()
+            total = stats["bytes_limit"] - stats["bytes_in_use"]
+        except Exception:
+            total = 4 << 30  # CPU tier: pretend 4 GiB
+        budget = int(total * self.config.cache.memory_fraction)
+        # rough param bytes already resident; budget is free memory so ok
+        per_page = (self.cfg.num_layers * 2 * self.cfg.num_kv_heads *
+                    self.page_size * self.cfg.head_dim * 2)
+        n = max(16, budget // per_page)
+        return int(min(n, 65536))
+
+    def _alloc_kv(self) -> list:
+        shape = (self.cfg.num_kv_heads, self.num_pages, self.page_size,
+                 self.cfg.head_dim)
+        sharding = None
+        if self.mesh is not None:
+            if self.mesh.shape.get("tp", 1) > self.cfg.num_kv_heads:
+                raise ValueError("tp > num_kv_heads unsupported")
+            sharding = NamedSharding(self.mesh, P("tp", None, None, None))
+
+        def zeros():
+            z = jnp.zeros(shape, self.kv_dtype)
+            return jax.device_put(z, sharding) if sharding is not None else z
+
+        return [(zeros(), zeros()) for _ in range(self.cfg.num_layers)]
+
+    @property
+    def kv_cache_bytes(self) -> int:
+        return (self.num_pages * self.cfg.num_layers * 2 *
+                self.cfg.num_kv_heads * self.page_size * self.cfg.head_dim *
+                jnp.dtype(self.kv_dtype).itemsize)
+
+    # -- traced step bodies -------------------------------------------------
+    def _use_pallas_decode(self) -> bool:
+        if self.mesh is not None and self.mesh.shape.get("tp", 1) > 1:
+            return False  # shard_map-wrapped pallas decode lands later
+        # Mosaic DMA slices must be 128-aligned on the lane axis
+        return self.platform.supports_pallas and \
+            self.kv_dtype not in (jnp.int8,) and \
+            self.cfg.head_dim % 128 == 0
+
+    def _forward(self, params, kv_pages, token_ids, positions, block_tables,
+                 q_start, kv_lens, slot_ids, *, decode: bool):
+        """Shared traced forward. Mutates a local copy of kv_pages via
+        closure; returns (hidden [B,T,H], new_kv)."""
+        kv_list = list(kv_pages)
+        b, t = token_ids.shape
+
+        def attn_apply(i, q, k, v):
+            kp, vp = kv_list[i]
+            k_flat = k.reshape(b * t, self.cfg.num_kv_heads,
+                               self.cfg.head_dim)
+            v_flat = v.reshape(b * t, self.cfg.num_kv_heads,
+                               self.cfg.head_dim)
+            kq, vq = quantize_kv(k_flat, v_flat, self.kv_quant)
+            kp, vp = write_kv_pages(kp, vp, kq, vq, slot_ids.reshape(-1))
+            kv_list[i] = (kp, vp)
+            if decode:
+                q2 = q.reshape(b, self.cfg.num_heads, self.cfg.head_dim)
+                if self._use_pallas_decode():
+                    o = paged_attention_decode_pallas(
+                        q2, kp, vp, block_tables, kv_lens, scale=self.scale)
+                else:
+                    o = paged_attention_decode_xla(
+                        q2, kp, vp, block_tables, kv_lens, self.scale)
+                return o.reshape(b, 1, self.cfg.num_heads, self.cfg.head_dim)
+            return paged_attention_prefill_xla(
+                q, kp, vp, block_tables, q_start, kv_lens, self.scale)
+
+        hidden = decoder_forward(params, self.cfg, token_ids, positions,
+                                 attn_apply)
+        return hidden, kv_list
+
+    def _prefill_body(self, params, kv_pages, token_ids, positions,
+                      block_tables, q_start, kv_lens, slot_ids, last_idx,
+                      sampling, step_ctr, *, return_hidden: bool):
+        hidden, new_kv = self._forward(params, kv_pages, token_ids,
+                                       positions, block_tables, q_start,
+                                       kv_lens, slot_ids, decode=False)
+        b = token_ids.shape[0]
+        last_h = hidden[jnp.arange(b), last_idx]  # [B, H]
+        logits = compute_logits(params, self.cfg, last_h)
+        ids, lp = sampler_ops.sample(logits, sampling, step_ctr)
+        out = (ids, lp, new_kv)
+        if return_hidden:
+            out = out + (hidden,)
+        return out
+
+    def _decode_body(self, params, kv_pages, token_ids, positions,
+                     block_tables, kv_lens, slot_ids, sampling, step_ctr,
+                     out_tokens, *, use_penalties: bool,
+                     return_hidden: bool):
+        hidden, new_kv = self._forward(
+            params, kv_pages, token_ids[:, None], positions[:, None],
+            block_tables, None, kv_lens, slot_ids[:, None], decode=True)
+        last_h = hidden[:, 0]  # [B, H]
+        logits = compute_logits(params, self.cfg, last_h)
+        counts = None
+        if use_penalties:
+            b, v = logits.shape
+            counts = jnp.zeros((b, v), jnp.int32)
+            rows = jnp.broadcast_to(
+                jnp.arange(b)[:, None], out_tokens.shape)
+            counts = counts.at[rows.reshape(-1),
+                               out_tokens.reshape(-1)].add(
+                                   (out_tokens >= 0).reshape(-1).astype(
+                                       jnp.int32), mode="drop")
+        ids, lp = sampler_ops.sample(logits, sampling, step_ctr, counts)
+        out = (ids, lp, new_kv)
+        if return_hidden:
+            out = out + (last_h,)
+        return out
+
+    # -- jit cache ----------------------------------------------------------
+    def _get_fn(self, kind: str, **static) -> Any:
+        key = (kind, tuple(sorted(static.items())))
+        fn = self._fn_cache.get(key)
+        if fn is None:
+            if kind == "prefill":
+                body = functools.partial(
+                    self._prefill_body,
+                    return_hidden=static["return_hidden"])
+                fn = jax.jit(body, donate_argnums=(1,))
+            else:
+                body = functools.partial(
+                    self._decode_body,
+                    use_penalties=static["use_penalties"],
+                    return_hidden=static["return_hidden"])
+                fn = jax.jit(body, donate_argnums=(1,))
+            self._fn_cache[key] = fn
+        return fn
+
+    # -- host-side batch building -------------------------------------------
+    def _page_bucket(self, max_pages: int) -> int:
+        b = 8
+        while b < max_pages:
+            b *= 2
+        return min(b, max(self.max_pages_per_seq, 8))
+
+    def _block_table_rows(self, reqs: list, width: int) -> np.ndarray:
+        bt = np.zeros((len(reqs), width), np.int32)
+        for i, r in enumerate(reqs):
+            ids = r.page_ids[:width]
+            bt[i, :len(ids)] = ids
+        return bt
+
+    def execute_prefill(self, scheduled: list[ScheduledPrefill],
+                        return_hidden: bool = False) -> StepResult:
+        n = len(scheduled)
+        b = pick_bucket(n, PREFILL_ROW_BUCKETS) if n <= \
+            PREFILL_ROW_BUCKETS[-1] else n
+        t = pick_bucket(max(s.length for s in scheduled),
+                        self.config.scheduler.prefill_token_buckets)
+        max_pages = max(len(s.request.page_ids) for s in scheduled)
+        pw = self._page_bucket(max_pages)
+
+        token_ids = np.zeros((b, t), np.int32)
+        positions = np.zeros((b, t), np.int32)
+        slot_ids = np.zeros((b, t), np.int32)
+        q_start = np.zeros((b,), np.int32)
+        kv_lens = np.zeros((b,), np.int32)
+        last_idx = np.zeros((b,), np.int32)
+        step_ctr = np.zeros((b,), np.int32)
+        reqs = [s.request for s in scheduled]
+        bt = np.zeros((b, pw), np.int32)
+        bt[:n] = self._block_table_rows(reqs, pw)
+        for i, s in enumerate(scheduled):
+            r = s.request
+            toks = r.prompt_token_ids[s.start:s.start + s.length]
+            token_ids[i, :s.length] = toks
+            positions[i, :s.length] = np.arange(s.start, s.start + s.length)
+            for j in range(s.length):
+                pos = s.start + j
+                page = r.page_ids[pos // self.page_size]
+                slot_ids[i, j] = page * self.page_size + pos % self.page_size
+            q_start[i] = s.start
+            kv_lens[i] = s.start + s.length
+            last_idx[i] = s.length - 1
+        sampling = sampler_ops.make_sampling_arrays(
+            [s.request.sampling_params for s in scheduled] +
+            [None] * (b - n))
+
+        fn = self._get_fn("prefill", return_hidden=return_hidden)
+        out = fn(self.params, self.kv_pages, token_ids, positions, bt,
+                 q_start, kv_lens, slot_ids, last_idx, sampling, step_ctr)
+        if return_hidden:
+            ids, lp, self.kv_pages, hidden = out
+        else:
+            ids, lp, self.kv_pages = out
+            hidden = None
+        ids_np = np.asarray(ids)[:n]
+        lp_np = np.asarray(lp)[:n]
+        hs = {}
+        if hidden is not None:
+            h_np = np.asarray(hidden)
+            for i, s in enumerate(scheduled):
+                if s.request.sampling_params.return_hidden_states:
+                    hs[s.request.request_id] = h_np[i, :s.length]
+        return StepResult(
+            req_ids=[r.request_id for r in reqs],
+            token_ids=[int(x) for x in ids_np],
+            logprobs=[float(x) for x in lp_np],
+            hidden_states=hs)
+
+    def execute_decode(self, reqs: list[Request],
+                       return_hidden: bool = False) -> StepResult:
+        n = len(reqs)
+        b = pick_bucket(n, self.config.scheduler.decode_bs_buckets)
+        max_pages = max(len(r.page_ids) for r in reqs)
+        pw = self._page_bucket(max_pages)
+        use_penalties = any(
+            r.sampling_params.repetition_penalty != 1.0
+            or r.sampling_params.presence_penalty != 0.0
+            or r.sampling_params.frequency_penalty != 0.0 for r in reqs)
+
+        token_ids = np.zeros((b,), np.int32)
+        positions = np.zeros((b,), np.int32)
+        kv_lens = np.zeros((b,), np.int32)
+        slot_ids = np.zeros((b,), np.int32)
+        step_ctr = np.zeros((b,), np.int32)
+        bt = np.zeros((b, pw), np.int32)
+        bt[:n] = self._block_table_rows(reqs, pw)
+        o_bucket = 0
+        if use_penalties:
+            o_bucket = pick_bucket(
+                max(max(r.num_output_tokens, 1) for r in reqs),
+                tuple(2 ** i for i in range(4, 16)))
+        out_tokens = np.full((b, max(o_bucket, 1)), -1, np.int32)
+        for i, r in enumerate(reqs):
+            token_ids[i] = r.output_token_ids[-1] if r.output_token_ids \
+                else (r.prompt_token_ids[-1] if r.prompt_token_ids else 0)
+            pos = r.num_tokens - 1  # position of the token being fed
+            positions[i] = pos
+            kv_lens[i] = r.num_tokens
+            page = r.page_ids[pos // self.page_size]
+            slot_ids[i] = page * self.page_size + pos % self.page_size
+            step_ctr[i] = r.num_output_tokens
+            if use_penalties and r.output_token_ids:
+                o = r.output_token_ids[-o_bucket:]
+                out_tokens[i, :len(o)] = o
+        sampling = sampler_ops.make_sampling_arrays(
+            [r.sampling_params for r in reqs] + [None] * (b - n))
+
+        fn = self._get_fn("decode", use_penalties=use_penalties,
+                          return_hidden=return_hidden)
+        out = fn(self.params, self.kv_pages, token_ids, positions, bt,
+                 kv_lens, slot_ids, sampling, step_ctr, out_tokens)
+        if return_hidden:
+            ids, lp, self.kv_pages, last_h = out
+        else:
+            ids, lp, self.kv_pages = out
+            last_h = None
+        ids_np = np.asarray(ids)[:n]
+        lp_np = np.asarray(lp)[:n]
+        hs = {}
+        if last_h is not None:
+            h_np = np.asarray(last_h)
+            for i, r in enumerate(reqs):
+                if r.sampling_params.return_hidden_states:
+                    hs[r.request_id] = h_np[i]
+        return StepResult(
+            req_ids=[r.request_id for r in reqs],
+            token_ids=[int(x) for x in ids_np],
+            logprobs=[float(x) for x in lp_np],
+            hidden_states=hs)
