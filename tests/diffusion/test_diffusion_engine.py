@@ -1,0 +1,91 @@
+"""Diffusion engine tests (CPU tier, tiny DiT)."""
+
+import numpy as np
+import pytest
+
+from vllm_omni_tpu.core.request import DiffusionRequest
+from vllm_omni_tpu.core.sampling_params import DiffusionSamplingParams
+from vllm_omni_tpu.diffusion.config import DiffusionConfig, DiTConfig
+from vllm_omni_tpu.diffusion.engine import DiffusionEngine
+
+TINY_DIT = dict(hidden_size=64, num_layers=2, num_heads=4, head_dim=16,
+                latent_channels=4, patch_size=2, text_dim=32,
+                axes_dims_rope=(4, 6, 6))
+
+
+def make_config(**over):
+    kw = dict(dit=DiTConfig(**TINY_DIT), dtype="float32",
+              vae_latent_channels=4, flow_shift=1.0,
+              resolution_buckets=((32, 32),))
+    kw.update(over)
+    return DiffusionConfig(**kw)
+
+
+def params(**over):
+    kw = dict(num_inference_steps=3, height=32, width=32,
+              guidance_scale=1.0, seed=0, output_type="np")
+    kw.update(over)
+    return DiffusionSamplingParams(**kw)
+
+
+def test_request_mode_t2i():
+    eng = DiffusionEngine(make_config())
+    req = DiffusionRequest(request_id="r0", prompt="a cat", params=params())
+    outs = eng.generate([req])
+    assert outs[0].finished and outs[0].error is None
+    img = outs[0].images
+    assert img.shape == (1, 32, 32, 3) and img.dtype == np.uint8
+
+
+def test_step_mode_preemptible_matches_request_mode():
+    """Step-mode execution must produce the same latents as request mode
+    (same seed/steps) — the step contract is pure."""
+    eng_r = DiffusionEngine(make_config())
+    eng_s = DiffusionEngine(make_config(scheduler_mode="step"))
+    p = params(output_type="latent")
+    a = eng_r.generate([DiffusionRequest("a", "same prompt", p)])[0]
+    b = eng_s.generate([DiffusionRequest("b", "same prompt", p)])[0]
+    np.testing.assert_allclose(a.images, b.images, rtol=1e-5, atol=1e-5)
+    # step mode emitted per-step progress
+    assert b.num_steps == 3
+
+
+def test_cfg_changes_output():
+    eng = DiffusionEngine(make_config())
+    p1 = params(output_type="latent", guidance_scale=1.0)
+    p2 = params(output_type="latent", guidance_scale=4.0,
+                negative_prompt="blurry")
+    a = eng.generate([DiffusionRequest("a", "a dog", p1)])[0]
+    b = eng.generate([DiffusionRequest("b", "a dog", p2)])[0]
+    assert not np.allclose(a.images, b.images)
+
+
+def test_seed_determinism():
+    eng = DiffusionEngine(make_config())
+    p = params(output_type="latent", seed=7)
+    a = eng.generate([DiffusionRequest("a", "x", p)])[0]
+    b = eng.generate([DiffusionRequest("b", "x", p)])[0]
+    np.testing.assert_array_equal(a.images, b.images)
+
+
+def test_text_states_handoff():
+    """Upstream-stage hidden states flow in as conditioning (the AR→DiT
+    pipeline edge)."""
+    eng = DiffusionEngine(make_config())
+    ts = np.random.default_rng(0).standard_normal((10, 32)).astype(
+        np.float32)
+    p = params(output_type="latent")
+    a = eng.generate([DiffusionRequest(
+        "a", "ignored", p,
+        additional_information={"text_states": ts})])[0]
+    b = eng.generate([DiffusionRequest("b", "ignored", p)])[0]
+    assert not np.allclose(a.images, b.images)
+
+
+def test_error_isolation():
+    eng = DiffusionEngine(make_config())
+    bad = DiffusionRequest("bad", "x", params(height=33, width=32))
+    good = DiffusionRequest("good", "x", params())
+    outs = eng.generate([bad, good])
+    assert outs[0].error is not None and outs[0].finished
+    assert outs[1].error is None and outs[1].images is not None

@@ -73,7 +73,13 @@ class SchedulerConfig:
     # core/sched/omni_generation_scheduler.py:28)
     mode: str = "ar"
     enable_prefix_caching: bool = False
+    # multi-step decode: chain up to this many decode iterations inside
+    # one jitted program (host syncs once per chain — replaces the
+    # reference's CUDA-graph decode capture; stop checks lag by <= this
+    # many tokens)
+    multi_step: int = 8
     # static compilation buckets
+    multi_step_buckets: tuple[int, ...] = (1, 2, 4, 8, 16)
     decode_bs_buckets: tuple[int, ...] = (1, 2, 4, 8, 16, 32, 64)
     prefill_token_buckets: tuple[int, ...] = (16, 32, 64, 128, 256, 512,
                                               1024, 2048)
@@ -81,6 +87,9 @@ class SchedulerConfig:
     def __post_init__(self) -> None:
         if self.mode not in ("ar", "generation"):
             raise ValueError(f"unknown scheduler mode {self.mode!r}")
+        self.multi_step_buckets = tuple(
+            b for b in sorted(set(self.multi_step_buckets))
+            if b <= self.multi_step) or (1,)
         self.decode_bs_buckets = tuple(
             b for b in sorted(set(self.decode_bs_buckets))
             if b <= self.max_num_seqs) or (self.max_num_seqs,)

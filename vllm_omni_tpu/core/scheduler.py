@@ -50,6 +50,9 @@ class SchedulerOutput:
     prefills: list[ScheduledPrefill] = field(default_factory=list)
     decodes: list[Request] = field(default_factory=list)
     preempted: list[Request] = field(default_factory=list)
+    # chained decode steps granted this schedule (multi-step decode:
+    # pages are pre-allocated for this many tokens per decode request)
+    lookahead: int = 1
 
     @property
     def is_empty(self) -> bool:
@@ -120,8 +123,8 @@ class Scheduler:
             req.page_ids = []
 
     # -- core policy ---------------------------------------------------------
-    def schedule(self) -> SchedulerOutput:
-        out = SchedulerOutput()
+    def schedule(self, lookahead: int = 1) -> SchedulerOutput:
+        out = SchedulerOutput(lookahead=lookahead)
         # 1. admit waiting requests into prefill while budget allows.
         #    Prefill-priority fills the decode batch quickly; chunked
         #    prefill caps per-step latency impact.
@@ -173,12 +176,13 @@ class Scheduler:
             # FRONT of the waiting queue after this step (engine calls
             # `complete_prefill`), else joins running via complete_prefill.
 
-        # 2. decode step for all running requests (one token each)
+        # 2. decode step for all running requests (`lookahead` tokens each
+        #    — multi-step decode pre-allocates the whole chain's slots)
         if not out.prefills and self.running:
             decodes: list[Request] = []
             for req in list(self.running):
-                # need a slot for the token being generated this step
-                new_total = req.num_tokens + 1
+                # need slots for every token generated in this chain
+                new_total = req.num_tokens + out.lookahead
                 try:
                     self.block_manager.extend(req.page_ids, req.num_tokens,
                                               new_total)

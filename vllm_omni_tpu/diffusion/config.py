@@ -1,0 +1,66 @@
+"""Diffusion stage configuration (reference: diffusion/data.py
+OmniDiffusionConfig :353, DiffusionParallelConfig :35, TransformerConfig
+:193)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+from vllm_omni_tpu.config.engine import ParallelConfig
+
+
+@dataclass
+class DiTConfig:
+    """Transformer geometry for an MMDiT-style denoiser (Qwen-Image /
+    Flux class: joint text+image token stream, AdaLN-Zero modulation —
+    reference models/qwen_image/transformer_qwen_image.py)."""
+
+    hidden_size: int = 1024
+    num_layers: int = 8
+    num_heads: int = 16
+    head_dim: int = 64
+    mlp_ratio: float = 4.0
+    latent_channels: int = 16
+    patch_size: int = 2
+    text_dim: int = 1024  # incoming text-embedding width
+    axes_dims_rope: tuple[int, ...] = (8, 28, 28)  # (t, h, w) freq split
+    guidance_embeds: bool = False
+
+    @property
+    def patch_dim(self) -> int:
+        return self.latent_channels * self.patch_size ** 2
+
+
+@dataclass
+class DiffusionConfig:
+    """Everything one diffusion stage needs (subset of the reference's
+    OmniDiffusionConfig; grows with features)."""
+
+    model: str = "dummy"  # local diffusers dir | "dummy" (random init)
+    dtype: str = "bfloat16"
+    quantization: Optional[str] = None  # fp8 denoiser path
+    dit: DiTConfig = field(default_factory=DiTConfig)
+    parallel: ParallelConfig = field(default_factory=ParallelConfig)
+    vae_scale_factor: int = 8
+    vae_latent_channels: int = 16
+    # scheduler
+    num_train_timesteps: int = 1000
+    flow_shift: float = 3.0
+    use_dynamic_shifting: bool = False
+    # execution
+    scheduler_mode: str = "request"  # request | step
+    enforce_eager: bool = False
+    # resolution buckets (one compiled program per bucket)
+    resolution_buckets: tuple[tuple[int, int], ...] = (
+        (256, 256), (512, 512), (1024, 1024))
+    seed: int = 0
+    hf_overrides: dict[str, Any] = field(default_factory=dict)
+
+    def __post_init__(self) -> None:
+        if isinstance(self.dit, dict):
+            self.dit = DiTConfig(**self.dit)
+        if isinstance(self.parallel, dict):
+            self.parallel = ParallelConfig(**self.parallel)
+        if self.scheduler_mode not in ("request", "step"):
+            raise ValueError(f"bad scheduler_mode {self.scheduler_mode!r}")

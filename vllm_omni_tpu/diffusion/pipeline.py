@@ -1,0 +1,217 @@
+"""Text/embeds → image diffusion pipeline with the 4-method step contract.
+
+Reference parity: QwenImagePipeline (pipeline_qwen_image.py:247:
+encode_prompt :418, prepare_latents :479, prepare_timesteps :512,
+denoise_step :828, step_scheduler :881, _decode_latents :797) and the
+step-execution contract diffusion/models/interface.py:37.
+
+TPU-first: one jitted program per (resolution bucket, CFG on/off) that
+runs a single denoise step; the loop + scheduler state stay host-side so
+the step scheduler can preempt/interleave requests mid-denoise. CFG runs
+as a batched-2 forward (cond/uncond rows in one program — MXU-friendly);
+CFG-parallel over a mesh "cfg" axis shards that batch dimension.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vllm_omni_tpu.core.request import DiffusionRequest
+from vllm_omni_tpu.core.sampling_params import DiffusionSamplingParams
+from vllm_omni_tpu.diffusion.config import DiffusionConfig
+from vllm_omni_tpu.diffusion.dit import dit_forward, init_dit_params
+from vllm_omni_tpu.diffusion.scheduler_flow import FlowMatchEulerScheduler
+from vllm_omni_tpu.diffusion.vae import init_vae_params, vae_decode
+from vllm_omni_tpu.logger import init_logger
+
+logger = init_logger(__name__)
+
+
+@dataclass
+class DenoiseState:
+    """Host-side per-request state between denoise steps (device sees one
+    fixed-shape step)."""
+
+    latents: Any  # [B, h, w, C] device array
+    text_states: Any  # [B|2B, Ttxt, D]
+    sigmas: np.ndarray
+    timesteps: np.ndarray
+    step_index: int = 0
+    use_cfg: bool = False
+    guidance_scale: float = 1.0
+    t_start: float = field(default_factory=time.monotonic)
+
+    @property
+    def num_steps(self) -> int:
+        return len(self.timesteps)
+
+    @property
+    def done(self) -> bool:
+        return self.step_index >= self.num_steps
+
+
+class DiffusionPipeline:
+    """Flow-match text(/embeds)-to-image pipeline over the MMDiT."""
+
+    TEXT_LEN = 64  # static text-token bucket
+
+    def __init__(self, config: DiffusionConfig) -> None:
+        self.config = config
+        self.dtype = jnp.bfloat16 if config.dtype == "bfloat16" \
+            else jnp.dtype(config.dtype)
+        key = jax.random.PRNGKey(config.seed)
+        k1, k2 = jax.random.split(key)
+        # dummy = random init (tiny-model tier); diffusers checkpoint
+        # loading lands with the weight-mapping milestone
+        self.dit_params = init_dit_params(config.dit, k1, self.dtype)
+        self.vae_params = init_vae_params(
+            k2, config.vae_latent_channels, dtype=self.dtype)
+        self.scheduler = FlowMatchEulerScheduler(
+            num_train_timesteps=config.num_train_timesteps,
+            shift=config.flow_shift,
+            use_dynamic_shifting=config.use_dynamic_shifting)
+        self._step_fns: dict = {}
+
+    # -- 1/4: prepare --------------------------------------------------------
+    def prepare(self, req: DiffusionRequest) -> DenoiseState:
+        p: DiffusionSamplingParams = req.params
+        cfgd = self.config
+        quantum = cfgd.vae_scale_factor * cfgd.dit.patch_size
+        if p.height % quantum or p.width % quantum:
+            raise ValueError(
+                f"height/width must be multiples of {quantum}, got "
+                f"{p.height}x{p.width}")
+        h_lat = p.height // cfgd.vae_scale_factor
+        w_lat = p.width // cfgd.vae_scale_factor
+        if (p.height, p.width) not in cfgd.resolution_buckets:
+            logger.warning("resolution %dx%d off-bucket; compiling fresh",
+                           p.height, p.width)
+        seed = p.seed if p.seed is not None else 0
+        key = jax.random.PRNGKey(seed)
+        latents = jax.random.normal(
+            key, (1, h_lat, w_lat, cfgd.vae_latent_channels), jnp.float32
+        ).astype(self.dtype)
+        text_states = self._resolve_text_states(req)
+        use_cfg = p.use_cfg and text_states.shape[0] == 2
+        sigmas = self.scheduler.sigmas_for(
+            p.num_inference_steps,
+            image_seq_len=(h_lat // cfgd.dit.patch_size) *
+            (w_lat // cfgd.dit.patch_size))
+        return DenoiseState(
+            latents=latents, text_states=text_states, sigmas=sigmas,
+            timesteps=self.scheduler.timesteps_for(sigmas),
+            use_cfg=use_cfg, guidance_scale=p.guidance_scale)
+
+    def _resolve_text_states(self, req: DiffusionRequest) -> jnp.ndarray:
+        """[1|2, TEXT_LEN, text_dim]: row 0 = conditional, row 1 =
+        unconditional (CFG). Text states come from the upstream stage
+        (hidden-state handoff) or — lacking an encoder — a hash embedding
+        of the prompt string (keeps e2e runnable without a text tower)."""
+        d = self.config.dit.text_dim
+        cond = req.additional_information.get("text_states")
+        if cond is None and isinstance(req.prompt, dict):
+            cond = req.prompt.get("text_states")
+        if cond is not None:
+            cond = np.asarray(cond, np.float32)
+            if cond.ndim == 2:
+                cond = cond[None]
+            cond = _pad_or_trim(cond, self.TEXT_LEN)
+        else:
+            cond = _hash_embed(str(req.prompt), self.TEXT_LEN, d)[None]
+        rows = [cond]
+        if req.params.use_cfg:
+            neg = req.negative_prompt or req.params.negative_prompt or ""
+            rows.append(_hash_embed(str(neg), self.TEXT_LEN, d)[None])
+        return jnp.asarray(np.concatenate(rows, axis=0), self.dtype)
+
+    # -- 2/4: one denoise step ----------------------------------------------
+    def denoise_step(self, state: DenoiseState) -> None:
+        i = state.step_index
+        sigma = float(state.sigmas[i])
+        sigma_next = float(state.sigmas[i + 1])
+        t = float(state.timesteps[i])
+        fn = self._get_step_fn(state.latents.shape, state.use_cfg)
+        state.latents = fn(self.dit_params, state.latents,
+                           state.text_states,
+                           jnp.float32(t), jnp.float32(sigma),
+                           jnp.float32(sigma_next),
+                           jnp.float32(state.guidance_scale))
+        state.step_index += 1
+
+    def _get_step_fn(self, latent_shape, use_cfg: bool):
+        key = (latent_shape, use_cfg)
+        fn = self._step_fns.get(key)
+        if fn is None:
+            fn = jax.jit(functools.partial(self._step_body,
+                                           use_cfg=use_cfg),
+                         donate_argnums=(1,))
+            self._step_fns[key] = fn
+        return fn
+
+    def _step_body(self, params, latents, text_states, t, sigma,
+                   sigma_next, guidance, *, use_cfg: bool):
+        if use_cfg:
+            lat2 = jnp.concatenate([latents, latents], axis=0)
+            tt = jnp.full((2,), t, jnp.float32)
+            v = dit_forward(params, self.config.dit, lat2, text_states, tt)
+            v_cond, v_uncond = v[:1], v[1:]
+            v = v_uncond + guidance * (v_cond - v_uncond)
+        else:
+            tt = jnp.full((latents.shape[0],), t, jnp.float32)
+            v = dit_forward(params, self.config.dit, latents,
+                            text_states[:1], tt)
+        return (latents.astype(jnp.float32) +
+                (sigma_next - sigma) * v.astype(jnp.float32)
+                ).astype(latents.dtype)
+
+    # -- 3/4: scheduler advance is folded into the step (host sigmas) -------
+
+    # -- 4/4: decode ---------------------------------------------------------
+    def post_decode(self, state: DenoiseState,
+                    output_type: str = "np") -> Any:
+        if output_type == "latent":
+            return np.asarray(state.latents)
+        images = self._decode_fn()(self.vae_params, state.latents)
+        arr = np.asarray(images)  # [-1, 1] float
+        if output_type == "np":
+            return ((arr + 1.0) * 127.5).clip(0, 255).astype(np.uint8)
+        if output_type == "pil":
+            from PIL import Image
+
+            arr = ((arr + 1.0) * 127.5).clip(0, 255).astype(np.uint8)
+            return [Image.fromarray(a) for a in arr]
+        return arr
+
+    @functools.cache
+    def _decode_fn(self):
+        return jax.jit(vae_decode)
+
+    # -- whole request -------------------------------------------------------
+    def run(self, req: DiffusionRequest) -> tuple[Any, DenoiseState]:
+        state = self.prepare(req)
+        while not state.done:
+            self.denoise_step(state)
+        return self.post_decode(state, req.params.output_type), state
+
+
+def _pad_or_trim(x: np.ndarray, t: int) -> np.ndarray:
+    if x.shape[1] >= t:
+        return x[:, :t]
+    pad = np.zeros((x.shape[0], t - x.shape[1], x.shape[2]), x.dtype)
+    return np.concatenate([x, pad], axis=1)
+
+
+def _hash_embed(text: str, t: int, d: int) -> np.ndarray:
+    """Deterministic pseudo-embedding of a prompt string (stands in for a
+    text encoder so pipelines run standalone; real encoders plug in as an
+    upstream stage)."""
+    seed = abs(hash(text)) % (2 ** 31)
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((t, d), np.float32) * 0.02

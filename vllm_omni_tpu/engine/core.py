@@ -62,9 +62,12 @@ class EngineCore:
         rid = request_id or random_uuid()
         params = sampling_params or SamplingParams()
         max_len = self.config.model.max_model_len
-        if len(prompt_token_ids) >= max_len:
+        embeds = kwargs.get("prompt_embeds")
+        n_prompt = len(prompt_token_ids) if prompt_token_ids else (
+            int(embeds.shape[0]) if embeds is not None else 0)
+        if n_prompt >= max_len:
             raise ValueError(
-                f"prompt of {len(prompt_token_ids)} tokens exceeds "
+                f"prompt of {n_prompt} tokens exceeds "
                 f"max_model_len={max_len}")
         req = Request(request_id=rid, prompt_token_ids=list(prompt_token_ids),
                       sampling_params=params, **kwargs)
@@ -78,8 +81,28 @@ class EngineCore:
         return self.scheduler.has_unfinished()
 
     # -- stepping -----------------------------------------------------------
+    def _pick_lookahead(self) -> int:
+        """Chained decode steps for the next schedule: bounded by every
+        running request's remaining token budget so a chain never
+        overshoots max_tokens / max_model_len."""
+        sc = self.config.scheduler
+        if sc.multi_step <= 1 or self.scheduler.waiting or \
+                not self.scheduler.running:
+            return 1
+        k = sc.multi_step
+        for r in self.scheduler.running:
+            k = min(k,
+                    r.sampling_params.max_tokens - r.num_output_tokens,
+                    self.config.model.max_model_len - r.num_tokens)
+        k = max(1, k)
+        # largest static bucket <= k (one compiled program per bucket)
+        for b in reversed(sc.multi_step_buckets):
+            if b <= k:
+                return b
+        return 1
+
     def step(self) -> list[RequestOutput]:
-        sched = self.scheduler.schedule()
+        sched = self.scheduler.schedule(lookahead=self._pick_lookahead())
         outputs: list[RequestOutput] = []
         if sched.is_empty:
             return outputs
@@ -116,16 +139,20 @@ class EngineCore:
         elif sched.decodes:
             want_hidden = any(r.sampling_params.return_hidden_states
                               for r in sched.decodes)
-            result = self.runner.execute_decode(
-                sched.decodes, return_hidden=want_hidden)
+            results = self.runner.execute_decode_multi(
+                sched.decodes, sched.lookahead, return_hidden=want_hidden)
             for i, req in enumerate(sched.decodes):
-                token = result.token_ids[i]
-                req.append_output_token(token)
-                h = result.hidden_states.get(req.request_id)
-                if h is not None:
-                    req.additional_information.setdefault(
-                        "hidden_states", []).append(h)
-                fin = self._check_stop(req, token)
+                fin = False
+                for step_res in results:
+                    if fin:
+                        break  # discard chain overshoot past a stop
+                    token = step_res.token_ids[i]
+                    req.append_output_token(token)
+                    h = step_res.hidden_states.get(req.request_id)
+                    if h is not None:
+                        req.additional_information.setdefault(
+                            "hidden_states", []).append(h)
+                    fin = self._check_stop(req, token)
                 outputs.append(self._make_output(req, finished=fin))
         return outputs
 

@@ -1,0 +1,234 @@
+"""Multi-stage pipeline orchestration.
+
+Reference parity: engine/orchestrator.py:108 (`Orchestrator`:
+`_orchestration_loop` :227, `_route_output` :322, `_forward_to_next_stage`
+:521) and AsyncOmniEngine's stage bring-up (async_omni_engine.py:234).
+
+Round-1 scope: all stages run **in-process** (the reference's
+InlineStageDiffusionClient pattern, inline_stage_diffusion_client.py:1-10,
+generalized): each stage is an EngineCore (AR or generation mode) or a
+DiffusionEngine stepped cooperatively from one host loop. On TPU the
+stages still own disjoint device meshes; process-per-stage with a
+connector data plane is the next layering step and reuses this routing
+logic unchanged.
+
+Stage input processors glue stage N outputs into stage N+1 prompts
+(reference: stage_input_processors/*.py, e.g. thinker2talker
+qwen3_omni.py:174): dotted-path callables
+``fn(prev_outputs, stage_cfg, ctx) -> add_request kwargs``.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable, Optional
+
+from vllm_omni_tpu.config.engine import EngineConfig
+from vllm_omni_tpu.config.stage_config import ModelPipeline, StageConfig
+from vllm_omni_tpu.core.outputs import RequestOutput
+from vllm_omni_tpu.core.sampling_params import SamplingParams
+from vllm_omni_tpu.engine.core import EngineCore
+from vllm_omni_tpu.logger import init_logger
+from vllm_omni_tpu.tokenizer import get_tokenizer
+
+logger = init_logger(__name__)
+
+
+def default_process_input(prev_outputs: dict[int, RequestOutput],
+                          stage: StageConfig,
+                          ctx: dict[str, Any]) -> dict[str, Any]:
+    """Default stage-input glue: prefer the source stage's hidden states
+    as an embeddings prompt; fall back to its output token ids."""
+    src_id = stage.engine_input_source[0] if stage.engine_input_source \
+        else max(prev_outputs)
+    prev = prev_outputs[src_id]
+    comp = prev.outputs[0]
+    kwargs: dict[str, Any] = {
+        "additional_information": dict(prev.additional_information),
+    }
+    if comp.hidden_states is not None:
+        kwargs["prompt_token_ids"] = []
+        kwargs["prompt_embeds"] = comp.hidden_states
+    else:
+        kwargs["prompt_token_ids"] = list(comp.token_ids)
+    return kwargs
+
+
+@dataclass
+class PipelineRequest:
+    request_id: str
+    modality: str  # requested final output modality
+    sampling_params: SamplingParams
+    arrival_time: float = field(default_factory=time.monotonic)
+    stage_outputs: dict[int, RequestOutput] = field(default_factory=dict)
+    dispatched_stages: set[int] = field(default_factory=set)
+    final_output: Optional[RequestOutput] = None
+    stage_durations: dict[str, float] = field(default_factory=dict)
+    stage_start: dict[int, float] = field(default_factory=dict)
+
+
+class PipelineRunner:
+    """Synchronous multi-stage driver: all stage engines stepped from one
+    loop, outputs routed along the DAG."""
+
+    def __init__(self, pipeline: ModelPipeline,
+                 default_model: Optional[str] = None) -> None:
+        self.pipeline = pipeline
+        self.engines: dict[int, EngineCore] = {}
+        self.processors: dict[int, Callable] = {}
+        self.tokenizer = None
+        for stage in pipeline.stages:
+            args = dict(stage.engine_args)
+            if stage.stage_type == "diffusion":
+                raise NotImplementedError(
+                    "diffusion stages attach via DiffusionEngine (next "
+                    "milestone); pipeline-level routing is shared")
+            args.setdefault("model", default_model)
+            if args.get("model") is None:
+                raise ValueError(f"stage {stage.stage_id} has no model")
+            config = EngineConfig.from_kwargs(**args)
+            tok = get_tokenizer(config.model.tokenizer or
+                                config.model.model,
+                                config.model.trust_remote_code)
+            engine = EngineCore(config, tokenizer=tok)
+            self.engines[stage.stage_id] = engine
+            if stage.stage_id == 0 and tok is not None:
+                self.tokenizer = tok
+            proc = stage.resolve_input_processor()
+            self.processors[stage.stage_id] = proc or default_process_input
+        self._active: dict[str, PipelineRequest] = {}
+        self._ctx: dict[str, Any] = {}
+
+    # -- submission ---------------------------------------------------------
+    def submit(self, prompt_token_ids: list[int],
+               sampling_params: SamplingParams, request_id: str,
+               modality: str = "text", **kwargs: Any) -> None:
+        preq = PipelineRequest(request_id=request_id, modality=modality,
+                               sampling_params=sampling_params)
+        self._active[request_id] = preq
+        src_stages = [s for s in self.pipeline.stages
+                      if not s.engine_input_source]
+        for stage in src_stages:
+            sp = self._stage_params(stage, sampling_params, user_stage0=True)
+            preq.dispatched_stages.add(stage.stage_id)
+            preq.stage_start[stage.stage_id] = time.monotonic()
+            self.engines[stage.stage_id].add_request(
+                list(prompt_token_ids), sp, request_id=request_id, **kwargs)
+
+    def _stage_params(self, stage: StageConfig, user: SamplingParams,
+                      user_stage0: bool) -> SamplingParams:
+        if user_stage0 and not stage.default_sampling_params:
+            sp = user
+        else:
+            base = dict(stage.default_sampling_params)
+            if user_stage0:
+                merged = {**base}
+                sp = SamplingParams(**{**merged,
+                                       **_params_dict(user)})
+            else:
+                sp = SamplingParams(**base)
+        # stages feeding another stage must emit hidden states
+        if self.pipeline.consumers_of(stage.stage_id):
+            sp = _with_hidden(sp)
+        return sp
+
+    # -- stepping -----------------------------------------------------------
+    def step(self) -> list[RequestOutput]:
+        """One cooperative tick over all stage engines; returns finished
+        FINAL outputs."""
+        finals: list[RequestOutput] = []
+        for stage in self.pipeline.stages:
+            engine = self.engines[stage.stage_id]
+            if not engine.has_unfinished():
+                continue
+            for out in engine.step():
+                if out.finished:
+                    finals.extend(self._route(stage, out))
+        return finals
+
+    def has_unfinished(self) -> bool:
+        return any(e.has_unfinished() for e in self.engines.values()) or \
+            any(p.final_output is None for p in self._active.values())
+
+    def _route(self, stage: StageConfig,
+               out: RequestOutput) -> list[RequestOutput]:
+        preq = self._active.get(out.request_id)
+        if preq is None:
+            return []
+        sid = stage.stage_id
+        out.stage_id = sid
+        preq.stage_outputs[sid] = out
+        t0 = preq.stage_start.get(sid)
+        if t0 is not None:
+            preq.stage_durations[f"stage{sid}"] = time.monotonic() - t0
+        finals: list[RequestOutput] = []
+        # forward to consumers whose sources are all ready
+        for consumer in self.pipeline.consumers_of(sid):
+            if consumer.stage_id in preq.dispatched_stages:
+                continue
+            if not all(s in preq.stage_outputs
+                       for s in consumer.engine_input_source):
+                continue
+            kwargs = self.processors[consumer.stage_id](
+                preq.stage_outputs, consumer, self._ctx)
+            sp = kwargs.pop("sampling_params", None) or self._stage_params(
+                consumer, preq.sampling_params, user_stage0=False)
+            preq.dispatched_stages.add(consumer.stage_id)
+            preq.stage_start[consumer.stage_id] = time.monotonic()
+            self.engines[consumer.stage_id].add_request(
+                kwargs.pop("prompt_token_ids", []), sp,
+                request_id=out.request_id, **kwargs)
+        # final output?
+        final_stage = self.pipeline.final_stage_for(preq.modality)
+        if sid == final_stage.stage_id:
+            out.final_output_type = stage.final_output_type
+            out.stage_durations = dict(preq.stage_durations)
+            preq.final_output = out
+            finals.append(out)
+        return finals
+
+    # -- offline convenience -------------------------------------------------
+    def generate(self, prompts: list, params_list: list[SamplingParams],
+                 modality: str = "text") -> list[RequestOutput]:
+        from vllm_omni_tpu.utils import random_uuid
+
+        order = []
+        for prompt, sp in zip(prompts, params_list):
+            token_ids = self._tokenize(prompt)
+            rid = random_uuid()
+            order.append(rid)
+            self.submit(token_ids, sp, rid, modality=modality)
+        ticks = 0
+        while self.has_unfinished():
+            self.step()
+            ticks += 1
+            if ticks > 1_000_000:
+                raise RuntimeError("pipeline stalled")
+        outs = [self._active[rid].final_output for rid in order]
+        for rid in order:
+            del self._active[rid]
+        return outs
+
+    def _tokenize(self, prompt) -> list[int]:
+        if isinstance(prompt, dict):
+            if "prompt_token_ids" in prompt:
+                return list(prompt["prompt_token_ids"])
+            prompt = prompt.get("prompt", "")
+        if isinstance(prompt, str):
+            if self.tokenizer is None:
+                raise ValueError("no tokenizer; pass prompt_token_ids")
+            return self.tokenizer.encode(prompt)
+        return list(prompt)
+
+
+def _params_dict(p: SamplingParams) -> dict[str, Any]:
+    from dataclasses import asdict
+
+    return asdict(p)
+
+
+def _with_hidden(p: SamplingParams) -> SamplingParams:
+    d = _params_dict(p)
+    d["return_hidden_states"] = True
+    return SamplingParams(**d)

@@ -50,6 +50,46 @@ def make_sampling_arrays(params_list, np=None):
     return out
 
 
+def pack_sampling(params_list, b: int):
+    """Pack per-request sampling params into two dense arrays so the hot
+    decode loop ships ONE f32 and ONE i32 host→device transfer instead of
+    seven (transfer count, not bytes, is what the dispatch path pays for).
+
+    Returns (f32 [5, B]: temp/top_p/rep/pres/freq, i32 [2, B]: top_k/seed).
+    """
+    import numpy as np
+
+    f = np.zeros((5, b), np.float32)
+    f[1] = 1.0  # top_p
+    f[2] = 1.0  # repetition
+    ints = np.zeros((2, b), np.int32)
+    ints[0] = -1  # top_k off
+    for i, p in enumerate(params_list):
+        if p is None:
+            continue
+        f[0, i] = p.temperature
+        f[1, i] = p.top_p
+        f[2, i] = p.repetition_penalty
+        f[3, i] = p.presence_penalty
+        f[4, i] = p.frequency_penalty
+        ints[0, i] = p.top_k
+        ints[1, i] = np.int32((0 if p.seed is None else p.seed) &
+                              0x7FFFFFFF)
+    return f, ints
+
+
+def unpack_sampling(fpack: jnp.ndarray, ipack: jnp.ndarray) -> dict:
+    return {
+        "temperature": fpack[0],
+        "top_p": fpack[1],
+        "repetition_penalty": fpack[2],
+        "presence_penalty": fpack[3],
+        "frequency_penalty": fpack[4],
+        "top_k": ipack[0],
+        "seed": ipack[1].astype(jnp.uint32),
+    }
+
+
 def apply_penalties(logits: jnp.ndarray, counts: jnp.ndarray,
                     repetition_penalty: jnp.ndarray,
                     presence_penalty: jnp.ndarray,
@@ -100,12 +140,15 @@ def _mask_top_p(logits: jnp.ndarray, top_p: jnp.ndarray) -> jnp.ndarray:
 
 
 def sample(logits: jnp.ndarray, sampling: dict, step: jnp.ndarray,
-           counts: Optional[jnp.ndarray] = None
-           ) -> tuple[jnp.ndarray, jnp.ndarray]:
+           counts: Optional[jnp.ndarray] = None,
+           greedy_only: bool = False) -> tuple[jnp.ndarray, jnp.ndarray]:
     """logits [B, V] → (token_ids [B] int32, logprobs [B] f32).
 
     sampling: dict of batched arrays (see make_sampling_arrays), all [B].
     step: [B] int32 per-request decode counter for counter-based RNG.
+    greedy_only (static): whole batch is temperature-0 — skip the
+    top-k/top-p masking and the [B, V] sort entirely (hot-loop win at
+    vocab ≈ 150k).
     """
     logits = logits.astype(jnp.float32)
     if counts is not None:
@@ -114,6 +157,10 @@ def sample(logits: jnp.ndarray, sampling: dict, step: jnp.ndarray,
                                  sampling["presence_penalty"],
                                  sampling["frequency_penalty"])
     greedy_ids = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    if greedy_only:
+        lp = jnp.take_along_axis(jax.nn.log_softmax(logits, axis=-1),
+                                 greedy_ids[:, None], axis=-1)[:, 0]
+        return greedy_ids, lp
 
     temp = sampling["temperature"]
     safe_temp = jnp.where(temp > 0, temp, 1.0)

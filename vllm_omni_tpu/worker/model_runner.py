@@ -146,7 +146,8 @@ class ModelRunner:
             self.cfg.head_dim % 128 == 0
 
     def _forward(self, params, kv_pages, token_ids, positions, block_tables,
-                 q_start, kv_lens, slot_ids, *, decode: bool):
+                 q_start, kv_lens, slot_ids, *, decode: bool,
+                 input_embeds=None):
         """Shared traced forward. Mutates a local copy of kv_pages via
         closure; returns (hidden [B,T,H], new_kv)."""
         kv_list = list(kv_pages)
@@ -174,15 +175,29 @@ class ModelRunner:
                 q, kp, vp, block_tables, q_start, kv_lens, self.scale)
 
         hidden = decoder_forward(params, self.cfg, token_ids, positions,
-                                 attn_apply)
+                                 attn_apply, input_embeds=input_embeds)
         return hidden, kv_list
 
     def _prefill_body(self, params, kv_pages, token_ids, positions,
                       block_tables, q_start, kv_lens, slot_ids, last_idx,
-                      sampling, step_ctr, *, return_hidden: bool):
-        hidden, new_kv = self._forward(params, kv_pages, token_ids,
-                                       positions, block_tables, q_start,
-                                       kv_lens, slot_ids, decode=False)
+                      sampling, step_ctr, embeds, embeds_mask, *,
+                      return_hidden: bool, with_embeds: bool):
+        if with_embeds:
+            # rows flagged in embeds_mask use the provided prompt
+            # embeddings instead of the token embedding lookup
+            # (embeddings-as-prompt stage handoff, reference
+            # OmniEmbedsPrompt inputs/data.py:85)
+            looked_up = jnp.take(params["embed"], token_ids, axis=0)
+            mixed = jnp.where(embeds_mask[:, None, None],
+                              embeds.astype(looked_up.dtype), looked_up)
+            hidden, new_kv = self._forward(
+                params, kv_pages, token_ids, positions, block_tables,
+                q_start, kv_lens, slot_ids, decode=False,
+                input_embeds=mixed)
+        else:
+            hidden, new_kv = self._forward(params, kv_pages, token_ids,
+                                           positions, block_tables, q_start,
+                                           kv_lens, slot_ids, decode=False)
         b = token_ids.shape[0]
         last_h = hidden[jnp.arange(b), last_idx]  # [B, H]
         logits = compute_logits(params, self.cfg, last_h)
@@ -217,6 +232,56 @@ class ModelRunner:
             out = out + (last_h,)
         return out
 
+    def _decode_multi_body(self, params, kv_pages, state, bt, f_sampling,
+                           i_sampling, out_tokens, *, k: int,
+                           use_penalties: bool, return_hidden: bool,
+                           greedy_only: bool):
+        """K chained decode steps in one program — the TPU serving hot
+        loop. Sampled tokens feed the next step on device; the host syncs
+        once per K tokens (amortizes dispatch/transfer latency K×, the
+        moral equivalent of the reference's CUDA-graph decode capture).
+
+        state: int32 [3, B] = (last token, its position, step counter).
+        kv_len is position+1; KV slots are computed from bt on device.
+        """
+        b = state.shape[1]
+        sampling = sampler_ops.unpack_sampling(f_sampling, i_sampling)
+        rows = jnp.arange(b)
+        counts0 = None
+        if use_penalties:
+            v = self.cfg.vocab_size
+            counts0 = jnp.zeros((b, v), jnp.int32)
+            rr = jnp.broadcast_to(rows[:, None], out_tokens.shape)
+            counts0 = counts0.at[rr.reshape(-1),
+                                 out_tokens.reshape(-1)].add(
+                (out_tokens >= 0).reshape(-1).astype(jnp.int32),
+                mode="drop")
+
+        def one_step(carry, _):
+            kv, tok, pos, ctr, counts = carry
+            kv_lens = pos + 1
+            page = bt[rows, pos // self.page_size]
+            slot = page * self.page_size + pos % self.page_size
+            hidden, kv = self._forward(
+                params, kv, tok[:, None], pos[:, None], bt, None, kv_lens,
+                slot[:, None], decode=True)
+            last_h = hidden[:, 0]
+            logits = compute_logits(params, self.cfg, last_h)
+            ids, lp = sampler_ops.sample(logits, sampling, ctr, counts,
+                                         greedy_only=greedy_only)
+            if use_penalties:
+                counts = counts.at[rows, ids].add(1)
+            out = (ids, lp, last_h) if return_hidden else (ids, lp)
+            return (kv, ids, pos + 1, ctr + 1, counts), out
+
+        init = (list(kv_pages), state[0], state[1], state[2], counts0)
+        (kv, *_), outs = jax.lax.scan(one_step, init, None, length=k)
+        if return_hidden:
+            ids, lps, hid = outs
+            return ids, lps, kv, hid  # ids/lps [K, B], hid [K, B, H]
+        ids, lps = outs
+        return ids, lps, kv
+
     # -- jit cache ----------------------------------------------------------
     def _get_fn(self, kind: str, **static) -> Any:
         key = (kind, tuple(sorted(static.items())))
@@ -225,7 +290,15 @@ class ModelRunner:
             if kind == "prefill":
                 body = functools.partial(
                     self._prefill_body,
-                    return_hidden=static["return_hidden"])
+                    return_hidden=static["return_hidden"],
+                    with_embeds=static["with_embeds"])
+                fn = jax.jit(body, donate_argnums=(1,))
+            elif kind == "decode_multi":
+                body = functools.partial(
+                    self._decode_multi_body, k=static["k"],
+                    use_penalties=static["use_penalties"],
+                    return_hidden=static["return_hidden"],
+                    greedy_only=static["greedy_only"])
                 fn = jax.jit(body, donate_argnums=(1,))
             else:
                 body = functools.partial(
@@ -270,10 +343,21 @@ class ModelRunner:
         reqs = [s.request for s in scheduled]
         bt = np.zeros((b, pw), np.int32)
         bt[:n] = self._block_table_rows(reqs, pw)
+        with_embeds = any(s.request.prompt_embeds is not None
+                          for s in scheduled)
+        embeds = np.zeros((b, t, self.cfg.hidden_size), np.float32) \
+            if with_embeds else np.zeros((1,), np.float32)
+        embeds_mask = np.zeros((b,), bool)
         for i, s in enumerate(scheduled):
             r = s.request
             toks = r.prompt_token_ids[s.start:s.start + s.length]
-            token_ids[i, :s.length] = toks
+            if toks:
+                token_ids[i, :s.length] = toks
+            if r.prompt_embeds is not None:
+                embeds[i, :s.length] = np.asarray(
+                    r.prompt_embeds[s.start:s.start + s.length],
+                    np.float32)
+                embeds_mask[i] = True
             positions[i, :s.length] = np.arange(s.start, s.start + s.length)
             for j in range(s.length):
                 pos = s.start + j
@@ -286,9 +370,11 @@ class ModelRunner:
             [s.request.sampling_params for s in scheduled] +
             [None] * (b - n))
 
-        fn = self._get_fn("prefill", return_hidden=return_hidden)
+        fn = self._get_fn("prefill", return_hidden=return_hidden,
+                          with_embeds=with_embeds)
         out = fn(self.params, self.kv_pages, token_ids, positions, bt,
-                 q_start, kv_lens, slot_ids, last_idx, sampling, step_ctr)
+                 q_start, kv_lens, slot_ids, last_idx, sampling, step_ctr,
+                 embeds, embeds_mask)
         if return_hidden:
             ids, lp, self.kv_pages, hidden = out
         else:
@@ -307,6 +393,71 @@ class ModelRunner:
             token_ids=[int(x) for x in ids_np],
             logprobs=[float(x) for x in lp_np],
             hidden_states=hs)
+
+    def execute_decode_multi(self, reqs: list[Request], k: int,
+                             return_hidden: bool = False
+                             ) -> list[StepResult]:
+        """K chained decode steps, one device round-trip. Caller must have
+        pre-allocated KV pages covering num_tokens + k per request and
+        ensured every request can take k more tokens."""
+        n = len(reqs)
+        b = pick_bucket(n, self.config.scheduler.decode_bs_buckets)
+        max_pages = max(cdiv(r.num_tokens + k, self.page_size)
+                        for r in reqs)
+        pw = self._page_bucket(max_pages)
+        use_penalties = any(
+            r.sampling_params.repetition_penalty != 1.0
+            or r.sampling_params.presence_penalty != 0.0
+            or r.sampling_params.frequency_penalty != 0.0 for r in reqs)
+        greedy_only = all(r.sampling_params.temperature == 0.0
+                          for r in reqs)
+
+        state = np.zeros((3, b), np.int32)
+        bt = np.zeros((b, pw), np.int32)
+        bt[:n] = self._block_table_rows(reqs, pw)
+        o_bucket = 1
+        if use_penalties:
+            o_bucket = pick_bucket(
+                max(max(r.num_output_tokens, 1) for r in reqs),
+                tuple(2 ** i for i in range(4, 16)))
+        out_tokens = np.full((b, o_bucket), -1, np.int32)
+        for i, r in enumerate(reqs):
+            state[0, i] = r.output_token_ids[-1] if r.output_token_ids \
+                else (r.prompt_token_ids[-1] if r.prompt_token_ids else 0)
+            state[1, i] = r.num_tokens - 1
+            state[2, i] = r.num_output_tokens
+            if use_penalties and r.output_token_ids:
+                o = r.output_token_ids[-o_bucket:]
+                out_tokens[i, :len(o)] = o
+        f_s, i_s = sampler_ops.pack_sampling(
+            [r.sampling_params for r in reqs] + [None] * (b - n), b)
+
+        fn = self._get_fn("decode_multi", k=k, use_penalties=use_penalties,
+                          return_hidden=return_hidden,
+                          greedy_only=greedy_only)
+        out = fn(self.params, self.kv_pages, state, bt, f_s, i_s,
+                 out_tokens)
+        if return_hidden:
+            ids, lps, self.kv_pages, hid = out
+            hid_np = np.asarray(hid)
+        else:
+            ids, lps, self.kv_pages = out
+            hid_np = None
+        ids_np = np.asarray(ids)  # [K, B]
+        lps_np = np.asarray(lps)
+        results = []
+        for step in range(k):
+            hs = {}
+            if hid_np is not None:
+                for i, r in enumerate(reqs):
+                    if r.sampling_params.return_hidden_states:
+                        hs[r.request_id] = hid_np[step, i]
+            results.append(StepResult(
+                req_ids=[r.request_id for r in reqs],
+                token_ids=[int(x) for x in ids_np[step, :n]],
+                logprobs=[float(x) for x in lps_np[step, :n]],
+                hidden_states=hs))
+        return results
 
     def execute_decode(self, reqs: list[Request],
                        return_hidden: bool = False) -> StepResult:
