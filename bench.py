@@ -18,7 +18,7 @@ import sys
 import time
 
 BATCH = 8
-DECODE_STEPS = 96
+DECODE_STEPS = 256
 PROMPT_LEN = 120
 
 # Llama-3-8B geometry
@@ -44,7 +44,7 @@ def main() -> None:
         quantization="int8", kv_cache_dtype="bfloat16",
         max_model_len=512, page_size=16, memory_fraction=0.55,
         max_num_seqs=BATCH, max_num_batched_tokens=1024,
-        decode_bs_buckets=(BATCH,),
+        multi_step=16, decode_bs_buckets=(BATCH,),
         prefill_token_buckets=(128, 256, 512, 1024))
     t0 = time.time()
     engine = EngineCore(config)

@@ -1,0 +1,94 @@
+"""OpenAI-compatible server tests over the aiohttp test client (tiny
+dummy model; mirrors reference tests/entrypoints/openai_api/)."""
+
+import base64
+import json
+
+import numpy as np
+import pytest
+
+from vllm_omni_tpu.entrypoints.async_omni import AsyncOmni
+from vllm_omni_tpu.entrypoints.openai.api_server import create_app
+
+pytest_plugins = ("aiohttp.pytest_plugin",)
+
+TINY_HF = {
+    "architectures": ["Qwen3ForCausalLM"],
+    "vocab_size": 256, "hidden_size": 32, "intermediate_size": 64,
+    "num_hidden_layers": 2, "num_attention_heads": 2,
+    "num_key_value_heads": 2, "head_dim": 16, "eos_token_id": 0,
+}
+TINY_DIT = dict(hidden_size=64, num_layers=2, num_heads=4, head_dim=16,
+                latent_channels=4, patch_size=2, text_dim=32,
+                axes_dims_rope=(4, 6, 6))
+
+
+@pytest.fixture(scope="module")
+def omni():
+    o = AsyncOmni(model="dummy", hf_overrides=TINY_HF, dtype="float32",
+                  max_model_len=128, num_pages=32, page_size=16,
+                  max_num_seqs=4, max_num_batched_tokens=64)
+    yield o
+    o.shutdown()
+
+
+@pytest.fixture
+async def client(omni, aiohttp_client):
+    return await aiohttp_client(create_app(omni, model_name="tiny"))
+
+
+async def test_health(client):
+    r = await client.get("/health")
+    assert r.status == 200
+    assert (await r.json())["status"] == "ok"
+
+
+async def test_models(client):
+    r = await client.get("/v1/models")
+    data = await r.json()
+    assert data["data"][0]["id"] == "tiny"
+
+
+async def test_completions_token_ids(client):
+    r = await client.post("/v1/completions", json={
+        "prompt": list(range(1, 10)), "max_tokens": 5,
+        "temperature": 0.0, "ignore_eos": True})
+    assert r.status == 200
+    data = await r.json()
+    assert len(data["choices"][0]["token_ids"]) == 5
+    assert data["choices"][0]["finish_reason"] == "length"
+
+
+async def test_chat_completions_no_tokenizer_errors(client):
+    # dummy model has no tokenizer; string chat prompt must 4xx/5xx
+    # cleanly, not hang
+    r = await client.post("/v1/chat/completions", json={
+        "messages": [{"role": "user", "content": "hi"}],
+        "max_tokens": 4})
+    assert r.status in (400, 500)
+
+
+async def test_bad_request(client):
+    r = await client.post("/v1/completions", json={"bogus": 1})
+    assert r.status == 400
+
+
+async def test_image_generations(aiohttp_client):
+    o = AsyncOmni(model="dummy", stage_configs={
+        "stage_args": [{
+            "stage_id": 0, "stage_type": "diffusion",
+            "engine_args": {"dit": TINY_DIT, "dtype": "float32",
+                            "vae_latent_channels": 4,
+                            "resolution_buckets": [[32, 32]]},
+            "final_output": True, "final_output_type": "image"}]})
+    try:
+        client = await aiohttp_client(create_app(o, model_name="t2i"))
+        r = await client.post("/v1/images/generations", json={
+            "prompt": "a test", "size": "32x32", "steps": 2,
+            "guidance_scale": 1.0, "seed": 5})
+        assert r.status == 200
+        data = await r.json()
+        png = base64.b64decode(data["data"][0]["b64_json"])
+        assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    finally:
+        o.shutdown()

@@ -64,3 +64,6 @@ class DiffusionConfig:
             self.parallel = ParallelConfig(**self.parallel)
         if self.scheduler_mode not in ("request", "step"):
             raise ValueError(f"bad scheduler_mode {self.scheduler_mode!r}")
+        # YAML gives lists; normalize so bucket membership checks work
+        self.resolution_buckets = tuple(
+            tuple(b) for b in self.resolution_buckets)

@@ -38,15 +38,27 @@ logger = init_logger(__name__)
 def default_process_input(prev_outputs: dict[int, RequestOutput],
                           stage: StageConfig,
                           ctx: dict[str, Any]) -> dict[str, Any]:
-    """Default stage-input glue: prefer the source stage's hidden states
-    as an embeddings prompt; fall back to its output token ids."""
+    """Default stage-input glue.
+
+    → LLM stage: source hidden states as an embeddings prompt, else its
+      output token ids.
+    → diffusion stage: source hidden states as text conditioning
+      (`text_states`), source text as the prompt.
+    """
     src_id = stage.engine_input_source[0] if stage.engine_input_source \
         else max(prev_outputs)
     prev = prev_outputs[src_id]
     comp = prev.outputs[0]
-    kwargs: dict[str, Any] = {
-        "additional_information": dict(prev.additional_information),
-    }
+    info = dict(prev.additional_information)
+    info.pop("hidden_states", None)
+    if stage.stage_type == "diffusion":
+        kwargs: dict[str, Any] = {"prompt": comp.text or "",
+                                  "additional_information": info}
+        if comp.hidden_states is not None:
+            kwargs["additional_information"]["text_states"] = \
+                comp.hidden_states
+        return kwargs
+    kwargs = {"additional_information": info}
     if comp.hidden_states is not None:
         kwargs["prompt_token_ids"] = []
         kwargs["prompt_embeds"] = comp.hidden_states
@@ -66,6 +78,59 @@ class PipelineRequest:
     final_output: Optional[RequestOutput] = None
     stage_durations: dict[str, float] = field(default_factory=dict)
     stage_start: dict[int, float] = field(default_factory=dict)
+    diffusion_params: Any = None  # user DiffusionSamplingParams, if any
+
+
+class _StageHandle:
+    """Uniform add/step interface over AR (EngineCore) and diffusion
+    (DiffusionEngine) stages; normalizes outputs to RequestOutput."""
+
+    def __init__(self, stage: StageConfig, engine: Any, kind: str) -> None:
+        self.stage = stage
+        self.engine = engine
+        self.kind = kind  # "llm" | "diffusion"
+
+    def has_unfinished(self) -> bool:
+        return self.engine.has_unfinished()
+
+    def add(self, request_id: str, payload: dict[str, Any]) -> None:
+        if self.kind == "llm":
+            sp = payload.pop("sampling_params")
+            self.engine.add_request(
+                payload.pop("prompt_token_ids", []), sp,
+                request_id=request_id, **payload)
+            return
+        from vllm_omni_tpu.core.request import DiffusionRequest
+
+        self.engine.add_request(DiffusionRequest(
+            request_id=request_id,
+            prompt=payload.get("prompt", ""),
+            params=payload["diffusion_params"],
+            negative_prompt=payload.get("negative_prompt"),
+            additional_information=payload.get("additional_information",
+                                               {})))
+
+    def step(self) -> list[RequestOutput]:
+        if self.kind == "llm":
+            return self.engine.step()
+        outs = []
+        for d in self.engine.step():
+            if not d.finished:
+                continue
+            ro = RequestOutput(request_id=d.request_id, finished=True,
+                               stage_id=self.stage.stage_id,
+                               final_output_type=self.stage
+                               .final_output_type, error=d.error)
+            from vllm_omni_tpu.core.outputs import CompletionOutput
+
+            ro.outputs = [CompletionOutput(index=0, text="", token_ids=[])]
+            if d.images is not None:
+                ro.multimodal_output["image"] = d.images
+            if d.latents is not None:
+                ro.multimodal_output["latent"] = d.latents
+            ro.stage_durations = dict(d.stage_durations)
+            outs.append(ro)
+        return outs
 
 
 class PipelineRunner:
@@ -75,46 +140,73 @@ class PipelineRunner:
     def __init__(self, pipeline: ModelPipeline,
                  default_model: Optional[str] = None) -> None:
         self.pipeline = pipeline
-        self.engines: dict[int, EngineCore] = {}
+        self.handles: dict[int, _StageHandle] = {}
         self.processors: dict[int, Callable] = {}
         self.tokenizer = None
         for stage in pipeline.stages:
             args = dict(stage.engine_args)
             if stage.stage_type == "diffusion":
-                raise NotImplementedError(
-                    "diffusion stages attach via DiffusionEngine (next "
-                    "milestone); pipeline-level routing is shared")
-            args.setdefault("model", default_model)
-            if args.get("model") is None:
-                raise ValueError(f"stage {stage.stage_id} has no model")
-            config = EngineConfig.from_kwargs(**args)
-            tok = get_tokenizer(config.model.tokenizer or
-                                config.model.model,
-                                config.model.trust_remote_code)
-            engine = EngineCore(config, tokenizer=tok)
-            self.engines[stage.stage_id] = engine
-            if stage.stage_id == 0 and tok is not None:
-                self.tokenizer = tok
+                from vllm_omni_tpu.diffusion import (DiffusionConfig,
+                                                     DiffusionEngine)
+
+                if args.get("model") is None:
+                    args.pop("model", None)
+                dconf = DiffusionConfig(**args)
+                handle = _StageHandle(stage, DiffusionEngine(dconf),
+                                      "diffusion")
+            else:
+                args.setdefault("model", default_model)
+                if args.get("model") is None:
+                    raise ValueError(f"stage {stage.stage_id} has no model")
+                config = EngineConfig.from_kwargs(**args)
+                tok = get_tokenizer(config.model.tokenizer or
+                                    config.model.model,
+                                    config.model.trust_remote_code)
+                engine = EngineCore(config, tokenizer=tok)
+                handle = _StageHandle(stage, engine, "llm")
+                if stage.stage_id == 0 and tok is not None:
+                    self.tokenizer = tok
+            self.handles[stage.stage_id] = handle
             proc = stage.resolve_input_processor()
             self.processors[stage.stage_id] = proc or default_process_input
         self._active: dict[str, PipelineRequest] = {}
         self._ctx: dict[str, Any] = {}
+        # streaming hook: called (from the stepping thread) with every
+        # non-final-tick output of a final stage (token deltas, audio
+        # chunks) — AsyncOmni fans these into per-request queues
+        self.on_stream: Optional[Callable[[RequestOutput], None]] = None
+
+    @property
+    def engines(self) -> dict[int, Any]:
+        return {sid: h.engine for sid, h in self.handles.items()}
 
     # -- submission ---------------------------------------------------------
     def submit(self, prompt_token_ids: list[int],
                sampling_params: SamplingParams, request_id: str,
-               modality: str = "text", **kwargs: Any) -> None:
+               modality: str = "text",
+               diffusion_params: Any = None,
+               prompt: Any = None, **kwargs: Any) -> None:
         preq = PipelineRequest(request_id=request_id, modality=modality,
                                sampling_params=sampling_params)
+        preq.diffusion_params = diffusion_params
         self._active[request_id] = preq
         src_stages = [s for s in self.pipeline.stages
                       if not s.engine_input_source]
         for stage in src_stages:
-            sp = self._stage_params(stage, sampling_params, user_stage0=True)
             preq.dispatched_stages.add(stage.stage_id)
             preq.stage_start[stage.stage_id] = time.monotonic()
-            self.engines[stage.stage_id].add_request(
-                list(prompt_token_ids), sp, request_id=request_id, **kwargs)
+            if stage.stage_type == "diffusion":
+                payload: dict[str, Any] = {
+                    "prompt": prompt if prompt is not None else "",
+                    "diffusion_params": self._diffusion_params(stage, preq),
+                }
+                payload.update(kwargs)
+            else:
+                sp = self._stage_params(stage, sampling_params,
+                                        user_stage0=True)
+                payload = {"prompt_token_ids": list(prompt_token_ids),
+                           "sampling_params": sp, **kwargs}
+            self.handles[stage.stage_id].add(request_id, payload)
 
     def _stage_params(self, stage: StageConfig, user: SamplingParams,
                       user_stage0: bool) -> SamplingParams:
@@ -133,22 +225,38 @@ class PipelineRunner:
             sp = _with_hidden(sp)
         return sp
 
+    def _diffusion_params(self, stage: StageConfig, preq: PipelineRequest):
+        from vllm_omni_tpu.core.sampling_params import \
+            DiffusionSamplingParams
+
+        if preq.diffusion_params is not None:
+            return preq.diffusion_params
+        return DiffusionSamplingParams(**stage.default_sampling_params)
+
     # -- stepping -----------------------------------------------------------
     def step(self) -> list[RequestOutput]:
         """One cooperative tick over all stage engines; returns finished
         FINAL outputs."""
         finals: list[RequestOutput] = []
         for stage in self.pipeline.stages:
-            engine = self.engines[stage.stage_id]
-            if not engine.has_unfinished():
+            handle = self.handles[stage.stage_id]
+            if not handle.has_unfinished():
                 continue
-            for out in engine.step():
+            for out in handle.step():
                 if out.finished:
                     finals.extend(self._route(stage, out))
+                elif self.on_stream is not None:
+                    preq = self._active.get(out.request_id)
+                    if preq is not None and stage.stage_id == \
+                            self.pipeline.final_stage_for(
+                                preq.modality).stage_id:
+                        out.stage_id = stage.stage_id
+                        out.final_output_type = stage.final_output_type
+                        self.on_stream(out)
         return finals
 
     def has_unfinished(self) -> bool:
-        return any(e.has_unfinished() for e in self.engines.values()) or \
+        return any(h.has_unfinished() for h in self.handles.values()) or \
             any(p.final_output is None for p in self._active.values())
 
     def _route(self, stage: StageConfig,
@@ -170,15 +278,17 @@ class PipelineRunner:
             if not all(s in preq.stage_outputs
                        for s in consumer.engine_input_source):
                 continue
-            kwargs = self.processors[consumer.stage_id](
+            payload = self.processors[consumer.stage_id](
                 preq.stage_outputs, consumer, self._ctx)
-            sp = kwargs.pop("sampling_params", None) or self._stage_params(
-                consumer, preq.sampling_params, user_stage0=False)
+            if consumer.stage_type == "diffusion":
+                payload.setdefault("diffusion_params",
+                                   self._diffusion_params(consumer, preq))
+            elif payload.get("sampling_params") is None:
+                payload["sampling_params"] = self._stage_params(
+                    consumer, preq.sampling_params, user_stage0=False)
             preq.dispatched_stages.add(consumer.stage_id)
             preq.stage_start[consumer.stage_id] = time.monotonic()
-            self.engines[consumer.stage_id].add_request(
-                kwargs.pop("prompt_token_ids", []), sp,
-                request_id=out.request_id, **kwargs)
+            self.handles[consumer.stage_id].add(out.request_id, payload)
         # final output?
         final_stage = self.pipeline.final_stage_for(preq.modality)
         if sid == final_stage.stage_id:
@@ -188,17 +298,41 @@ class PipelineRunner:
             finals.append(out)
         return finals
 
+    def abort(self, request_id: str) -> bool:
+        """Abort across all stages (reference: orchestrator abort fan-out
+        orchestrator.py:247-260)."""
+        preq = self._active.pop(request_id, None)
+        hit = False
+        for handle in self.handles.values():
+            if handle.engine.abort_request(request_id):
+                hit = True
+        return hit or preq is not None
+
     # -- offline convenience -------------------------------------------------
-    def generate(self, prompts: list, params_list: list[SamplingParams],
+    def generate(self, prompts: list, params_list: list,
                  modality: str = "text") -> list[RequestOutput]:
+        from vllm_omni_tpu.core.sampling_params import \
+            DiffusionSamplingParams
         from vllm_omni_tpu.utils import random_uuid
 
+        src_is_diffusion = all(
+            s.stage_type == "diffusion" for s in self.pipeline.stages
+            if not s.engine_input_source)
         order = []
         for prompt, sp in zip(prompts, params_list):
-            token_ids = self._tokenize(prompt)
             rid = random_uuid()
             order.append(rid)
-            self.submit(token_ids, sp, rid, modality=modality)
+            if src_is_diffusion:
+                dp = sp if isinstance(sp, DiffusionSamplingParams) else None
+                self.submit([], SamplingParams(), rid, modality=modality,
+                            diffusion_params=dp, prompt=prompt)
+                continue
+            token_ids = self._tokenize(prompt)
+            dp = None
+            if not isinstance(sp, SamplingParams):
+                dp, sp = sp, SamplingParams()
+            self.submit(token_ids, sp, rid, modality=modality,
+                        diffusion_params=dp)
         ticks = 0
         while self.has_unfinished():
             self.step()

@@ -41,7 +41,8 @@ class Omni:
         else:
             self.pipeline = single_stage_pipeline("llm", model=model,
                                                   **engine_args)
-        if self.pipeline.num_stages > 1:
+        if self.pipeline.num_stages > 1 or \
+                self.pipeline.stages[0].stage_type == "diffusion":
             from vllm_omni_tpu.engine.orchestrator import PipelineRunner
 
             self._multi = PipelineRunner(self.pipeline, default_model=model)
@@ -69,9 +70,13 @@ class Omni:
         if single:
             prompts = [prompts]
         n = len(prompts)
+        from vllm_omni_tpu.core.sampling_params import \
+            DiffusionSamplingParams
+
         if sampling_params is None:
             params_list = [SamplingParams()] * n
-        elif isinstance(sampling_params, SamplingParams):
+        elif isinstance(sampling_params,
+                        (SamplingParams, DiffusionSamplingParams)):
             params_list = [sampling_params] * n
         else:
             params_list = list(sampling_params)

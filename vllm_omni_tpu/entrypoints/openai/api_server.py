@@ -1,0 +1,274 @@
+"""OpenAI-compatible HTTP server (aiohttp).
+
+Reference parity: entrypoints/openai/api_server.py (router :122; endpoints
+/v1/chat/completions :853, /v1/completions, /v1/images/generations :1277,
+/v1/audio/speech :929, /health :1224, /v1/models :1260). The reference
+uses FastAPI; this environment ships aiohttp — same endpoints, same wire
+format (SSE for streams).
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+import json
+from typing import Any, Optional
+
+import numpy as np
+from aiohttp import web
+
+from vllm_omni_tpu.entrypoints.async_omni import AsyncOmni, EngineDeadError
+from vllm_omni_tpu.entrypoints.openai.protocol import (
+    ChatCompletionRequest, CompletionRequest, ImageGenerationRequest,
+    SpeechRequest, make_chat_chunk, make_chat_response)
+from vllm_omni_tpu.logger import init_logger
+from vllm_omni_tpu.utils import random_uuid
+
+logger = init_logger(__name__)
+
+OMNI_KEY = web.AppKey("omni", AsyncOmni)
+NAME_KEY = web.AppKey("model_name", str)
+
+
+# ---------------------------------------------------------------------------
+# Handlers
+# ---------------------------------------------------------------------------
+
+
+async def health(request: web.Request) -> web.Response:
+    omni = request.app[OMNI_KEY]
+    if not omni.is_alive():
+        return web.json_response({"status": "dead"}, status=503)
+    return web.json_response({"status": "ok"})
+
+
+async def list_models(request: web.Request) -> web.Response:
+    return web.json_response({
+        "object": "list",
+        "data": [{"id": request.app[NAME_KEY], "object": "model",
+                  "owned_by": "vllm-omni-tpu"}],
+    })
+
+
+def _messages_to_prompt(omni: AsyncOmni, messages: list) -> Any:
+    tok = omni.tokenizer
+    msgs = []
+    for m in messages:
+        content = m.content
+        if isinstance(content, list):  # multimodal parts: text only (mm
+            # inputs attach via engine mm_inputs in a later milestone)
+            content = " ".join(p.get("text", "") for p in content
+                               if p.get("type") == "text")
+        msgs.append({"role": m.role, "content": content or ""})
+    if tok is not None and getattr(tok, "chat_template", None):
+        return tok.apply_chat_template(msgs, tokenize=True,
+                                       add_generation_prompt=True)
+    text = "".join(f"<|{m['role']}|>{m['content']}\n" for m in msgs)
+    return text + "<|assistant|>"
+
+
+async def chat_completions(request: web.Request) -> web.StreamResponse:
+    omni = request.app[OMNI_KEY]
+    try:
+        req = ChatCompletionRequest(**await request.json())
+    except Exception as e:
+        return web.json_response({"error": {"message": str(e)}}, status=400)
+    prompt = _messages_to_prompt(omni, req.messages)
+    sp = req.to_sampling_params()
+    rid = random_uuid()
+    model = req.model or request.app[NAME_KEY]
+    modality = req.modalities[0] if req.modalities else "text"
+
+    if req.stream:
+        resp = web.StreamResponse(headers={
+            "Content-Type": "text/event-stream",
+            "Cache-Control": "no-cache"})
+        await resp.prepare(request)
+        sent = 0
+        try:
+            async for out in omni.generate(prompt, sp, request_id=rid,
+                                           modality=modality):
+                comp = out.outputs[0] if out.outputs else None
+                delta = ""
+                if comp is not None and omni.tokenizer is not None:
+                    text = omni.tokenizer.decode(
+                        comp.token_ids, skip_special_tokens=True)
+                    delta, sent = text[sent:], len(text)
+                extra = _mm_delta(out)
+                if delta or extra or out.finished:
+                    chunk = make_chat_chunk(
+                        rid, model, delta,
+                        finish_reason=(comp.finish_reason if out.finished
+                                       and comp else None),
+                        extra_delta=extra)
+                    await resp.write(
+                        f"data: {json.dumps(chunk)}\n\n".encode())
+            await resp.write(b"data: [DONE]\n\n")
+        except EngineDeadError as e:
+            await resp.write(f"data: {json.dumps({'error': str(e)})}\n\n"
+                             .encode())
+        return resp
+
+    final = None
+    async for out in omni.generate(prompt, sp, request_id=rid,
+                                   modality=modality):
+        if out.finished:
+            final = out
+    comp = final.outputs[0] if final and final.outputs else None
+    text = comp.text if comp else ""
+    if not text and comp is not None and omni.tokenizer is not None:
+        text = omni.tokenizer.decode(comp.token_ids,
+                                     skip_special_tokens=True)
+    return web.json_response(make_chat_response(
+        rid, model, text, comp.finish_reason if comp else None,
+        prompt_tokens=len(final.prompt_token_ids) if final else 0,
+        completion_tokens=len(comp.token_ids) if comp else 0,
+        multimodal=_mm_delta(final) if final else None))
+
+
+def _mm_delta(out) -> Optional[dict]:
+    if not out or not out.multimodal_output:
+        return None
+    mm: dict[str, Any] = {}
+    img = out.multimodal_output.get("image")
+    if img is not None:
+        mm["images"] = [_png_b64(a) for a in np.asarray(img)]
+    audio = out.multimodal_output.get("audio")
+    if audio is not None:
+        data = np.asarray(audio.get("data", audio)).astype(np.float32)
+        sr = audio.get("sample_rate", 24000) if isinstance(audio, dict) \
+            else 24000
+        mm["audio"] = {
+            "data": base64.b64encode(data.tobytes()).decode(),
+            "dtype": "float32", "sample_rate": sr,
+        }
+    return mm or None
+
+
+async def completions(request: web.Request) -> web.Response:
+    omni = request.app[OMNI_KEY]
+    try:
+        req = CompletionRequest(**await request.json())
+    except Exception as e:
+        return web.json_response({"error": {"message": str(e)}}, status=400)
+    sp = req.to_sampling_params()
+    rid = random_uuid()
+    final = None
+    async for out in omni.generate(req.prompt, sp, request_id=rid):
+        if out.finished:
+            final = out
+    comp = final.outputs[0] if final and final.outputs else None
+    text = comp.text if comp else ""
+    if not text and comp is not None and omni.tokenizer is not None:
+        text = omni.tokenizer.decode(comp.token_ids,
+                                     skip_special_tokens=True)
+    return web.json_response({
+        "id": f"cmpl-{rid}", "object": "text_completion",
+        "model": req.model or request.app[NAME_KEY],
+        "choices": [{"index": 0, "text": text,
+                     "finish_reason": comp.finish_reason if comp else None,
+                     "token_ids": comp.token_ids if comp else []}],
+    })
+
+
+def _png_b64(arr: np.ndarray) -> str:
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+    return base64.b64encode(buf.getvalue()).decode()
+
+
+async def image_generations(request: web.Request) -> web.Response:
+    omni = request.app[OMNI_KEY]
+    try:
+        req = ImageGenerationRequest(**await request.json())
+    except Exception as e:
+        return web.json_response({"error": {"message": str(e)}}, status=400)
+    dp = req.to_diffusion_params()
+    data = []
+    for i in range(req.n):
+        if req.seed is not None:
+            from dataclasses import replace
+
+            dp = replace(dp, seed=req.seed + i)
+        final = None
+        async for out in omni.generate(req.prompt, dp, modality="image"):
+            if out.finished:
+                final = out
+        if final is None or final.error:
+            return web.json_response(
+                {"error": {"message": final.error if final else "no "
+                           "output"}}, status=500)
+        imgs = np.asarray(final.multimodal_output.get("image"))
+        for a in imgs:
+            data.append({"b64_json": _png_b64(a)}
+                        if req.response_format == "b64_json"
+                        else {"latent": a.tolist()})
+    return web.json_response({"created": 0, "data": data})
+
+
+async def audio_speech(request: web.Request) -> web.Response:
+    """TTS: text → audio pipeline → WAV bytes (reference /v1/audio/speech
+    api_server.py:929)."""
+    omni = request.app[OMNI_KEY]
+    try:
+        req = SpeechRequest(**await request.json())
+    except Exception as e:
+        return web.json_response({"error": {"message": str(e)}}, status=400)
+    final = None
+    async for out in omni.generate(req.input, None, modality="audio"):
+        if out.finished:
+            final = out
+    audio = final.multimodal_output.get("audio") if final else None
+    if audio is None:
+        # fall back: hidden states of a generation stage as raw features
+        comp = final.outputs[0] if final and final.outputs else None
+        if comp is not None and comp.hidden_states is not None:
+            audio = {"data": np.asarray(comp.hidden_states).reshape(-1),
+                     "sample_rate": 24000}
+    if audio is None:
+        return web.json_response(
+            {"error": {"message": "pipeline produced no audio"}},
+            status=500)
+    data = np.asarray(audio["data"], np.float32)
+    return web.Response(body=_wav_bytes(data, audio.get("sample_rate",
+                                                        24000)),
+                        content_type="audio/wav")
+
+
+def _wav_bytes(samples: np.ndarray, sample_rate: int) -> bytes:
+    import struct
+
+    pcm = (np.clip(samples, -1, 1) * 32767).astype("<i2").tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI", b"RIFF", 36 + len(pcm), b"WAVE", b"fmt ",
+        16, 1, 1, sample_rate, sample_rate * 2, 2, 16, b"data", len(pcm))
+    return hdr + pcm
+
+
+# ---------------------------------------------------------------------------
+# App assembly
+# ---------------------------------------------------------------------------
+
+
+def create_app(omni: AsyncOmni, model_name: str = "omni") -> web.Application:
+    app = web.Application(client_max_size=64 * 1024 * 1024)
+    app[OMNI_KEY] = omni
+    app[NAME_KEY] = model_name
+    app.router.add_get("/health", health)
+    app.router.add_get("/v1/models", list_models)
+    app.router.add_post("/v1/chat/completions", chat_completions)
+    app.router.add_post("/v1/completions", completions)
+    app.router.add_post("/v1/images/generations", image_generations)
+    app.router.add_post("/v1/audio/speech", audio_speech)
+    return app
+
+
+def run_server(model: str, stage_configs: Optional[str] = None,
+               host: str = "0.0.0.0", port: int = 8000,
+               **engine_args: Any) -> None:
+    omni = AsyncOmni(model, stage_configs=stage_configs, **engine_args)
+    app = create_app(omni, model_name=model)
+    logger.info("serving on %s:%d", host, port)
+    web.run_app(app, host=host, port=port, print=None)

@@ -225,10 +225,7 @@ def _init_linear(key, k_in: int, n_out: int, dtype, bias: bool = False,
         fn = {"int8": quantize_int8, "fp8": quantize_fp8,
               "int4": lambda x: quantize_int4(x, group_size)}[quant]
         q, s = fn(w)
-        # free the full-precision weight before the next linear inits so
-        # peak device memory stays near the quantized footprint
-        q, s = jax.block_until_ready((q, s))
-        del w
+        del w  # XLA frees the full-precision weight inside the program
         p = {"w_q": q, "scale": s}
     if bias:
         p["b"] = jnp.zeros((n_out,), dtype)
