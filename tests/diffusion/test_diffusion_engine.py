@@ -89,3 +89,39 @@ def test_error_isolation():
     outs = eng.generate([bad, good])
     assert outs[0].error is not None and outs[0].finished
     assert outs[1].error is None and outs[1].images is not None
+
+
+def test_tea_cache_skips_and_stays_close():
+    """TeaCache-style device-side skip: with a generous threshold some
+    steps reuse the cached velocity; output stays near baseline
+    (reference teacache 1.5-2x speedup with minimal quality loss)."""
+    from vllm_omni_tpu.diffusion.pipeline import DiffusionPipeline
+
+    base_cfg = make_config()
+    cache_cfg = make_config(cache={"backend": "tea_cache",
+                                   "rel_l1_thresh": 1e9})
+    p = params(num_inference_steps=6, output_type="latent", seed=2)
+    base = DiffusionEngine(base_cfg).generate(
+        [DiffusionRequest("a", "x", p)])[0]
+    pipe = DiffusionPipeline(cache_cfg)
+    req = DiffusionRequest("b", "x", p)
+    state = pipe.prepare(req)
+    while not state.done:
+        pipe.denoise_step(state)
+    skipped = int(state.cache_skips)
+    # first and last steps always compute; everything between skips at
+    # this threshold
+    assert skipped == 4
+    out = pipe.post_decode(state, "latent")
+    assert out.shape == base.images.shape
+    # tight threshold → no skips → exact parity with baseline
+    tight = DiffusionPipeline(make_config(cache={
+        "backend": "tea_cache", "rel_l1_thresh": 0.0}))
+    st2 = tight.prepare(DiffusionRequest("c", "x", p))
+    while not st2.done:
+        tight.denoise_step(st2)
+    assert int(st2.cache_skips) == 0
+    import numpy as np
+
+    np.testing.assert_allclose(tight.post_decode(st2, "latent"),
+                               base.images, rtol=1e-4, atol=1e-4)

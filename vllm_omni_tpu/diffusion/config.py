@@ -33,6 +33,32 @@ class DiTConfig:
 
 
 @dataclass
+class CacheAccelConfig:
+    """Cache-based denoise acceleration (reference: TeaCache
+    cache/teacache/, 1.5-2.0x, docs/design/feature/teacache.md:23).
+
+    TPU-native twist: the skip decision runs ON DEVICE under lax.cond
+    inside the jitted step — the denoise loop never syncs to host. State
+    (previous modulated input, previous velocity, accumulated rel-L1)
+    rides as device arrays between steps.
+    """
+
+    backend: str = "none"  # "none" | "tea_cache"
+    rel_l1_thresh: float = 0.25
+    # polynomial rescale of the raw rel-L1 (reference per-model
+    # coefficient_estimator); highest degree first
+    coefficients: tuple[float, ...] = (1.0, 0.0)
+
+    def __post_init__(self) -> None:
+        if self.backend not in ("none", "tea_cache"):
+            raise ValueError(f"unknown cache backend {self.backend!r}")
+
+    @property
+    def enabled(self) -> bool:
+        return self.backend == "tea_cache"
+
+
+@dataclass
 class DiffusionConfig:
     """Everything one diffusion stage needs (subset of the reference's
     OmniDiffusionConfig; grows with features)."""
@@ -48,6 +74,7 @@ class DiffusionConfig:
     num_train_timesteps: int = 1000
     flow_shift: float = 3.0
     use_dynamic_shifting: bool = False
+    cache: CacheAccelConfig = field(default_factory=CacheAccelConfig)
     # execution
     scheduler_mode: str = "request"  # request | step
     enforce_eager: bool = False
@@ -62,6 +89,8 @@ class DiffusionConfig:
             self.dit = DiTConfig(**self.dit)
         if isinstance(self.parallel, dict):
             self.parallel = ParallelConfig(**self.parallel)
+        if isinstance(self.cache, dict):
+            self.cache = CacheAccelConfig(**self.cache)
         if self.scheduler_mode not in ("request", "step"):
             raise ValueError(f"bad scheduler_mode {self.scheduler_mode!r}")
         # YAML gives lists; normalize so bucket membership checks work

@@ -26,6 +26,30 @@ from vllm_omni_tpu.ops.layernorm import rms_norm
 Params = dict
 
 
+def _constrain(x: jnp.ndarray, mesh, spec: P) -> jnp.ndarray:
+    """Sharding hint under SPMD jit; no-op without a mesh. This is the
+    whole of the reference's `_sp_plan` hook machinery (sp_plan.py,
+    hooks/sequence_parallel.py): declare where the sequence/heads live,
+    XLA inserts the Ulysses all-to-alls."""
+    if mesh is None:
+        return x
+    from jax.sharding import NamedSharding
+
+    # drop axes that don't divide the dim (uneven seq lens fall back to
+    # replication on that dim rather than erroring — the reference's UAA
+    # variable-split mode handles this with padded all-to-alls)
+    fixed = []
+    for dim, entry in zip(x.shape, spec):
+        axes = entry if isinstance(entry, tuple) else (
+            (entry,) if entry else ())
+        size = 1
+        for a in axes:
+            size *= mesh.shape.get(a, 1)
+        fixed.append(entry if size > 1 and dim % size == 0 else None)
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(mesh, P(*fixed)))
+
+
 # ---------------------------------------------------------------------------
 # Embeddings
 # ---------------------------------------------------------------------------
@@ -92,10 +116,16 @@ def _modulate(x, shift, scale):
 
 
 def _dit_block(layer: Params, cfg: DiTConfig, x: jnp.ndarray,
-               mod: jnp.ndarray, cos: jnp.ndarray,
-               sin: jnp.ndarray) -> jnp.ndarray:
+               mod: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray,
+               mesh=None) -> jnp.ndarray:
     """AdaLN-Zero joint block: attn + mlp, 6 modulation params from the
-    timestep vector. x: [B, T, H]; mod: [B, 6*H]."""
+    timestep vector. x: [B, T, H]; mod: [B, 6*H].
+
+    With a mesh: x rides sequence-sharded over "ulysses"; around
+    attention q/k/v are re-constrained to head-sharded, which makes XLA
+    emit exactly the Ulysses all-to-all pair (reference
+    attention/parallel/ulysses.py:52-150 hand-writes these).
+    """
     b, t, hsz = x.shape
     m = mod.reshape(b, 6, hsz)
     shift_a, scale_a, gate_a = m[:, 0], m[:, 1], m[:, 2]
@@ -110,7 +140,13 @@ def _dit_block(layer: Params, cfg: DiTConfig, x: jnp.ndarray,
     k = rms_norm(k, layer["k_norm"])
     q = apply_rope_interleaved(q, cos, sin)
     k = apply_rope_interleaved(k, cos, sin)
+    # Ulysses: seq-shard → head-shard for the attention body
+    head_spec = P("cfg", None, ("ulysses", "tp"), None)
+    q = _constrain(q, mesh, head_spec)
+    k = _constrain(k, mesh, head_spec)
+    v = _constrain(v, mesh, head_spec)
     attn = mha_xla(q, k, v, scale=cfg.head_dim ** -0.5, causal=False)
+    attn = _constrain(attn, mesh, P("cfg", "ulysses", None, None))
     attn = linear(attn.reshape(b, t, cfg.num_heads * cfg.head_dim),
                   layer["o_proj"])
     x = x + gate_a[:, None, :] * attn
@@ -154,16 +190,39 @@ def unpatchify(x: jnp.ndarray, h: int, w: int, patch: int,
     return x.reshape(b, h, w, channels)
 
 
+def modulated_input(params: Params, cfg: DiTConfig, latents: jnp.ndarray,
+                    timesteps: jnp.ndarray) -> jnp.ndarray:
+    """Layer-0 AdaLN-modulated image embedding — the TeaCache skip
+    metric's probe signal (reference cache/teacache/extractors: the
+    modulated input of the first transformer block). Cheap relative to a
+    full forward: one patchify matmul + the timestep MLP."""
+    img = linear(patchify(latents, cfg.patch_size), params["img_in"])
+    temb = timestep_embedding(timesteps, 256)
+    temb = linear(temb.astype(img.dtype), params["time_in_1"])
+    temb = linear(jax.nn.silu(temb.astype(jnp.float32)).astype(img.dtype),
+                  params["time_in_2"])
+    mod = linear(jax.nn.silu(temb.astype(jnp.float32)).astype(img.dtype),
+                 params["layers"][0]["ada_mod"])
+    b = img.shape[0]
+    m = mod.reshape(b, 6, cfg.hidden_size)
+    return _modulate(_layer_norm_nb(img), m[:, 0], m[:, 1])
+
+
 def dit_forward(params: Params, cfg: DiTConfig, latents: jnp.ndarray,
-                text_states: jnp.ndarray,
-                timesteps: jnp.ndarray) -> jnp.ndarray:
+                text_states: jnp.ndarray, timesteps: jnp.ndarray,
+                mesh=None) -> jnp.ndarray:
     """latents [B, H, W, C], text_states [B, Ttxt, text_dim], timesteps
-    [B] (0..num_train_timesteps) → velocity prediction [B, H, W, C]."""
+    [B] (0..num_train_timesteps) → velocity prediction [B, H, W, C].
+
+    mesh axes used when present: "cfg" shards the CFG batch rows,
+    "ulysses" shards the joint token sequence, "tp" shards heads/MLP.
+    """
     b, h, w, c = latents.shape
     p = cfg.patch_size
     img = linear(patchify(latents, p), params["img_in"])
     txt = linear(text_states, params["txt_in"])
     x = jnp.concatenate([txt, img], axis=1)
+    x = _constrain(x, mesh, P("cfg", "ulysses", None))
 
     temb = timestep_embedding(timesteps, 256)
     temb = linear(temb.astype(x.dtype), params["time_in_1"])
@@ -174,7 +233,7 @@ def dit_forward(params: Params, cfg: DiTConfig, latents: jnp.ndarray,
     for layer in params["layers"]:
         mod = linear(jax.nn.silu(temb.astype(jnp.float32)).astype(x.dtype),
                      layer["ada_mod"])  # [B, 6H]
-        x = _dit_block(layer, cfg, x, mod, cos, sin)
+        x = _dit_block(layer, cfg, x, mod, cos, sin, mesh=mesh)
 
     # final AdaLN + projection back to patches (image tokens only)
     fin = linear(jax.nn.silu(temb.astype(jnp.float32)).astype(x.dtype),

@@ -47,6 +47,11 @@ class DenoiseState:
     use_cfg: bool = False
     guidance_scale: float = 1.0
     t_start: float = field(default_factory=time.monotonic)
+    # tea_cache device state (stays on device; no per-step host sync)
+    cache_mod: Any = None  # previous modulated input
+    cache_v: Any = None  # previous (combined) velocity
+    cache_accum: Any = None  # accumulated rescaled rel-L1 [scalar]
+    cache_skips: Any = None  # device counter of skipped steps
 
     @property
     def num_steps(self) -> int:
@@ -73,6 +78,21 @@ class DiffusionPipeline:
         self.dit_params = init_dit_params(config.dit, k1, self.dtype)
         self.vae_params = init_vae_params(
             k2, config.vae_latent_channels, dtype=self.dtype)
+        # parallel layout: one mesh carries cfg/sp(ulysses)/tp — replaces
+        # the reference's initialize_model_parallel rank plumbing
+        from vllm_omni_tpu.parallel import stage_mesh
+
+        self.mesh = stage_mesh(config.parallel)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding
+
+            from vllm_omni_tpu.diffusion.dit import dit_param_shardings
+
+            specs = dit_param_shardings(self.dit_params)
+            self.dit_params = jax.tree.map(
+                lambda x, s: jax.device_put(x, NamedSharding(self.mesh,
+                                                             s)),
+                self.dit_params, specs)
         self.scheduler = FlowMatchEulerScheduler(
             num_train_timesteps=config.num_train_timesteps,
             shift=config.flow_shift,
@@ -137,39 +157,101 @@ class DiffusionPipeline:
         sigma = float(state.sigmas[i])
         sigma_next = float(state.sigmas[i + 1])
         t = float(state.timesteps[i])
-        fn = self._get_step_fn(state.latents.shape, state.use_cfg)
-        state.latents = fn(self.dit_params, state.latents,
-                           state.text_states,
-                           jnp.float32(t), jnp.float32(sigma),
-                           jnp.float32(sigma_next),
-                           jnp.float32(state.guidance_scale))
+        cached = self.config.cache.enabled
+        fn = self._get_step_fn(state.latents.shape, state.use_cfg, cached)
+        if cached:
+            if state.cache_mod is None:
+                b, h, w, c = state.latents.shape
+                npt = (h // self.config.dit.patch_size) * \
+                    (w // self.config.dit.patch_size)
+                state.cache_mod = jnp.zeros(
+                    (b, npt, self.config.dit.hidden_size), jnp.float32)
+                state.cache_v = jnp.zeros(state.latents.shape, jnp.float32)
+                state.cache_accum = jnp.float32(0.0)
+                state.cache_skips = jnp.int32(0)
+            force = jnp.bool_(i == 0 or i == state.num_steps - 1)
+            (state.latents, state.cache_mod, state.cache_v,
+             state.cache_accum, state.cache_skips) = fn(
+                self.dit_params, state.latents, state.text_states,
+                jnp.float32(t), jnp.float32(sigma),
+                jnp.float32(sigma_next),
+                jnp.float32(state.guidance_scale), state.cache_mod,
+                state.cache_v, state.cache_accum, state.cache_skips,
+                force)
+        else:
+            state.latents = fn(self.dit_params, state.latents,
+                               state.text_states,
+                               jnp.float32(t), jnp.float32(sigma),
+                               jnp.float32(sigma_next),
+                               jnp.float32(state.guidance_scale))
         state.step_index += 1
 
-    def _get_step_fn(self, latent_shape, use_cfg: bool):
-        key = (latent_shape, use_cfg)
+    def _get_step_fn(self, latent_shape, use_cfg: bool,
+                     cached: bool = False):
+        key = (latent_shape, use_cfg, cached)
         fn = self._step_fns.get(key)
         if fn is None:
-            fn = jax.jit(functools.partial(self._step_body,
-                                           use_cfg=use_cfg),
+            body = self._cached_step_body if cached else self._step_body
+            fn = jax.jit(functools.partial(body, use_cfg=use_cfg),
                          donate_argnums=(1,))
             self._step_fns[key] = fn
         return fn
 
-    def _step_body(self, params, latents, text_states, t, sigma,
-                   sigma_next, guidance, *, use_cfg: bool):
+    def _predict_velocity(self, params, latents, text_states, t,
+                          guidance, use_cfg: bool):
         if use_cfg:
             lat2 = jnp.concatenate([latents, latents], axis=0)
             tt = jnp.full((2,), t, jnp.float32)
-            v = dit_forward(params, self.config.dit, lat2, text_states, tt)
+            v = dit_forward(params, self.config.dit, lat2, text_states,
+                            tt, mesh=self.mesh)
             v_cond, v_uncond = v[:1], v[1:]
-            v = v_uncond + guidance * (v_cond - v_uncond)
-        else:
-            tt = jnp.full((latents.shape[0],), t, jnp.float32)
-            v = dit_forward(params, self.config.dit, latents,
-                            text_states[:1], tt)
+            return (v_uncond + guidance * (v_cond - v_uncond)).astype(
+                jnp.float32)
+        tt = jnp.full((latents.shape[0],), t, jnp.float32)
+        return dit_forward(params, self.config.dit, latents,
+                           text_states[:1], tt,
+                           mesh=self.mesh).astype(jnp.float32)
+
+    def _cached_step_body(self, params, latents, text_states, t, sigma,
+                          sigma_next, guidance, prev_mod, prev_v, accum,
+                          skips, force, *, use_cfg: bool):
+        """tea_cache step: lax.cond picks full transformer forward vs
+        cached-velocity reuse — decision entirely on device."""
+        from vllm_omni_tpu.diffusion.dit import modulated_input
+
+        cc = self.config.cache
+        tt = jnp.full((latents.shape[0],), t, jnp.float32)
+        mod = modulated_input(params, self.config.dit, latents,
+                              tt).astype(jnp.float32)
+        rel = jnp.mean(jnp.abs(mod - prev_mod)) / (
+            jnp.mean(jnp.abs(prev_mod)) + 1e-8)
+        rescaled = jnp.polyval(jnp.asarray(cc.coefficients, jnp.float32),
+                               rel)
+        acc_new = accum + rescaled
+        skip = (acc_new < cc.rel_l1_thresh) & jnp.logical_not(force)
+
+        def reuse(_):
+            return prev_v
+
+        def full(_):
+            return self._predict_velocity(params, latents, text_states,
+                                          t, guidance, use_cfg)
+
+        v = jax.lax.cond(skip, reuse, full, None)
+        accum_out = jnp.where(skip, acc_new, 0.0)
+        new_lat = (latents.astype(jnp.float32) +
+                   (sigma_next - sigma) * v).astype(latents.dtype)
+        return new_lat, mod, v, accum_out, skips + skip.astype(jnp.int32)
+
+    def _step_body(self, params, latents, text_states, t, sigma,
+                   sigma_next, guidance, *, use_cfg: bool):
+        # CFG rides as batch rows; the "cfg" mesh axis shards them across
+        # ranks (reference CFGParallelMixin cfg_parallel.py:56 — here one
+        # sharding annotation inside dit_forward)
+        v = self._predict_velocity(params, latents, text_states, t,
+                                   guidance, use_cfg)
         return (latents.astype(jnp.float32) +
-                (sigma_next - sigma) * v.astype(jnp.float32)
-                ).astype(latents.dtype)
+                (sigma_next - sigma) * v).astype(latents.dtype)
 
     # -- 3/4: scheduler advance is folded into the step (host sigmas) -------
 

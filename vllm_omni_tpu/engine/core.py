@@ -82,20 +82,23 @@ class EngineCore:
 
     # -- stepping -----------------------------------------------------------
     def _pick_lookahead(self) -> int:
-        """Chained decode steps for the next schedule: bounded by every
-        running request's remaining token budget so a chain never
-        overshoots max_tokens / max_model_len."""
+        """Chained decode steps for the next schedule.
+
+        The chain length stays at the configured multi_step whenever
+        possible — every distinct k is a separately compiled program, and
+        chain overshoot past max_tokens/eos is simply discarded host-side
+        (step() breaks at the stop and the request's pages are freed).
+        Only the hard max_model_len bound shrinks k: KV slots past the
+        page table would clamp into the request's last page.
+        """
         sc = self.config.scheduler
         if sc.multi_step <= 1 or self.scheduler.waiting or \
                 not self.scheduler.running:
             return 1
         k = sc.multi_step
         for r in self.scheduler.running:
-            k = min(k,
-                    r.sampling_params.max_tokens - r.num_output_tokens,
-                    self.config.model.max_model_len - r.num_tokens)
+            k = min(k, self.config.model.max_model_len - r.num_tokens)
         k = max(1, k)
-        # largest static bucket <= k (one compiled program per bucket)
         for b in reversed(sc.multi_step_buckets):
             if b <= k:
                 return b

@@ -169,6 +169,9 @@ class PipelineRunner:
             self.handles[stage.stage_id] = handle
             proc = stage.resolve_input_processor()
             self.processors[stage.stage_id] = proc or default_process_input
+        from vllm_omni_tpu.metrics import OrchestratorAggregator
+
+        self.stats = OrchestratorAggregator()
         self._active: dict[str, PipelineRequest] = {}
         self._ctx: dict[str, Any] = {}
         # streaming hook: called (from the stepping thread) with every
@@ -190,6 +193,7 @@ class PipelineRunner:
                                sampling_params=sampling_params)
         preq.diffusion_params = diffusion_params
         self._active[request_id] = preq
+        self.stats.on_request_start(request_id)
         src_stages = [s for s in self.pipeline.stages
                       if not s.engine_input_source]
         for stage in src_stages:
@@ -290,11 +294,16 @@ class PipelineRunner:
             preq.stage_start[consumer.stage_id] = time.monotonic()
             self.handles[consumer.stage_id].add(out.request_id, payload)
         # final output?
+        self.stats.on_stage_output(
+            sid, out.request_id,
+            num_new_tokens=len(out.outputs[0].token_ids)
+            if out.outputs else 0, finished=True)
         final_stage = self.pipeline.final_stage_for(preq.modality)
         if sid == final_stage.stage_id:
             out.final_output_type = stage.final_output_type
             out.stage_durations = dict(preq.stage_durations)
             preq.final_output = out
+            self.stats.on_request_finish(out.request_id, out)
             finals.append(out)
         return finals
 

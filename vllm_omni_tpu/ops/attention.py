@@ -54,14 +54,19 @@ def write_kv_pages(k_pages: jnp.ndarray, v_pages: jnp.ndarray,
 
     k_new/v_new: [T, Hkv, D]; slot_ids: [T] flat slot index
     (= page_id * page_size + offset). Padding rows must target page 0.
-    Under jit with donated cache buffers this lowers to an in-place scatter.
+    Under jit with donated cache buffers this lowers to an in-place
+    scatter. Scatter on the 4D layout directly — reshaping the cache
+    around the scatter breaks XLA's in-place aliasing inside lax.scan
+    decode chains (measured ~30% slower per step).
     """
-    hkv, n_pages, page_size, d = k_pages.shape
-    kf = k_pages.reshape(hkv, n_pages * page_size, d)
-    vf = v_pages.reshape(hkv, n_pages * page_size, d)
-    kf = kf.at[:, slot_ids].set(jnp.swapaxes(k_new, 0, 1).astype(kf.dtype))
-    vf = vf.at[:, slot_ids].set(jnp.swapaxes(v_new, 0, 1).astype(vf.dtype))
-    return kf.reshape(k_pages.shape), vf.reshape(v_pages.shape)
+    _, _, page_size, _ = k_pages.shape
+    pg = slot_ids // page_size
+    off = slot_ids % page_size
+    kf = k_pages.at[:, pg, off].set(
+        jnp.swapaxes(k_new, 0, 1).astype(k_pages.dtype))
+    vf = v_pages.at[:, pg, off].set(
+        jnp.swapaxes(v_new, 0, 1).astype(v_pages.dtype))
+    return kf, vf
 
 
 def quantize_kv(k: jnp.ndarray, v: jnp.ndarray, dtype: str):

@@ -91,6 +91,8 @@ class ModelRunner:
         self.params = params
         self.kv_pages = self._alloc_kv()
         self._fn_cache: dict[tuple, Any] = {}
+        # device-resident decode-chain inputs (see execute_decode_multi)
+        self._decode_cache: Optional[dict] = None
 
     # -- memory -------------------------------------------------------------
     def _page_bytes(self) -> int:
@@ -275,12 +277,16 @@ class ModelRunner:
             return (kv, ids, pos + 1, ctr + 1, counts), out
 
         init = (list(kv_pages), state[0], state[1], state[2], counts0)
-        (kv, *_), outs = jax.lax.scan(one_step, init, None, length=k)
+        (kv, tok_f, pos_f, ctr_f, _), outs = jax.lax.scan(
+            one_step, init, None, length=k)
+        # next-chain state stays ON DEVICE: steady-state decode needs no
+        # host→device uploads at all (the engine feeds this straight back)
+        next_state = jnp.stack([tok_f, pos_f, ctr_f])
         if return_hidden:
             ids, lps, hid = outs
-            return ids, lps, kv, hid  # ids/lps [K, B], hid [K, B, H]
+            return ids, lps, kv, next_state, hid  # ids/lps [K, B]
         ids, lps = outs
-        return ids, lps, kv
+        return ids, lps, kv, next_state
 
     # -- jit cache ----------------------------------------------------------
     def _get_fn(self, kind: str, **static) -> Any:
@@ -399,7 +405,15 @@ class ModelRunner:
                              ) -> list[StepResult]:
         """K chained decode steps, one device round-trip. Caller must have
         pre-allocated KV pages covering num_tokens + k per request and
-        ensured every request can take k more tokens."""
+        ensured every request can take k more tokens.
+
+        Steady-state fast path: when the batch composition is unchanged
+        since the previous chain, ALL device inputs (state, sampling,
+        block tables) are reused from the device cache — the only wire
+        traffic per chain is the sampled-ids pull. This is what makes
+        decode survive a high-latency dispatch path (and shaves host work
+        on any hardware).
+        """
         n = len(reqs)
         b = pick_bucket(n, self.config.scheduler.decode_bs_buckets)
         max_pages = max(cdiv(r.num_tokens + k, self.page_size)
@@ -411,40 +425,73 @@ class ModelRunner:
             or r.sampling_params.frequency_penalty != 0.0 for r in reqs)
         greedy_only = all(r.sampling_params.temperature == 0.0
                           for r in reqs)
+        want_lps = any(r.sampling_params.logprobs for r in reqs)
 
-        state = np.zeros((3, b), np.int32)
+        key = (tuple(r.request_id for r in reqs), b, pw, k,
+               use_penalties, greedy_only, return_hidden)
         bt = np.zeros((b, pw), np.int32)
         bt[:n] = self._block_table_rows(reqs, pw)
-        o_bucket = 1
-        if use_penalties:
-            o_bucket = pick_bucket(
-                max(max(r.num_output_tokens, 1) for r in reqs),
-                tuple(2 ** i for i in range(4, 16)))
-        out_tokens = np.full((b, o_bucket), -1, np.int32)
-        for i, r in enumerate(reqs):
-            state[0, i] = r.output_token_ids[-1] if r.output_token_ids \
-                else (r.prompt_token_ids[-1] if r.prompt_token_ids else 0)
-            state[1, i] = r.num_tokens - 1
-            state[2, i] = r.num_output_tokens
-            if use_penalties and r.output_token_ids:
-                o = r.output_token_ids[-o_bucket:]
-                out_tokens[i, :len(o)] = o
-        f_s, i_s = sampler_ops.pack_sampling(
-            [r.sampling_params for r in reqs] + [None] * (b - n), b)
+        c = self._decode_cache
+        reuse = (not use_penalties and c is not None and c["key"] == key
+                 and c["expect_tokens"] == [r.num_tokens for r in reqs])
+        if reuse:
+            state = c["state"]
+            f_s, i_s, out_tokens = c["f"], c["i"], c["o"]
+            if np.array_equal(c["bt_np"], bt):
+                bt_arg = c["bt"]
+            else:  # a request crossed a page boundary → refresh bt only
+                bt_arg = jax.device_put(bt)
+                c["bt"], c["bt_np"] = bt_arg, bt
+        else:
+            state = np.zeros((3, b), np.int32)
+            o_bucket = 1
+            if use_penalties:
+                o_bucket = pick_bucket(
+                    max(max(r.num_output_tokens, 1) for r in reqs),
+                    tuple(2 ** i for i in range(4, 16)))
+            out_tokens = np.full((b, o_bucket), -1, np.int32)
+            for i, r in enumerate(reqs):
+                state[0, i] = r.output_token_ids[-1] if \
+                    r.output_token_ids else (
+                        r.prompt_token_ids[-1] if r.prompt_token_ids
+                        else 0)
+                state[1, i] = r.num_tokens - 1
+                state[2, i] = r.num_output_tokens
+                if use_penalties and r.output_token_ids:
+                    o = r.output_token_ids[-o_bucket:]
+                    out_tokens[i, :len(o)] = o
+            f_s, i_s = sampler_ops.pack_sampling(
+                [r.sampling_params for r in reqs] + [None] * (b - n), b)
+            bt_arg = bt
 
-        fn = self._get_fn("decode_multi", k=k, use_penalties=use_penalties,
+        fn = self._get_fn("decode_multi", k=k,
+                          use_penalties=use_penalties,
                           return_hidden=return_hidden,
                           greedy_only=greedy_only)
-        out = fn(self.params, self.kv_pages, state, bt, f_s, i_s,
+        out = fn(self.params, self.kv_pages, state, bt_arg, f_s, i_s,
                  out_tokens)
         if return_hidden:
-            ids, lps, self.kv_pages, hid = out
+            ids, lps, self.kv_pages, next_state, hid = out
             hid_np = np.asarray(hid)
         else:
-            ids, lps, self.kv_pages = out
+            ids, lps, self.kv_pages, next_state = out
             hid_np = None
+        if not use_penalties:
+            # stash device-resident inputs for the next chain
+            if not reuse:
+                f_s, i_s, out_tokens, bt_dev = jax.device_put(
+                    (f_s, i_s, out_tokens, bt))
+            else:
+                bt_dev = bt_arg
+            self._decode_cache = {
+                "key": key, "state": next_state, "f": f_s, "i": i_s,
+                "o": out_tokens, "bt": bt_dev, "bt_np": bt,
+                "expect_tokens": [r.num_tokens + k for r in reqs],
+            }
+        else:
+            self._decode_cache = None
         ids_np = np.asarray(ids)  # [K, B]
-        lps_np = np.asarray(lps)
+        lps_np = np.asarray(lps) if want_lps else None
         results = []
         for step in range(k):
             hs = {}
@@ -455,7 +502,8 @@ class ModelRunner:
             results.append(StepResult(
                 req_ids=[r.request_id for r in reqs],
                 token_ids=[int(x) for x in ids_np[step, :n]],
-                logprobs=[float(x) for x in lps_np[step, :n]],
+                logprobs=[float(x) for x in lps_np[step, :n]]
+                if lps_np is not None else [0.0] * n,
                 hidden_states=hs))
         return results
 
