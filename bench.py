@@ -61,12 +61,15 @@ def main() -> None:
         while engine.scheduler.waiting:
             engine.step()
         t0 = time.time()
-        decoded = 0
+        finished = 0
         while engine.has_unfinished():
-            outs = engine.step()
-            decoded += len(outs)
+            for out in engine.step():
+                if out.finished:
+                    finished += len(out.outputs[0].token_ids)
         dt = time.time() - t0
-        return decoded / dt
+        assert finished == BATCH * DECODE_STEPS, finished
+        # first token of each request was sampled during prefill
+        return (finished - BATCH) / dt
 
     run_round(measure=False)  # warmup: compiles prefill+decode programs
     tps = run_round(measure=True)

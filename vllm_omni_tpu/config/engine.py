@@ -33,6 +33,10 @@ class ModelConfig:
     # architecture override (reference: hf_config_name in stage YAMLs)
     hf_config_name: Optional[str] = None
     hf_overrides: dict[str, Any] = field(default_factory=dict)
+    # multimodal encoders for this stage (omni thinker): e.g.
+    # {"audio": {...AudioEncoderConfig kwargs}, "vision": {...},
+    #  "audio_token_id": N, "image_token_id": M}
+    mm_encoders: dict[str, Any] = field(default_factory=dict)
 
     def __post_init__(self) -> None:
         if self.quantization not in (None, "int8", "int4", "fp8"):

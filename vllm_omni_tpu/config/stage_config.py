@@ -54,6 +54,9 @@ class StageConfig:
     # edges: ids of stages whose outputs feed this stage (empty = source)
     engine_input_source: list[int] = field(default_factory=list)
     custom_process_input_func: Optional[str] = None
+    # final-stage output hook (hidden states → waveform/image etc.;
+    # reference: per-model post-process registry diffusion/registry.py:344)
+    custom_process_output_func: Optional[str] = None
     final_output: bool = False
     final_output_type: str = "text"  # text | latent | audio | image | video
     is_comprehension: bool = False
@@ -73,6 +76,11 @@ class StageConfig:
         if self.custom_process_input_func is None:
             return None
         return resolve_dotted(self.custom_process_input_func)
+
+    def resolve_output_processor(self) -> Optional[Callable]:
+        if self.custom_process_output_func is None:
+            return None
+        return resolve_dotted(self.custom_process_output_func)
 
 
 @dataclass

@@ -64,6 +64,9 @@ class Request:
     arrival_time: float = field(default_factory=time.monotonic)
     # inputs beyond token ids --------------------------------------------
     prompt_embeds: Any = None  # [T, H] array — embeddings-as-prompt stages
+    # with prompt_embeds: per-token bool mask of which positions take the
+    # provided embeds (multimodal placeholder fusion); None = all
+    embeds_token_mask: Any = None
     # payload carried across stages (hidden states, codec codes, ...)
     additional_information: dict[str, Any] = field(default_factory=dict)
     # multimodal encoder inputs (features already preprocessed host-side)

@@ -53,6 +53,9 @@ class SchedulerOutput:
     # chained decode steps granted this schedule (multi-step decode:
     # pages are pre-allocated for this many tokens per decode request)
     lookahead: int = 1
+    # generation-mode requests whose whole prompt is already computed
+    # (nothing left to run — engine emits their finish)
+    completed_generation: list[Request] = field(default_factory=list)
 
     @property
     def is_empty(self) -> bool:
@@ -142,6 +145,11 @@ class Scheduler:
                     self.waiting_for_chunk[req.request_id] = req
                     continue
                 self.waiting.popleft()
+                if self.config.mode == "generation":
+                    # one-shot stage fully computed (final chunk arrived
+                    # after everything was already prefilled)
+                    out.completed_generation.append(req)
+                    continue
                 self.running.append(req)
                 req.status = RequestStatus.RUNNING
                 continue

@@ -15,6 +15,8 @@ from __future__ import annotations
 import time
 from typing import Any, Optional
 
+import jax.numpy as jnp
+
 from vllm_omni_tpu.config.engine import EngineConfig
 from vllm_omni_tpu.core.outputs import CompletionOutput, RequestOutput
 from vllm_omni_tpu.core.request import Request, RequestStatus
@@ -42,6 +44,15 @@ class EngineCore:
         self.scheduler = Scheduler(config.scheduler, config.cache,
                                    num_pages=self.runner.num_pages)
         self.eos_token_ids = self._resolve_eos()
+        self.mm_processor = None
+        if config.model.mm_encoders:
+            from vllm_omni_tpu.models.multimodal import MMProcessor
+
+            self.mm_processor = MMProcessor(
+                self.decoder_cfg.hidden_size, config.model.mm_encoders,
+                dtype=jnp.bfloat16 if config.model.dtype == "bfloat16"
+                else jnp.dtype(config.model.dtype),
+                seed=config.model.seed)
         logger.info(
             "engine up in %.1fs: %d layers, %d KV pages (%s), mode=%s",
             time.monotonic() - t0, self.decoder_cfg.num_layers,
@@ -69,6 +80,15 @@ class EngineCore:
             raise ValueError(
                 f"prompt of {n_prompt} tokens exceeds "
                 f"max_model_len={max_len}")
+        mm_inputs = kwargs.pop("mm_inputs", None)
+        if mm_inputs:
+            if self.mm_processor is None:
+                raise ValueError(
+                    "mm_inputs given but stage has no mm_encoders")
+            pe, mask = self.mm_processor.process(prompt_token_ids,
+                                                 mm_inputs)
+            kwargs["prompt_embeds"] = pe
+            kwargs["embeds_token_mask"] = mask
         req = Request(request_id=rid, prompt_token_ids=list(prompt_token_ids),
                       sampling_params=params, **kwargs)
         self.scheduler.add_request(req)
@@ -76,6 +96,13 @@ class EngineCore:
 
     def abort_request(self, request_id: str) -> bool:
         return self.scheduler.abort_request(request_id) is not None
+
+    def notify_chunk(self, request_id: str, token_ids: list[int],
+                     final: bool = False) -> None:
+        """async_chunk streaming input: a new prompt chunk arrived
+        (reference: WAITING_FOR_CHUNK patch.py:103 + resumable
+        add_request async_omni_engine.py:965)."""
+        self.scheduler.notify_chunk(request_id, token_ids, final)
 
     def has_unfinished(self) -> bool:
         return self.scheduler.has_unfinished()
@@ -107,6 +134,9 @@ class EngineCore:
     def step(self) -> list[RequestOutput]:
         sched = self.scheduler.schedule(lookahead=self._pick_lookahead())
         outputs: list[RequestOutput] = []
+        for req in sched.completed_generation:
+            self.scheduler.finish_request(req, RequestStatus.FINISHED_STOPPED)
+            outputs.append(self._make_output(req, finished=True))
         if sched.is_empty:
             return outputs
 

@@ -79,6 +79,10 @@ class PipelineRequest:
     stage_durations: dict[str, float] = field(default_factory=dict)
     stage_start: dict[int, float] = field(default_factory=dict)
     diffusion_params: Any = None  # user DiffusionSamplingParams, if any
+    # async_chunk bookkeeping: consumer stage_id → tokens forwarded /
+    # chunked-request started
+    chunk_sent: dict[int, int] = field(default_factory=dict)
+    chunk_started: set[int] = field(default_factory=set)
 
 
 class _StageHandle:
@@ -249,7 +253,10 @@ class PipelineRunner:
             for out in handle.step():
                 if out.finished:
                     finals.extend(self._route(stage, out))
-                elif self.on_stream is not None:
+                    continue
+                # mid-flight output: async_chunk forwarding + streaming
+                self._forward_chunks(stage, out, final=False)
+                if self.on_stream is not None:
                     preq = self._active.get(out.request_id)
                     if preq is not None and stage.stage_id == \
                             self.pipeline.final_stage_for(
@@ -258,6 +265,55 @@ class PipelineRunner:
                         out.final_output_type = stage.final_output_type
                         self.on_stream(out)
         return finals
+
+    def _forward_chunks(self, stage: StageConfig, out: RequestOutput,
+                        final: bool) -> None:
+        """Stream the producer's NEW output tokens into async_chunk
+        consumers in chunk_frames-sized pieces (reference: async_chunk
+        design — talker→code2wav streams 25-frame codec chunks while the
+        talker is still decoding, docs async_chunk_design.md:28-33).
+        The consumer request is resumable; its prefill overlaps the
+        producer's decode."""
+        preq = self._active.get(out.request_id)
+        if preq is None or not out.outputs:
+            return
+        toks = out.outputs[0].token_ids
+        for consumer in self.pipeline.consumers_of(stage.stage_id):
+            if not consumer.async_chunk:
+                continue
+            sid = consumer.stage_id
+            sent = preq.chunk_sent.get(sid, 0)
+            cf = max(1, consumer.chunk_frames)
+            while len(toks) - sent >= cf or (final and len(toks) > sent):
+                chunk = toks[sent:sent + cf]
+                sent += len(chunk)
+                is_last = final and sent >= len(toks)
+                self._deliver_chunk(consumer, preq, out.request_id,
+                                    chunk, is_last)
+            if final and sid in preq.chunk_started and \
+                    preq.chunk_sent.get(sid, 0) == sent:
+                # no remainder: deliver the bare final marker
+                self.handles[sid].engine.notify_chunk(
+                    preq.request_id, [], final=True)
+            preq.chunk_sent[sid] = sent
+
+    def _deliver_chunk(self, consumer: StageConfig, preq: PipelineRequest,
+                       request_id: str, chunk: list[int],
+                       final: bool) -> None:
+        sid = consumer.stage_id
+        engine = self.handles[sid].engine
+        if sid not in preq.chunk_started:
+            sp = self._stage_params(consumer, preq.sampling_params,
+                                    user_stage0=False)
+            preq.chunk_started.add(sid)
+            preq.dispatched_stages.add(sid)
+            preq.stage_start[sid] = time.monotonic()
+            engine.add_request(list(chunk), sp, request_id=request_id,
+                               resumable=True)
+            if final:
+                engine.notify_chunk(request_id, [], final=True)
+            return
+        engine.notify_chunk(request_id, list(chunk), final=final)
 
     def has_unfinished(self) -> bool:
         return any(h.has_unfinished() for h in self.handles.values()) or \
@@ -275,9 +331,12 @@ class PipelineRunner:
         if t0 is not None:
             preq.stage_durations[f"stage{sid}"] = time.monotonic() - t0
         finals: list[RequestOutput] = []
+        # async_chunk consumers: flush remaining tokens + final marker
+        self._forward_chunks(stage, out, final=True)
         # forward to consumers whose sources are all ready
         for consumer in self.pipeline.consumers_of(sid):
-            if consumer.stage_id in preq.dispatched_stages:
+            if consumer.async_chunk or \
+                    consumer.stage_id in preq.dispatched_stages:
                 continue
             if not all(s in preq.stage_outputs
                        for s in consumer.engine_input_source):
@@ -302,6 +361,9 @@ class PipelineRunner:
         if sid == final_stage.stage_id:
             out.final_output_type = stage.final_output_type
             out.stage_durations = dict(preq.stage_durations)
+            post = stage.resolve_output_processor()
+            if post is not None:
+                post(out)
             preq.final_output = out
             self.stats.on_request_finish(out.request_id, out)
             finals.append(out)
@@ -340,8 +402,11 @@ class PipelineRunner:
             dp = None
             if not isinstance(sp, SamplingParams):
                 dp, sp = sp, SamplingParams()
+            kwargs = {}
+            if isinstance(prompt, dict) and prompt.get("mm_inputs"):
+                kwargs["mm_inputs"] = prompt["mm_inputs"]
             self.submit(token_ids, sp, rid, modality=modality,
-                        diffusion_params=dp)
+                        diffusion_params=dp, **kwargs)
         ticks = 0
         while self.has_unfinished():
             self.step()

@@ -89,7 +89,10 @@ class Omni:
         order: list[str] = []
         for prompt, params in zip(prompts, params_list):
             token_ids = self._tokenize(prompt)
-            rid = self.engine.add_request(token_ids, params)
+            kwargs = {}
+            if isinstance(prompt, dict) and prompt.get("mm_inputs"):
+                kwargs["mm_inputs"] = prompt["mm_inputs"]
+            rid = self.engine.add_request(token_ids, params, **kwargs)
             order.append(rid)
         finals: dict[str, RequestOutput] = {}
         while self.engine.has_unfinished():

@@ -1,0 +1,113 @@
+"""Multimodal input processing: encoder runs + placeholder fusion.
+
+Reference parity: the upstream InputProcessor the reference runs for
+stage-0 tokenization/mm-preprocessing (async_omni_engine.py add_request →
+InputProcessor.process_inputs) plus the omni models' placeholder-token
+fusion (audio/image placeholder runs in the prompt are replaced by
+encoder features).
+
+TPU design: encoders are one-shot jit programs at add-request time; the
+fusion itself happens inside the prefill program — the request carries
+the feature rows + a per-token mask, and the runner selects
+feature-vs-embedding per position (no host-side embed-table pull).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vllm_omni_tpu.logger import init_logger
+from vllm_omni_tpu.models.encoders import (AudioEncoderConfig,
+                                           VisionEncoderConfig,
+                                           audio_encoder_forward,
+                                           init_audio_encoder,
+                                           init_vision_encoder,
+                                           vision_encoder_forward)
+
+logger = init_logger(__name__)
+
+
+class MMProcessor:
+    """Runs modality encoders and builds (prompt_embeds,
+    embeds_token_mask) for placeholder fusion."""
+
+    def __init__(self, hidden_size: int, spec: dict[str, Any],
+                 dtype=jnp.float32, seed: int = 0) -> None:
+        self.hidden_size = hidden_size
+        self.audio_token_id: Optional[int] = spec.get("audio_token_id")
+        self.image_token_id: Optional[int] = spec.get("image_token_id")
+        key = jax.random.PRNGKey(seed)
+        ka, kv = jax.random.split(key)
+        self.audio_cfg = self.audio_params = None
+        self.vision_cfg = self.vision_params = None
+        if "audio" in spec:
+            self.audio_cfg = AudioEncoderConfig(
+                output_dim=hidden_size, **spec["audio"])
+            self.audio_params = init_audio_encoder(self.audio_cfg, ka,
+                                                   dtype)
+            self._audio_fn = jax.jit(
+                lambda p, mel: audio_encoder_forward(p, self.audio_cfg,
+                                                     mel))
+        if "vision" in spec:
+            self.vision_cfg = VisionEncoderConfig(
+                output_dim=hidden_size, **spec["vision"])
+            self.vision_params = init_vision_encoder(self.vision_cfg, kv,
+                                                     dtype)
+            self._vision_fn = jax.jit(
+                lambda p, px: vision_encoder_forward(p, self.vision_cfg,
+                                                     px))
+
+    def encode_audio(self, mel: np.ndarray) -> np.ndarray:
+        """mel [T, n_mels] or [B, T, n_mels] → [N, hidden]."""
+        if self.audio_params is None:
+            raise ValueError("no audio encoder configured")
+        if mel.ndim == 2:
+            mel = mel[None]
+        out = self._audio_fn(self.audio_params, jnp.asarray(mel))
+        return np.asarray(out).reshape(-1, self.hidden_size)
+
+    def encode_image(self, pixels: np.ndarray) -> np.ndarray:
+        """pixels [H, W, 3] or [B, H, W, 3] → [N, hidden]."""
+        if self.vision_params is None:
+            raise ValueError("no vision encoder configured")
+        if pixels.ndim == 3:
+            pixels = pixels[None]
+        out = self._vision_fn(self.vision_params, jnp.asarray(pixels))
+        return np.asarray(out).reshape(-1, self.hidden_size)
+
+    def process(self, prompt_token_ids: list[int],
+                mm_inputs: dict[str, Any]
+                ) -> tuple[np.ndarray, np.ndarray]:
+        """→ (prompt_embeds [T, H] f32 — feature rows at placeholder
+        positions, zeros elsewhere; embeds_token_mask [T] bool)."""
+        toks = np.asarray(prompt_token_ids)
+        t = len(toks)
+        embeds = np.zeros((t, self.hidden_size), np.float32)
+        mask = np.zeros((t,), bool)
+        for modality, token_id, encode in (
+                ("audio", self.audio_token_id, self.encode_audio),
+                ("image", self.image_token_id, self.encode_image)):
+            data = mm_inputs.get(modality)
+            if data is None:
+                continue
+            if token_id is None:
+                raise ValueError(f"no {modality}_token_id configured")
+            positions = np.where(toks == token_id)[0]
+            if len(positions) == 0:
+                raise ValueError(
+                    f"{modality} input given but no placeholder token "
+                    f"{token_id} in prompt")
+            items = data if isinstance(data, list) else [data]
+            feats = np.concatenate(
+                [encode(np.asarray(d)) for d in items], axis=0)
+            if len(positions) != feats.shape[0]:
+                raise ValueError(
+                    f"{modality}: {len(positions)} placeholder tokens vs "
+                    f"{feats.shape[0]} encoder features")
+            embeds[positions] = feats
+            mask[positions] = True
+        return embeds, mask

@@ -93,6 +93,8 @@ class ModelRunner:
         self._fn_cache: dict[tuple, Any] = {}
         # device-resident decode-chain inputs (see execute_decode_multi)
         self._decode_cache: Optional[dict] = None
+        self.decode_cache_hits = 0
+        self.decode_cache_misses = 0
 
     # -- memory -------------------------------------------------------------
     def _page_bytes(self) -> int:
@@ -185,12 +187,13 @@ class ModelRunner:
                       sampling, step_ctr, embeds, embeds_mask, *,
                       return_hidden: bool, with_embeds: bool):
         if with_embeds:
-            # rows flagged in embeds_mask use the provided prompt
-            # embeddings instead of the token embedding lookup
-            # (embeddings-as-prompt stage handoff, reference
-            # OmniEmbedsPrompt inputs/data.py:85)
+            # positions flagged in embeds_mask [B, T] use the provided
+            # embeddings instead of the token embedding lookup: whole-row
+            # for embeddings-as-prompt handoff (reference OmniEmbedsPrompt
+            # inputs/data.py:85), per-token for multimodal placeholder
+            # fusion (audio/image features spliced into the text prompt)
             looked_up = jnp.take(params["embed"], token_ids, axis=0)
-            mixed = jnp.where(embeds_mask[:, None, None],
+            mixed = jnp.where(embeds_mask[:, :, None],
                               embeds.astype(looked_up.dtype), looked_up)
             hidden, new_kv = self._forward(
                 params, kv_pages, token_ids, positions, block_tables,
@@ -317,7 +320,11 @@ class ModelRunner:
 
     # -- host-side batch building -------------------------------------------
     def _page_bucket(self, max_pages: int) -> int:
-        b = 8
+        """Block-table width bucket. Floor of 32: every distinct width is
+        a separately compiled program AND a decode-cache invalidation;
+        the Pallas decode kernel only reads the pages context actually
+        covers, so a wide table costs nothing on TPU."""
+        b = 32
         while b < max_pages:
             b *= 2
         return min(b, max(self.max_pages_per_seq, 8))
@@ -353,7 +360,7 @@ class ModelRunner:
                           for s in scheduled)
         embeds = np.zeros((b, t, self.cfg.hidden_size), np.float32) \
             if with_embeds else np.zeros((1,), np.float32)
-        embeds_mask = np.zeros((b,), bool)
+        embeds_mask = np.zeros((b, t), bool)
         for i, s in enumerate(scheduled):
             r = s.request
             toks = r.prompt_token_ids[s.start:s.start + s.length]
@@ -363,7 +370,11 @@ class ModelRunner:
                 embeds[i, :s.length] = np.asarray(
                     r.prompt_embeds[s.start:s.start + s.length],
                     np.float32)
-                embeds_mask[i] = True
+                if r.embeds_token_mask is not None:
+                    embeds_mask[i, :s.length] = np.asarray(
+                        r.embeds_token_mask[s.start:s.start + s.length])
+                else:
+                    embeds_mask[i, :s.length] = True
             positions[i, :s.length] = np.arange(s.start, s.start + s.length)
             for j in range(s.length):
                 pos = s.start + j
@@ -434,6 +445,10 @@ class ModelRunner:
         c = self._decode_cache
         reuse = (not use_penalties and c is not None and c["key"] == key
                  and c["expect_tokens"] == [r.num_tokens for r in reqs])
+        if reuse:
+            self.decode_cache_hits += 1
+        else:
+            self.decode_cache_misses += 1
         if reuse:
             state = c["state"]
             f_s, i_s, out_tokens = c["f"], c["i"], c["o"]
