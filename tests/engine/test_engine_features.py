@@ -1,0 +1,116 @@
+"""Prefix caching, sleep mode, weight reload, profiler (CPU tier)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vllm_omni_tpu.config.engine import EngineConfig
+from vllm_omni_tpu.core.sampling_params import SamplingParams
+from vllm_omni_tpu.engine.core import EngineCore
+
+TINY_HF = {
+    "architectures": ["Qwen3ForCausalLM"],
+    "vocab_size": 256, "hidden_size": 64, "intermediate_size": 128,
+    "num_hidden_layers": 2, "num_attention_heads": 4,
+    "num_key_value_heads": 2, "head_dim": 16, "eos_token_id": 0,
+}
+
+
+def make_engine(**over):
+    kwargs = dict(model="dummy", hf_overrides=TINY_HF, dtype="float32",
+                  max_model_len=512, num_pages=128, page_size=16,
+                  max_num_seqs=8, max_num_batched_tokens=64)
+    kwargs.update(over)
+    return EngineCore(EngineConfig.from_kwargs(**kwargs))
+
+
+def run_all(engine, prompts, params):
+    rids = [engine.add_request(p, sp) for p, sp in zip(prompts, params)]
+    finals = {}
+    while engine.has_unfinished():
+        for out in engine.step():
+            if out.finished:
+                finals[out.request_id] = out
+    return [finals[r] for r in rids]
+
+
+def greedy(n=8):
+    return SamplingParams(max_tokens=n, temperature=0.0, ignore_eos=True)
+
+
+def test_prefix_caching_reuses_pages_and_matches():
+    eng = make_engine(enable_prefix_caching=True)
+    prompt = list(range(1, 41))  # 40 tokens → 2 full pages cacheable
+    a = run_all(eng, [prompt], [greedy()])[0]
+    # second identical prompt: allocation must reuse cached pages
+    rid = eng.add_request(prompt, greedy())
+    sched = eng.scheduler.schedule()
+    assert sched.prefills, "expected a prefill"
+    assert sched.prefills[0].start == 32, \
+        f"prefix cache not hit: chunk starts at {sched.prefills[0].start}"
+    # finish the run and compare outputs
+    finals = {}
+    # complete the started prefill through the engine path: feed the
+    # sched manually is internal; simplest — drain via fresh engine calls
+    eng2 = make_engine(enable_prefix_caching=True)
+    run_all(eng2, [prompt], [greedy()])
+    b = run_all(eng2, [prompt], [greedy()])[0]
+    assert a.outputs[0].token_ids == b.outputs[0].token_ids
+
+
+def test_prefix_cache_off_no_reuse():
+    eng = make_engine(enable_prefix_caching=False)
+    prompt = list(range(1, 41))
+    run_all(eng, [prompt], [greedy()])
+    eng.add_request(prompt, greedy())
+    sched = eng.scheduler.schedule()
+    assert sched.prefills[0].start == 0
+
+
+def test_sleep_wake_preserves_outputs():
+    eng = make_engine()
+    prompt = list(range(5, 30))
+    a = run_all(eng, [prompt], [greedy()])[0]
+    eng.sleep(level=1)
+    assert eng.runner.params is None
+    eng.wake_up()
+    b = run_all(eng, [prompt], [greedy()])[0]
+    assert a.outputs[0].token_ids == b.outputs[0].token_ids
+
+
+def test_sleep_level2_reloads_from_source():
+    eng = make_engine()
+    prompt = list(range(5, 30))
+    a = run_all(eng, [prompt], [greedy()])[0]
+    eng.sleep(level=2)
+    eng.wake_up()  # dummy model: re-init from the same seed
+    b = run_all(eng, [prompt], [greedy()])[0]
+    assert a.outputs[0].token_ids == b.outputs[0].token_ids
+
+
+def test_reload_weights_changes_outputs():
+    from vllm_omni_tpu.models.decoder import init_params
+    from vllm_omni_tpu.models.weights import hf_config_to_decoder_config
+
+    eng = make_engine()
+    prompt = list(range(5, 30))
+    a = run_all(eng, [prompt], [greedy()])[0]
+    cfg = hf_config_to_decoder_config(TINY_HF)
+    new_params = init_params(cfg, jax.random.PRNGKey(99), jnp.float32)
+    eng.reload_weights(new_params)
+    b = run_all(eng, [prompt], [greedy()])[0]
+    assert a.outputs[0].token_ids != b.outputs[0].token_ids
+
+
+def test_profiler_start_stop(tmp_path):
+    from vllm_omni_tpu.profiler import StageProfiler
+
+    prof = StageProfiler(base_dir=str(tmp_path), stage_id=3)
+    out = prof.start()
+    assert prof.is_active
+    _ = jnp.ones((8, 8)) @ jnp.ones((8, 8))
+    stopped = prof.stop()
+    assert stopped == out and not prof.is_active
+    import os
+
+    assert any("stage3" in d for d in os.listdir(tmp_path))

@@ -26,14 +26,21 @@ class PageAllocation:
 class BlockManager:
     def __init__(self, num_pages: int, page_size: int,
                  enable_prefix_caching: bool = False) -> None:
+        from collections import OrderedDict
+
         if num_pages <= 0 or page_size <= 0:
             raise ValueError("num_pages and page_size must be positive")
         self.num_pages = num_pages
         self.page_size = page_size
         self.enable_prefix_caching = enable_prefix_caching
         # page 0 is reserved as the null page that padding slots of the
-        # page table point to — keeps gathers in-bounds under static shapes
-        self._free: list[int] = list(range(num_pages - 1, 0, -1))
+        # page table point to — keeps gathers in-bounds under static
+        # shapes. Free pages keep their prefix-cache hash until actually
+        # reallocated (evict-on-reuse, vLLM semantics): the OrderedDict's
+        # insertion order is the eviction order (LRU — least recently
+        # freed is evicted first).
+        self._free: "OrderedDict[int, None]" = OrderedDict(
+            (p, None) for p in range(1, num_pages))
         self._refcount: dict[int, int] = {}
         # full-page content hash → page id (prefix cache)
         self._hash_to_page: dict[int, int] = {}
@@ -68,7 +75,11 @@ class BlockManager:
                 page = self._hash_to_page.get(h)
                 if page is None:
                     break
-                self._refcount[page] += 1
+                if page in self._free:  # revive a cached-but-free page
+                    del self._free[page]
+                    self._refcount[page] = 1
+                else:
+                    self._refcount[page] += 1
                 alloc.page_ids.append(page)
                 alloc.num_cached_tokens += self.page_size
         remaining = need - len(alloc.page_ids)
@@ -79,10 +90,18 @@ class BlockManager:
             raise MemoryError(
                 f"need {remaining} pages, have {self.num_free_pages}")
         for _ in range(remaining):
-            page = self._free.pop()
-            self._refcount[page] = 1
-            alloc.page_ids.append(page)
+            alloc.page_ids.append(self._take_free())
         return alloc
+
+    def _take_free(self) -> int:
+        """Pop the eviction-order head of the free list, dropping its
+        stale prefix-cache entry (evict-on-reuse)."""
+        page, _ = self._free.popitem(last=False)
+        h = self._page_to_hash.pop(page, None)
+        if h is not None:
+            self._hash_to_page.pop(h, None)
+        self._refcount[page] = 1
+        return page
 
     def extend(self, page_ids: list[int], old_tokens: int,
                new_tokens: int) -> list[int]:
@@ -93,11 +112,7 @@ class BlockManager:
             return []
         if need > self.num_free_pages:
             raise MemoryError("out of KV pages")
-        added = []
-        for _ in range(need):
-            page = self._free.pop()
-            self._refcount[page] = 1
-            added.append(page)
+        added = [self._take_free() for _ in range(need)]
         page_ids.extend(added)
         return added
 
@@ -112,10 +127,8 @@ class BlockManager:
         rc -= 1
         if rc == 0:
             del self._refcount[page]
-            h = self._page_to_hash.pop(page, None)
-            if h is not None:
-                self._hash_to_page.pop(h, None)
-            self._free.append(page)
+            # hash entries survive the free — reuse evicts them lazily
+            self._free[page] = None
         else:
             self._refcount[page] = rc
 

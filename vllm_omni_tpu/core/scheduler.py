@@ -162,8 +162,13 @@ class Scheduler:
                 alloc = self.block_manager.allocate(
                     target_tokens, token_ids=req.prompt_token_ids)
                 req.page_ids = alloc.page_ids
-                if alloc.num_cached_tokens > req.num_computed_tokens:
-                    req.num_computed_tokens = alloc.num_cached_tokens
+                # always recompute ≥1 prompt token so the step that
+                # samples the first output token has fresh logits (vLLM
+                # semantics; the overlapping KV write is value-identical)
+                cached = min(alloc.num_cached_tokens,
+                             req.num_prompt_tokens - 1)
+                if cached > req.num_computed_tokens:
+                    req.num_computed_tokens = cached
                     remaining = req.num_prompt_tokens - req.num_computed_tokens
                     chunk = min(remaining, budget)
                     target_tokens = req.num_computed_tokens + chunk

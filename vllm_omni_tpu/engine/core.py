@@ -107,6 +107,18 @@ class EngineCore:
     def has_unfinished(self) -> bool:
         return self.scheduler.has_unfinished()
 
+    # -- sleep mode ----------------------------------------------------------
+    def sleep(self, level: int = 1) -> None:
+        if self.has_unfinished():
+            raise RuntimeError("cannot sleep with requests in flight")
+        self.runner.sleep(level)
+
+    def wake_up(self) -> None:
+        self.runner.wake_up()
+
+    def reload_weights(self, params: dict) -> None:
+        self.runner.reload_weights(params)
+
     # -- stepping -----------------------------------------------------------
     def _pick_lookahead(self) -> int:
         """Chained decode steps for the next schedule.

@@ -318,6 +318,43 @@ class ModelRunner:
             self._fn_cache[key] = fn
         return fn
 
+    # -- sleep mode / weight reload ------------------------------------------
+    def sleep(self, level: int = 1) -> None:
+        """Free device memory (reference: diffusion_worker.py:278-357
+        sleep/wake_up with CuMem pools). level 1: weights offload to host
+        RAM; level 2: weights dropped entirely (wake reloads from the
+        model source). KV pages are freed either way."""
+        if level >= 2:
+            self._host_params = None
+        else:
+            self._host_params = jax.device_get(self.params)
+        self.params = None
+        self.kv_pages = None
+        self._decode_cache = None
+        self._sleeping = True
+
+    def wake_up(self) -> None:
+        if not getattr(self, "_sleeping", False):
+            return
+        if getattr(self, "_host_params", None) is not None:
+            self.params = jax.device_put(self._host_params)
+            self._host_params = None
+        else:
+            from vllm_omni_tpu.models.weights import load_model
+
+            _, params, _ = load_model(self.config.model)
+            self.params = params
+        self.kv_pages = self._alloc_kv()
+        self._sleeping = False
+
+    def reload_weights(self, params: dict) -> None:
+        """Swap in a new parameter pytree (reference: collective_rpc
+        load_weights diffusion_worker.py:259 — RL rollout weight
+        updates). Structure must match."""
+        jax.tree.map(lambda a, b: None, self.params or params, params)
+        self.params = jax.device_put(params)
+        self._decode_cache = None
+
     # -- host-side batch building -------------------------------------------
     def _page_bucket(self, max_pages: int) -> int:
         """Block-table width bucket. Floor of 32: every distinct width is
