@@ -40,3 +40,24 @@ def test_parallel_matches_single_device(parallel):
     base = run()
     par = run(parallel)
     np.testing.assert_allclose(par, base, rtol=2e-4, atol=2e-4)
+
+
+def test_vae_patch_parallel_decode_parity():
+    """Full pipeline with image output: sharded VAE decode matches
+    single-device pixels (reference test_vae_decode_parallelism.py)."""
+    base = run_full(None)
+    par = run_full({"ulysses_degree": 2, "tensor_parallel_size": 2})
+    np.testing.assert_allclose(par.astype(np.float32),
+                               base.astype(np.float32), atol=1.5)
+
+
+def run_full(parallel):
+    cfg = DiffusionConfig(
+        dit=DiTConfig(**TINY_DIT), dtype="float32",
+        vae_latent_channels=4, flow_shift=1.0,
+        resolution_buckets=((32, 32),), parallel=parallel or {})
+    eng = DiffusionEngine(cfg)
+    p = DiffusionSamplingParams(
+        num_inference_steps=2, height=32, width=32, seed=11,
+        guidance_scale=1.0, output_type="np")
+    return eng.generate([DiffusionRequest("r", "a prompt", p)])[0].images

@@ -140,13 +140,22 @@ def _dit_block(layer: Params, cfg: DiTConfig, x: jnp.ndarray,
     k = rms_norm(k, layer["k_norm"])
     q = apply_rope_interleaved(q, cos, sin)
     k = apply_rope_interleaved(k, cos, sin)
-    # Ulysses: seq-shard → head-shard for the attention body
-    head_spec = P("cfg", None, ("ulysses", "tp"), None)
-    q = _constrain(q, mesh, head_spec)
-    k = _constrain(k, mesh, head_spec)
-    v = _constrain(v, mesh, head_spec)
-    attn = mha_xla(q, k, v, scale=cfg.head_dim ** -0.5, causal=False)
-    attn = _constrain(attn, mesh, P("cfg", "ulysses", None, None))
+    from vllm_omni_tpu.ops.ring_attention import (ring_applicable,
+                                                  ring_attention)
+
+    if ring_applicable(mesh, q.shape):
+        # ring SP: seq shards stay put, KV blocks rotate over ICI with
+        # online-softmax merge (composes with head-parallel ulysses/tp)
+        attn = ring_attention(q, k, v, scale=cfg.head_dim ** -0.5,
+                              mesh=mesh)
+    else:
+        # Ulysses: seq-shard → head-shard for the attention body
+        head_spec = P("cfg", None, ("ulysses", "tp"), None)
+        q = _constrain(q, mesh, head_spec)
+        k = _constrain(k, mesh, head_spec)
+        v = _constrain(v, mesh, head_spec)
+        attn = mha_xla(q, k, v, scale=cfg.head_dim ** -0.5, causal=False)
+        attn = _constrain(attn, mesh, P("cfg", "ulysses", None, None))
     attn = linear(attn.reshape(b, t, cfg.num_heads * cfg.head_dim),
                   layer["o_proj"])
     x = x + gate_a[:, None, :] * attn

@@ -273,7 +273,29 @@ class DiffusionPipeline:
 
     @functools.cache
     def _decode_fn(self):
-        return jax.jit(vae_decode)
+        mesh = self.mesh
+
+        def decode(params, latents):
+            if mesh is not None:
+                # VAE patch parallelism (reference
+                # vae_patch_parallel.py:348 _distributed_patch_decode):
+                # shard the latent height across the sp/tp ranks — XLA
+                # halo-exchanges the conv edges, gather at the end
+                from jax.sharding import NamedSharding
+                from jax.sharding import PartitionSpec as P
+
+                axes = tuple(a for a in ("ring", "ulysses", "tp")
+                             if mesh.shape.get(a, 1) > 1)
+                size = 1
+                for a in axes:
+                    size *= mesh.shape[a]
+                if axes and latents.shape[1] % size == 0:
+                    latents = jax.lax.with_sharding_constraint(
+                        latents, NamedSharding(mesh, P(None, axes, None,
+                                                       None)))
+            return vae_decode(params, latents)
+
+        return jax.jit(decode)
 
     # -- whole request -------------------------------------------------------
     def run(self, req: DiffusionRequest) -> tuple[Any, DenoiseState]:

@@ -97,6 +97,15 @@ def linear(x: jnp.ndarray, p: Params, group_size: int = 128) -> jnp.ndarray:
             method = "fp8"
         out = quantized_matmul(x, w_q, p["scale"], method,
                                group_size=group_size)
+    if "lora_a" in p:
+        # runtime LoRA (models/lora.py): rank-r bypass added to the base
+        # matmul — the only option for quantized bases, negligible FLOPs
+        lora = jnp.dot(jnp.dot(x, p["lora_a"].astype(x.dtype),
+                               preferred_element_type=jnp.float32)
+                       .astype(x.dtype),
+                       p["lora_b"].astype(x.dtype),
+                       preferred_element_type=jnp.float32)
+        out = out + lora.astype(out.dtype)
     if "b" in p:
         out = out + p["b"].astype(out.dtype)
     return out

@@ -1,0 +1,181 @@
+"""Runtime LoRA adapters.
+
+Reference parity: diffusion/lora/manager.py:36 (DiffusionLoRAManager —
+runtime load/unload/scale) and upstream vLLM's AR LoRA. Pure-pytree
+design: an adapter is a parallel pytree of {"lora_a","lora_b"} pairs;
+`attach` returns a new params tree whose linears carry the adapter
+(models/decoder.py `linear` applies x@A@B on top of the base matmul —
+works for quantized bases too, where merging is impossible). `merge`
+folds the delta into full-precision weights for zero runtime overhead.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vllm_omni_tpu.logger import init_logger
+
+logger = init_logger(__name__)
+
+_LINEAR_NAMES = {"q_proj", "k_proj", "v_proj", "o_proj", "gate_proj",
+                 "up_proj", "down_proj", "lm_head", "mlp_in", "mlp_out"}
+
+
+def _walk(node: Any, name: str, fn) -> Any:
+    if isinstance(node, dict):
+        if name in _LINEAR_NAMES and ("w" in node or "w_q" in node):
+            return fn(name, node)
+        return {k: _walk(v, k, fn) for k, v in node.items()}
+    if isinstance(node, list):
+        return [_walk(v, name, fn) for v in node]
+    return node
+
+
+def init_lora(params: dict, rank: int = 8, key=None, scale: float = 1.0,
+              targets: Optional[set[str]] = None,
+              dtype=jnp.float32) -> dict:
+    """Random adapter matching `params` structure (A ~ N(0, 1/r), B = 0
+    — standard LoRA init). Returns {path-matching pytree of
+    {"lora_a","lora_b"}} with scale folded into B's future updates."""
+    targets = targets or {"q_proj", "v_proj"}
+    counter = [0]
+    key = key if key is not None else jax.random.PRNGKey(0)
+
+    def make(name, node):
+        if name not in targets:
+            return None
+        w = node.get("w")
+        if w is not None:
+            k_in, n_out = w.shape
+        else:
+            wq = node["w_q"]
+            k_in, n_out = wq.shape
+            if wq.dtype == jnp.uint8:  # nibble-packed int4
+                k_in *= 2
+        counter[0] += 1
+        sub = jax.random.fold_in(key, counter[0])
+        return {
+            "lora_a": (jax.random.normal(sub, (k_in, rank), jnp.float32) /
+                       rank).astype(dtype),
+            "lora_b": jnp.zeros((rank, n_out), dtype),
+        }
+
+    return _walk(params, "", make)
+
+
+def attach(params: dict, lora: dict, scale: float = 1.0) -> dict:
+    """New params tree whose targeted linears carry lora_a/lora_b (scale
+    pre-multiplied into lora_b). Base weights are shared, not copied."""
+
+    def walk(p_node, l_node, name):
+        if isinstance(p_node, dict):
+            if name in _LINEAR_NAMES and ("w" in p_node or
+                                          "w_q" in p_node):
+                if not isinstance(l_node, dict) or "lora_a" not in l_node:
+                    return dict(p_node)
+                new = dict(p_node)
+                new["lora_a"] = l_node["lora_a"]
+                new["lora_b"] = (l_node["lora_b"].astype(jnp.float32) *
+                                 scale).astype(l_node["lora_b"].dtype)
+                return new
+            return {k: walk(v, (l_node or {}).get(k) if isinstance(
+                l_node, dict) else None, k) for k, v in p_node.items()}
+        if isinstance(p_node, list):
+            l_list = l_node if isinstance(l_node, list) else [None] * len(
+                p_node)
+            return [walk(v, l, name) for v, l in zip(p_node, l_list)]
+        return p_node
+
+    return walk(params, lora, "")
+
+
+def detach(params: dict) -> dict:
+    """Strip adapters (unload)."""
+
+    def walk(node, name):
+        if isinstance(node, dict):
+            return {k: walk(v, k) for k, v in node.items()
+                    if k not in ("lora_a", "lora_b")}
+        if isinstance(node, list):
+            return [walk(v, name) for v in node]
+        return node
+
+    return walk(params, "")
+
+
+def merge(params: dict) -> dict:
+    """Fold adapters into full-precision base weights (w += A@B);
+    quantized bases stay unmerged (runtime-add path)."""
+
+    def fold(name, node):
+        if "lora_a" not in node:
+            return dict(node)
+        new = {k: v for k, v in node.items()
+               if k not in ("lora_a", "lora_b")}
+        if "w" in node:
+            delta = jnp.dot(node["lora_a"].astype(jnp.float32),
+                            node["lora_b"].astype(jnp.float32))
+            new["w"] = (node["w"].astype(jnp.float32) + delta).astype(
+                node["w"].dtype)
+        else:
+            new["lora_a"] = node["lora_a"]  # cannot merge into int weights
+            new["lora_b"] = node["lora_b"]
+        return new
+
+    return _walk(params, "", fold)
+
+
+def load_peft_safetensors(path: str, dtype=jnp.float32) -> dict:
+    """HF PEFT adapter_model.safetensors → adapter pytree (llama-style
+    names: base_model.model.model.layers.N.self_attn.q_proj.lora_A...)."""
+    import os
+
+    from safetensors import safe_open
+
+    f = os.path.join(path, "adapter_model.safetensors")
+    layers: dict[int, dict] = {}
+    with safe_open(f, framework="numpy") as st:
+        for tname in st.keys():
+            parts = tname.split(".")
+            try:
+                i = parts.index("layers")
+            except ValueError:
+                continue
+            layer_idx = int(parts[i + 1])
+            proj = parts[i + 3] if parts[i + 2] == "self_attn" else \
+                parts[i + 3]
+            which = "lora_a" if "lora_A" in tname else "lora_b"
+            arr = jnp.asarray(np.asarray(st.get_tensor(tname)).T).astype(
+                dtype)
+            layers.setdefault(layer_idx, {}).setdefault(
+                proj, {})[which] = arr
+    max_layer = max(layers) if layers else -1
+    return {"layers": [layers.get(i, {}) for i in range(max_layer + 1)]}
+
+
+class LoRAManager:
+    """Named adapter registry + engine hookup (reference
+    DiffusionLoRAManager: load/unload/scale at runtime)."""
+
+    def __init__(self, base_params: dict) -> None:
+        self.base = base_params
+        self.adapters: dict[str, dict] = {}
+        self.active: Optional[str] = None
+
+    def register(self, name: str, lora: dict) -> None:
+        self.adapters[name] = lora
+
+    def load(self, name: str, path: str) -> None:
+        self.register(name, load_peft_safetensors(path))
+
+    def activate(self, name: Optional[str],
+                 scale: float = 1.0) -> dict:
+        """→ params tree to hand to the runner (reload_weights)."""
+        self.active = name
+        if name is None:
+            return self.base
+        return attach(self.base, self.adapters[name], scale)

@@ -349,9 +349,9 @@ class ModelRunner:
 
     def reload_weights(self, params: dict) -> None:
         """Swap in a new parameter pytree (reference: collective_rpc
-        load_weights diffusion_worker.py:259 — RL rollout weight
-        updates). Structure must match."""
-        jax.tree.map(lambda a, b: None, self.params or params, params)
+        load_weights diffusion_worker.py:259 — RL rollout weight updates,
+        LoRA activate/deactivate). A different structure (e.g. added LoRA
+        leaves) simply retraces the step programs."""
         self.params = jax.device_put(params)
         self._decode_cache = None
 
