@@ -1,0 +1,97 @@
+"""Process-isolated stage engine tests: subprocess + ZMQ control/data
+plane (reference: StageEngineCoreProc subprocess busy loop)."""
+
+import numpy as np
+import pytest
+
+from vllm_omni_tpu.config.stage_config import load_stage_configs
+from vllm_omni_tpu.core.sampling_params import SamplingParams
+from vllm_omni_tpu.engine.orchestrator import PipelineRunner
+from vllm_omni_tpu.engine.stage_proc import StageProcClient
+
+TINY_HF = {
+    "architectures": ["Qwen3ForCausalLM"],
+    "vocab_size": 128, "hidden_size": 32, "intermediate_size": 64,
+    "num_hidden_layers": 2, "num_attention_heads": 2,
+    "num_key_value_heads": 2, "head_dim": 16, "eos_token_id": 0,
+}
+ARGS = dict(model="dummy", hf_overrides=TINY_HF, dtype="float32",
+            max_model_len=128, num_pages=32, page_size=16,
+            max_num_seqs=4, max_num_batched_tokens=64)
+
+
+@pytest.fixture(scope="module")
+def client():
+    c = StageProcClient(ARGS, platform="cpu")
+    yield c
+    c.shutdown()
+
+
+def drain(client, rids):
+    import time
+
+    finals = {}
+    deadline = time.time() + 120
+    while len(finals) < len(rids):
+        for o in client.step():
+            if o.finished:
+                finals[o.request_id] = o
+        if time.time() > deadline:
+            raise TimeoutError("stage proc outputs timed out")
+        time.sleep(0.005)
+    return [finals[r] for r in rids]
+
+
+def test_proc_engine_matches_inproc(client):
+    from vllm_omni_tpu.config.engine import EngineConfig
+    from vllm_omni_tpu.engine.core import EngineCore
+
+    sp = SamplingParams(max_tokens=6, temperature=0.0, ignore_eos=True)
+    rid = client.add_request(list(range(1, 12)), sp)
+    proc_out = drain(client, [rid])[0]
+
+    eng = EngineCore(EngineConfig.from_kwargs(**ARGS))
+    rid2 = eng.add_request(list(range(1, 12)), sp)
+    while eng.has_unfinished():
+        for o in eng.step():
+            if o.finished:
+                inproc_out = o
+    assert proc_out.outputs[0].token_ids == inproc_out.outputs[0].token_ids
+    assert not client.has_unfinished()
+
+
+def test_proc_hidden_states_cross_boundary(client):
+    sp = SamplingParams(max_tokens=3, temperature=0.0, ignore_eos=True,
+                        return_hidden_states=True)
+    rid = client.add_request(list(range(1, 9)), sp)
+    out = drain(client, [rid])[0]
+    hs = out.outputs[0].hidden_states
+    assert hs is not None and np.asarray(hs).shape[-1] == 32
+
+
+def test_pipeline_with_isolated_stage():
+    """2-stage pipeline where the talker runs in its own process; hidden
+    states cross the process boundary through the payload codec."""
+    cfg = {
+        "stage_args": [
+            {"stage_id": 0, "stage_type": "llm", "engine_args": ARGS,
+             "default_sampling_params": {"max_tokens": 4,
+                                         "temperature": 0.0,
+                                         "ignore_eos": True}},
+            {"stage_id": 1, "stage_type": "llm",
+             "engine_args": dict(ARGS, seed=1, process_isolation=True),
+             "engine_input_source": [0], "final_output": True,
+             "default_sampling_params": {"max_tokens": 3,
+                                         "temperature": 0.0,
+                                         "ignore_eos": True}},
+        ]
+    }
+    runner = PipelineRunner(load_stage_configs(cfg))
+    try:
+        sp = SamplingParams(max_tokens=4, temperature=0.0,
+                            ignore_eos=True)
+        outs = runner.generate([list(range(1, 10))], [sp])
+        assert outs[0].finished and outs[0].error is None
+        assert len(outs[0].outputs[0].token_ids) == 3
+    finally:
+        runner.shutdown()

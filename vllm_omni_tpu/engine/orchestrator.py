@@ -162,14 +162,31 @@ class PipelineRunner:
                 args.setdefault("model", default_model)
                 if args.get("model") is None:
                     raise ValueError(f"stage {stage.stage_id} has no model")
-                config = EngineConfig.from_kwargs(**args)
-                tok = get_tokenizer(config.model.tokenizer or
-                                    config.model.model,
-                                    config.model.trust_remote_code)
-                engine = EngineCore(config, tokenizer=tok)
-                handle = _StageHandle(stage, engine, "llm")
-                if stage.stage_id == 0 and tok is not None:
-                    self.tokenizer = tok
+                isolate = args.pop("process_isolation", False)
+                if isolate:
+                    # subprocess engine + ZMQ control/data plane
+                    # (reference StageEngineCoreProc)
+                    from vllm_omni_tpu.engine.stage_proc import \
+                        StageProcClient
+                    from vllm_omni_tpu.platforms import current_platform
+
+                    engine = StageProcClient(
+                        args,
+                        platform="cpu" if current_platform().is_cpu
+                        else None,
+                        visible_devices=str(stage.runtime.devices)
+                        if stage.runtime.devices not in ("all", None)
+                        else None)
+                    handle = _StageHandle(stage, engine, "llm")
+                else:
+                    config = EngineConfig.from_kwargs(**args)
+                    tok = get_tokenizer(config.model.tokenizer or
+                                        config.model.model,
+                                        config.model.trust_remote_code)
+                    engine = EngineCore(config, tokenizer=tok)
+                    handle = _StageHandle(stage, engine, "llm")
+                    if stage.stage_id == 0 and tok is not None:
+                        self.tokenizer = tok
             self.handles[stage.stage_id] = handle
             proc = stage.resolve_input_processor()
             self.processors[stage.stage_id] = proc or default_process_input
@@ -369,6 +386,11 @@ class PipelineRunner:
             finals.append(out)
         return finals
 
+    def shutdown(self) -> None:
+        for h in self.handles.values():
+            if hasattr(h.engine, "shutdown"):
+                h.engine.shutdown()
+
     def abort(self, request_id: str) -> bool:
         """Abort across all stages (reference: orchestrator abort fan-out
         orchestrator.py:247-260)."""
@@ -409,7 +431,8 @@ class PipelineRunner:
                         diffusion_params=dp, **kwargs)
         ticks = 0
         while self.has_unfinished():
-            self.step()
+            if not self.step():
+                time.sleep(0.0005)  # idle tick (proc stages poll async)
             ticks += 1
             if ticks > 1_000_000:
                 raise RuntimeError("pipeline stalled")

@@ -1,0 +1,230 @@
+"""Process-isolated stage engines.
+
+Reference parity: StageEngineCoreProc (stage_engine_core_proc.py:41 — a
+subprocess wrapping the engine busy loop) + StageEngineCoreClient
+(stage_engine_core_client.py:30 — ZMQ client in the orchestrator
+process). Control messages ride ZMQ PUSH/PULL with the msgpack+raw-bytes
+payload codec (distributed/serialization.py); each stage proc owns its
+own JAX runtime (and, on hardware, its own chip subset via
+JAX visible-device env).
+
+Enable per stage with `process_isolation: true` in engine_args.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import multiprocessing as mp
+import threading
+import time
+from typing import Any, Optional
+
+import zmq
+
+from vllm_omni_tpu.core.outputs import CompletionOutput, RequestOutput
+from vllm_omni_tpu.core.sampling_params import SamplingParams
+from vllm_omni_tpu.distributed.serialization import (decode_payload,
+                                                     encode_payload)
+from vllm_omni_tpu.logger import init_logger
+
+logger = init_logger(__name__)
+
+
+# ---------------------------------------------------------------------------
+# Subprocess side
+# ---------------------------------------------------------------------------
+
+
+def _stage_proc_main(engine_kwargs: dict, ctrl_addr: str, out_addr: str,
+                     platform: Optional[str], visible_devices:
+                     Optional[str]) -> None:
+    import os
+
+    if visible_devices is not None:
+        os.environ["JAX_VISIBLE_DEVICES"] = visible_devices
+    if platform == "cpu":
+        os.environ.setdefault(
+            "XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+        os.environ["OMNI_TPU_PLATFORM"] = "cpu"
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    from vllm_omni_tpu.config.engine import EngineConfig
+    from vllm_omni_tpu.engine.core import EngineCore
+
+    ctx = zmq.Context()
+    ctrl = ctx.socket(zmq.PULL)
+    ctrl.connect(ctrl_addr)
+    out = ctx.socket(zmq.PUSH)
+    out.connect(out_addr)
+
+    engine = EngineCore(EngineConfig.from_kwargs(**engine_kwargs))
+    out.send(encode_payload({"type": "ready"}))
+
+    running = True
+    while running:
+        # drain control messages (non-blocking when engine is busy)
+        timeout = 0 if engine.has_unfinished() else 50
+        while ctrl.poll(timeout):
+            msg = decode_payload(ctrl.recv())
+            kind = msg["type"]
+            if kind == "add":
+                sp = SamplingParams(**msg["sampling_params"])
+                try:
+                    engine.add_request(
+                        list(msg.get("prompt_token_ids") or []), sp,
+                        request_id=msg["request_id"],
+                        **{k: v for k, v in msg.get("kwargs", {}).items()})
+                except Exception as e:
+                    out.send(encode_payload({
+                        "type": "output",
+                        "request_id": msg["request_id"],
+                        "finished": True, "error": str(e)}))
+            elif kind == "chunk":
+                engine.notify_chunk(msg["request_id"],
+                                    list(msg.get("token_ids") or []),
+                                    final=bool(msg.get("final")))
+            elif kind == "abort":
+                engine.abort_request(msg["request_id"])
+                out.send(encode_payload({
+                    "type": "output", "request_id": msg["request_id"],
+                    "finished": True, "error": "aborted"}))
+            elif kind == "shutdown":
+                running = False
+                break
+            timeout = 0
+        if not running:
+            break
+        if engine.has_unfinished():
+            for o in engine.step():
+                out.send(encode_payload(_output_to_wire(o)))
+        else:
+            time.sleep(0.002)
+    ctrl.close(0)
+    out.close(0)
+    ctx.term()
+
+
+def _output_to_wire(o: RequestOutput) -> dict:
+    comp = o.outputs[0] if o.outputs else None
+    return {
+        "type": "output",
+        "request_id": o.request_id,
+        "finished": o.finished,
+        "error": o.error,
+        "token_ids": list(comp.token_ids) if comp else [],
+        "text": comp.text if comp else "",
+        "finish_reason": comp.finish_reason if comp else None,
+        "hidden_states": comp.hidden_states if comp is not None and
+        comp.hidden_states is not None else None,
+        "additional_information": o.additional_information,
+        "metrics": o.metrics,
+    }
+
+
+def _output_from_wire(msg: dict) -> RequestOutput:
+    comp = CompletionOutput(
+        index=0, text=msg.get("text", ""),
+        token_ids=list(msg.get("token_ids") or []),
+        finish_reason=msg.get("finish_reason"),
+        hidden_states=msg.get("hidden_states"))
+    return RequestOutput(
+        request_id=msg["request_id"], outputs=[comp],
+        finished=bool(msg.get("finished")), error=msg.get("error"),
+        additional_information=msg.get("additional_information") or {},
+        metrics=msg.get("metrics") or {})
+
+
+# ---------------------------------------------------------------------------
+# Client side
+# ---------------------------------------------------------------------------
+
+
+class StageProcClient:
+    """Orchestrator-side handle to a process-isolated stage engine.
+    Same surface as an in-proc EngineCore for PipelineRunner."""
+
+    def __init__(self, engine_kwargs: dict,
+                 platform: Optional[str] = None,
+                 visible_devices: Optional[str] = None,
+                 startup_timeout_s: float = 300.0) -> None:
+        self.ctx = zmq.Context.instance()
+        self.ctrl = self.ctx.socket(zmq.PUSH)
+        cport = self.ctrl.bind_to_random_port("tcp://127.0.0.1")
+        self.out = self.ctx.socket(zmq.PULL)
+        oport = self.out.bind_to_random_port("tcp://127.0.0.1")
+        self._inflight: set[str] = set()
+        self._lock = threading.Lock()
+        mp_ctx = mp.get_context("spawn")
+        self.proc = mp_ctx.Process(
+            target=_stage_proc_main,
+            args=(engine_kwargs, f"tcp://127.0.0.1:{cport}",
+                  f"tcp://127.0.0.1:{oport}", platform, visible_devices),
+            daemon=True)
+        self.proc.start()
+        if not self.out.poll(int(startup_timeout_s * 1000)):
+            self.shutdown()
+            raise TimeoutError("stage proc did not become ready")
+        ready = decode_payload(self.out.recv())
+        assert ready.get("type") == "ready"
+
+    # EngineCore-compatible surface ------------------------------------------
+    def add_request(self, prompt_token_ids, sampling_params=None,
+                    request_id: Optional[str] = None,
+                    **kwargs: Any) -> str:
+        from vllm_omni_tpu.utils import random_uuid
+
+        rid = request_id or random_uuid()
+        sp = sampling_params or SamplingParams()
+        with self._lock:
+            self._inflight.add(rid)
+        self.ctrl.send(encode_payload({
+            "type": "add", "request_id": rid,
+            "prompt_token_ids": list(prompt_token_ids or []),
+            "sampling_params": dataclasses.asdict(sp),
+            "kwargs": kwargs,
+        }))
+        return rid
+
+    def notify_chunk(self, request_id: str, token_ids, final=False):
+        self.ctrl.send(encode_payload({
+            "type": "chunk", "request_id": request_id,
+            "token_ids": list(token_ids or []), "final": final}))
+
+    def abort_request(self, request_id: str) -> bool:
+        hit = request_id in self._inflight
+        self.ctrl.send(encode_payload({"type": "abort",
+                                       "request_id": request_id}))
+        return hit
+
+    def has_unfinished(self) -> bool:
+        return bool(self._inflight)
+
+    def step(self) -> list[RequestOutput]:
+        """Drain whatever outputs the stage proc has pushed (the proc
+        steps itself — this never blocks)."""
+        outs: list[RequestOutput] = []
+        while self.out.poll(0):
+            msg = decode_payload(self.out.recv())
+            if msg.get("type") != "output":
+                continue
+            o = _output_from_wire(msg)
+            if o.finished:
+                with self._lock:
+                    self._inflight.discard(o.request_id)
+            outs.append(o)
+        return outs
+
+    def shutdown(self) -> None:
+        try:
+            self.ctrl.send(encode_payload({"type": "shutdown"}),
+                           flags=zmq.NOBLOCK)
+        except Exception:
+            pass
+        self.proc.join(timeout=5)
+        if self.proc.is_alive():
+            self.proc.terminate()
+            self.proc.join(timeout=2)
+        self.ctrl.close(0)
+        self.out.close(0)

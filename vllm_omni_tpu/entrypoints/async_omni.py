@@ -131,6 +131,7 @@ class AsyncOmni:
     def shutdown(self) -> None:
         self._stop = True
         self._thread.join(timeout=5)
+        self.runner.shutdown()
 
     # context manager sugar
     def __enter__(self):

@@ -321,12 +321,19 @@ def _linear_spec(name: str, leaf_name: str, leaf: Any) -> P:
     return P()
 
 
-def param_shardings(params: Params) -> Params:
+def param_shardings(params: Params,
+                    expert_parallel: bool = False) -> Params:
     """PartitionSpec pytree matching `params` for TP over axis "tp".
 
     Replaces the reference's RankGenerator/GroupCoordinator machinery
     (diffusion/distributed/parallel_state.py:676): the mesh + these specs
     are the entire parallelism definition; XLA inserts the collectives.
+
+    expert_parallel: shard MoE experts on the EXPERT dim over "tp"
+    instead of the intermediate dim — each rank owns E/tp whole experts
+    and the combine einsum contracts the expert dim into a psum
+    (reference EP overlay, docs/design/feature/expert_parallel.md:31-36;
+    EP reuses the existing mesh axes rather than adding one).
     """
 
     def walk(path: tuple, leaf: Any) -> P:
@@ -343,6 +350,8 @@ def param_shardings(params: Params) -> Params:
         if parent == "router":
             return P()
         if parent == "experts":
+            if expert_parallel:
+                return P("tp", None, None)
             if leaf_name in ("gate", "up"):
                 return P(None, None, "tp")
             if leaf_name == "down":

@@ -84,7 +84,8 @@ class ModelRunner:
         self.scale = decoder_cfg.head_dim ** -0.5
 
         if mesh is not None:
-            specs = param_shardings(params)
+            specs = param_shardings(
+                params, expert_parallel=config.parallel.expert_parallel)
             params = jax.tree.map(
                 lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
                 params, specs, is_leaf=lambda x: x is None)
