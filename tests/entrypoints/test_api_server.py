@@ -92,3 +92,61 @@ async def test_image_generations(aiohttp_client):
         assert png[:8] == b"\x89PNG\r\n\x1a\n"
     finally:
         o.shutdown()
+
+
+async def test_streaming_input_ws(client, omni):
+    """WS /v1/audio/speech/stream: feed prompt chunks into a live
+    resumable request; final message carries results."""
+    ws = await client.ws_connect("/v1/audio/speech/stream")
+    await ws.send_json({"token_ids": [1, 2, 3]})
+    await ws.send_json({"token_ids": [4, 5]})
+    await ws.send_json({"final": True})
+    done = None
+    async for msg in ws:
+        data = msg.json()
+        if data["type"] == "done":
+            done = data
+            break
+        assert data["type"] in ("progress", "error")
+        assert data["type"] != "error", data
+    assert done is not None
+    await ws.close()
+
+
+async def test_video_job_api(aiohttp_client):
+    o = AsyncOmni(model="dummy", stage_configs={
+        "stage_args": [{
+            "stage_id": 0, "stage_type": "diffusion",
+            "engine_args": {"dit": TINY_DIT, "dtype": "float32",
+                            "vae_latent_channels": 4,
+                            "resolution_buckets": [[32, 32]]},
+            "final_output": True, "final_output_type": "image"}]})
+    try:
+        client = await aiohttp_client(create_app(o, model_name="video"))
+        r = await client.post("/v1/videos", json={
+            "prompt": "a clip", "height": 32, "width": 32, "steps": 2})
+        job = await r.json()
+        assert job["status"] == "queued"
+        import asyncio
+
+        for _ in range(200):
+            r = await client.get(f"/v1/videos/{job['id']}")
+            st = (await r.json())["status"]
+            if st in ("completed", "failed"):
+                break
+            await asyncio.sleep(0.05)
+        assert st == "completed", st
+        r = await client.get(f"/v1/videos/{job['id']}/content")
+        data = await r.json()
+        assert data["frames"]
+        r = await client.get("/v1/videos/nope")
+        assert r.status == 404
+    finally:
+        o.shutdown()
+
+
+async def test_profiler_endpoints(client):
+    r = await client.post("/profiler/start")
+    assert (await r.json())["status"] == "started"
+    r = await client.post("/profiler/stop")
+    assert (await r.json())["status"] == "stopped"

@@ -386,6 +386,16 @@ class PipelineRunner:
             finals.append(out)
         return finals
 
+    def feed_input(self, request_id: str, token_ids: list[int],
+                   final: bool = False) -> None:
+        """Streaming input: append a prompt chunk to a resumable request
+        on the source stage(s) (reference: AsyncOmni
+        _add_streaming_input_request async_omni.py:279 — live TTS text)."""
+        for stage in self.pipeline.stages:
+            if not stage.engine_input_source:
+                self.handles[stage.stage_id].engine.notify_chunk(
+                    request_id, list(token_ids), final=final)
+
     def shutdown(self) -> None:
         for h in self.handles.values():
             if hasattr(h.engine, "shutdown"):

@@ -86,9 +86,12 @@ class AsyncOmni:
         sampling_params: Union[SamplingParams, DiffusionSamplingParams,
                                None] = None,
         request_id: Optional[str] = None, modality: str = "text",
+        resumable: bool = False,
     ) -> AsyncGenerator[RequestOutput, None]:
         """Async stream of RequestOutputs; the last one has
-        finished=True."""
+        finished=True. resumable=True opens a streaming-input request —
+        feed further prompt chunks with `feed_input` (live TTS,
+        reference async_omni.py:279)."""
         if self._dead is not None:
             raise EngineDeadError(str(self._dead))
         rid = request_id or random_uuid()
@@ -113,7 +116,8 @@ class AsyncOmni:
                     token_ids = self.runner._tokenize(prompt)
                     self.runner.submit(token_ids, sp, rid,
                                        modality=modality,
-                                       diffusion_params=dp)
+                                       diffusion_params=dp,
+                                       resumable=resumable)
             while True:
                 out = await q.get()
                 if isinstance(out, BaseException):
@@ -127,6 +131,14 @@ class AsyncOmni:
     async def abort(self, request_id: str) -> bool:
         with self._lock:
             return self.runner.abort(request_id)
+
+    async def feed_input(self, request_id: str,
+                         prompt: Union[str, list[int]],
+                         final: bool = False) -> None:
+        """Streaming input: append a chunk to a resumable request."""
+        token_ids = self.runner._tokenize(prompt) if prompt else []
+        with self._lock:
+            self.runner.feed_input(request_id, token_ids, final=final)
 
     def shutdown(self) -> None:
         self._stop = True

@@ -9,6 +9,7 @@ format (SSE for streams).
 
 from __future__ import annotations
 
+import asyncio
 import base64
 import io
 import json
@@ -247,21 +248,163 @@ def _wav_bytes(samples: np.ndarray, sample_rate: int) -> bytes:
     return hdr + pcm
 
 
+async def speech_stream_ws(request: web.Request) -> web.WebSocketResponse:
+    """WS /v1/audio/speech/stream (reference api_server.py:1182):
+    streaming *input* TTS — the client sends text chunks into a live
+    resumable request; token/progress events stream back, final message
+    carries the audio (base64 f32 PCM)."""
+    omni = request.app[OMNI_KEY]
+    ws = web.WebSocketResponse()
+    await ws.prepare(request)
+    rid = random_uuid()
+    state = {"first_chunk": None}
+
+    async def pump():
+        try:
+            async for out in omni.generate(
+                    state["first_chunk"], None, request_id=rid,
+                    modality="audio", resumable=True):
+                if out.finished:
+                    mm = _mm_delta(out) or {}
+                    await ws.send_json({"type": "done", **mm})
+                else:
+                    comp = out.outputs[0] if out.outputs else None
+                    await ws.send_json({
+                        "type": "progress",
+                        "num_tokens": len(comp.token_ids) if comp else 0})
+        except Exception as e:
+            await ws.send_json({"type": "error", "message": str(e)})
+
+    pump_task = None
+    async for msg in ws:
+        if msg.type != 1:  # aiohttp.WSMsgType.TEXT
+            break
+        data = json.loads(msg.data)
+        chunk = data.get("token_ids") or data.get("text") or []
+        final = bool(data.get("final"))
+        if pump_task is None:
+            state["first_chunk"] = chunk
+            pump_task = asyncio.ensure_future(pump())
+            # let pump() run through submit() before accepting chunk 2 —
+            # a chunk notify for a not-yet-submitted request would drop
+            await asyncio.sleep(0)
+            if final:
+                await omni.feed_input(rid, [], final=True)
+        else:
+            await omni.feed_input(rid, chunk, final=final)
+        if final:
+            break
+    if pump_task is not None:
+        await pump_task
+    await ws.close()
+    return ws
+
+
+# -- video job API (reference /v1/videos async job store,
+# api_server.py:2163-2381 + serving handlers storage.py/stores.py) --------
+
+JOBS_KEY = web.AppKey("video_jobs", dict)
+
+
+async def create_video_job(request: web.Request) -> web.Response:
+    omni = request.app[OMNI_KEY]
+    jobs = request.app[JOBS_KEY]
+    body = await request.json()
+    job_id = f"video-{random_uuid()}"
+    jobs[job_id] = {"id": job_id, "status": "queued", "result": None,
+                    "error": None}
+
+    async def run():
+        jobs[job_id]["status"] = "in_progress"
+        try:
+            from vllm_omni_tpu.core.sampling_params import \
+                DiffusionSamplingParams
+
+            dp = DiffusionSamplingParams(
+                num_inference_steps=body.get("steps", 20),
+                height=body.get("height", 256),
+                width=body.get("width", 256),
+                num_frames=body.get("num_frames", 1),
+                seed=body.get("seed"), output_type="np")
+            final = None
+            async for out in omni.generate(body.get("prompt", ""), dp,
+                                           modality="video"):
+                if out.finished:
+                    final = out
+            if final is None or final.error:
+                raise RuntimeError(final.error if final else "no output")
+            img = final.multimodal_output.get(
+                "image", final.multimodal_output.get("video"))
+            jobs[job_id]["result"] = [_png_b64(a) for a in
+                                      np.asarray(img)]
+            jobs[job_id]["status"] = "completed"
+        except Exception as e:
+            jobs[job_id]["status"] = "failed"
+            jobs[job_id]["error"] = str(e)
+
+    asyncio.ensure_future(run())
+    return web.json_response({"id": job_id, "status": "queued"})
+
+
+async def get_video_job(request: web.Request) -> web.Response:
+    jobs = request.app[JOBS_KEY]
+    job = jobs.get(request.match_info["job_id"])
+    if job is None:
+        return web.json_response({"error": "not found"}, status=404)
+    return web.json_response({k: v for k, v in job.items()
+                              if k != "result"})
+
+
+async def get_video_content(request: web.Request) -> web.Response:
+    jobs = request.app[JOBS_KEY]
+    job = jobs.get(request.match_info["job_id"])
+    if job is None or job["status"] != "completed":
+        return web.json_response({"error": "not ready"}, status=404)
+    return web.json_response({"id": job["id"], "frames": job["result"]})
+
+
+# -- profiler control (reference profiler_router api_server.py:124) -------
+
+PROF_KEY = web.AppKey("profiler", object)
+
+
+async def profiler_start(request: web.Request) -> web.Response:
+    out = request.app[PROF_KEY].start()
+    return web.json_response({"status": "started", "trace_dir": out})
+
+
+async def profiler_stop(request: web.Request) -> web.Response:
+    out = request.app[PROF_KEY].stop()
+    return web.json_response({"status": "stopped", "trace_dir": out})
+
+
 # ---------------------------------------------------------------------------
 # App assembly
 # ---------------------------------------------------------------------------
 
 
 def create_app(omni: AsyncOmni, model_name: str = "omni") -> web.Application:
+    import asyncio as _a  # noqa: F401  (used by handlers)
+
+    from vllm_omni_tpu.profiler import StageProfiler
+
     app = web.Application(client_max_size=64 * 1024 * 1024)
     app[OMNI_KEY] = omni
     app[NAME_KEY] = model_name
+    app[JOBS_KEY] = {}
+    app[PROF_KEY] = StageProfiler()
     app.router.add_get("/health", health)
     app.router.add_get("/v1/models", list_models)
     app.router.add_post("/v1/chat/completions", chat_completions)
     app.router.add_post("/v1/completions", completions)
     app.router.add_post("/v1/images/generations", image_generations)
     app.router.add_post("/v1/audio/speech", audio_speech)
+    app.router.add_get("/v1/audio/speech/stream", speech_stream_ws)
+    app.router.add_post("/v1/videos", create_video_job)
+    app.router.add_get("/v1/videos/{job_id}", get_video_job)
+    app.router.add_get("/v1/videos/{job_id}/content", get_video_content)
+    app.router.add_post("/profiler/start", profiler_start)
+    app.router.add_post("/profiler/stop", profiler_stop)
     return app
 
 
