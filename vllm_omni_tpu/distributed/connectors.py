@@ -105,8 +105,17 @@ class SharedMemoryConnector(ConnectorBase):
                     old.unlink()
                 except FileNotFoundError:
                     pass
-            seg = shared_memory.SharedMemory(name=name, create=True,
-                                             size=len(blob))
+            try:
+                seg = shared_memory.SharedMemory(name=name, create=True,
+                                                 size=len(blob))
+            except FileExistsError:
+                # stale segment from a previous crashed process/run with
+                # the same deterministic name — reclaim it
+                stale = shared_memory.SharedMemory(name=name)
+                stale.close()
+                stale.unlink()
+                seg = shared_memory.SharedMemory(name=name, create=True,
+                                                 size=len(blob))
             seg.buf[:len(blob)] = blob
             self._segments[name] = seg
         return True, len(blob), {"segment": name, "nbytes": len(blob)}
