@@ -116,7 +116,10 @@ class SharedMemoryConnector(ConnectorBase):
                 stale.unlink()
                 seg = shared_memory.SharedMemory(name=name, create=True,
                                                  size=len(blob))
-            seg.buf[:len(blob)] = blob
+            # payload first, magic last: a concurrent reader only trusts
+            # the segment once the magic bytes appear
+            seg.buf[5:len(blob)] = blob[5:]
+            seg.buf[:5] = blob[:5]
             self._segments[name] = seg
         return True, len(blob), {"segment": name, "nbytes": len(blob)}
 
@@ -127,9 +130,16 @@ class SharedMemoryConnector(ConnectorBase):
             seg = shared_memory.SharedMemory(name=name)
         except FileNotFoundError:
             raise KeyError(name) from None
+        except ValueError:
+            # writer created the segment but hasn't sized it yet (race
+            # between shm_open and ftruncate) — treat as not-ready
+            raise KeyError(name) from None
         try:
             nbytes = (metadata or {}).get("nbytes", seg.size)
             payload = decode_payload(bytes(seg.buf[:nbytes]))
+        except AssertionError:
+            # magic not present yet — writer still copying → not-ready
+            raise KeyError(name) from None
         finally:
             seg.close()
         return payload, nbytes
