@@ -181,3 +181,39 @@ def test_mha_gqa_matches_naive():
     out = mha_xla(q, k, v, scale=32 ** -0.5, causal=True)
     ref = naive_attention(q, k, v, 32 ** -0.5, causal=True)
     np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-5, atol=2e-5)
+
+
+def test_prefill_pallas_matches_xla_interpret():
+    """Pallas flash prefill (interpret mode on CPU) vs the XLA oracle,
+    incl. chunked rows with nonzero q_start."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vllm_omni_tpu.ops.attention import (paged_attention_prefill_pallas,
+                                             paged_attention_prefill_xla,
+                                             write_kv_pages)
+
+    hkv, pages, ps, d = 2, 16, 16, 128
+    hq, b, t = 4, 2, 32
+    key = jax.random.PRNGKey(0)
+    kp = jax.random.normal(key, (hkv, pages, ps, d), jnp.float32)
+    vp = jax.random.normal(jax.random.fold_in(key, 1),
+                           (hkv, pages, ps, d), jnp.float32)
+    q = jax.random.normal(jax.random.fold_in(key, 2), (b, t, hq, d),
+                          jnp.float32)
+    bt = jnp.asarray([[1, 2, 3, 4, 0, 0, 0, 0],
+                      [5, 6, 7, 8, 9, 10, 0, 0]], jnp.int32)
+    # row 0: fresh prompt chunk [0,32) of 32-token ctx; row 1: chunk
+    # starting at 48 of a 80-token ctx (chunked prefill)
+    q_start = jnp.asarray([0, 48], jnp.int32)
+    kv_lens = jnp.asarray([32, 80], jnp.int32)
+    ref = paged_attention_prefill_xla(q, kp, vp, bt, q_start, kv_lens,
+                                      scale=d ** -0.5)
+    got = paged_attention_prefill_pallas(q, kp, vp, bt, q_start, kv_lens,
+                                         scale=d ** -0.5, pages_per_blk=2,
+                                         interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)

@@ -305,6 +305,149 @@ def cdiv_arr(a: jnp.ndarray, b: int) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# Pallas prefill kernel — flash-style chunked prefill over pages.
+#
+# Grid: (B, num_kv_heads). One program handles a whole chunk row: streams
+# the row's KV pages (context + freshly written chunk) through the same
+# double-buffered VMEM pipeline as decode, accumulating online-softmax
+# for all T×G query rows at once. Causality is a position mask per KV
+# block; KV blocks entirely in the future are never fetched (the loop
+# bound is the causal limit, not the padded page table).
+# ---------------------------------------------------------------------------
+
+
+def _prefill_kernel(block_tables_ref, num_blocks_ref, q_start_ref,
+                    kv_lens_ref, q_ref, k_hbm, v_hbm, o_ref,
+                    k_buf, v_buf, k_sem, v_sem,
+                    *, pages_per_blk: int, page_size: int, scale: float,
+                    causal: bool):
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    n_blocks = num_blocks_ref[b]
+    q0 = q_start_ref[b]
+    kv_len = kv_lens_ref[b]
+    p_max = block_tables_ref.shape[1]
+
+    def start_fetch(blk, slot):
+        for i in range(pages_per_blk):
+            page_idx = jnp.minimum(blk * pages_per_blk + i, p_max - 1)
+            pid = block_tables_ref[b, page_idx]
+            pltpu.make_async_copy(k_hbm.at[h, pid], k_buf.at[slot, i],
+                                  k_sem.at[slot, i]).start()
+            pltpu.make_async_copy(v_hbm.at[h, pid], v_buf.at[slot, i],
+                                  v_sem.at[slot, i]).start()
+
+    def wait_fetch(slot):
+        for i in range(pages_per_blk):
+            pltpu.make_async_copy(k_hbm.at[0, 0], k_buf.at[slot, i],
+                                  k_sem.at[slot, i]).wait()
+            pltpu.make_async_copy(v_hbm.at[0, 0], v_buf.at[slot, i],
+                                  v_sem.at[slot, i]).wait()
+
+    @pl.when(n_blocks > 0)
+    def _():
+        start_fetch(0, 0)
+
+    blk_tokens = pages_per_blk * page_size
+    t, g, d = q_ref.shape[2], q_ref.shape[3], q_ref.shape[4]
+    q = q_ref[0, 0].reshape(t * g, d).astype(jnp.float32)
+    # absolute position of each query row (row r of t·g = query token
+    # r // g)
+    q_pos = q0 + jax.lax.broadcasted_iota(jnp.int32, (t * g, 1),
+                                          0) // g
+
+    def body(blk, carry):
+        acc, m, l = carry
+        slot = blk % 2
+
+        @pl.when(blk + 1 < n_blocks)
+        def _():
+            start_fetch(blk + 1, (blk + 1) % 2)
+
+        wait_fetch(slot)
+        k = k_buf[slot].reshape(blk_tokens, d).astype(jnp.float32)
+        v = v_buf[slot].reshape(blk_tokens, d).astype(jnp.float32)
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+        kv_pos = blk * blk_tokens + jax.lax.broadcasted_iota(
+            jnp.int32, (1, blk_tokens), 1)
+        mask = kv_pos < kv_len
+        if causal:
+            mask = mask & (kv_pos <= q_pos)
+        s = jnp.where(mask, s, NEG_INF)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m - m_new)
+        l_new = alpha * l + jnp.sum(p, -1, keepdims=True)
+        acc_new = acc * alpha + jnp.dot(p, v,
+                                        preferred_element_type=jnp.float32)
+        return acc_new, m_new, l_new
+
+    init = (jnp.zeros((t * g, d), jnp.float32),
+            jnp.full((t * g, 1), NEG_INF, jnp.float32),
+            jnp.zeros((t * g, 1), jnp.float32))
+    acc, m, l = jax.lax.fori_loop(0, n_blocks, body, init)
+    out = acc / jnp.maximum(l, 1e-30)
+    o_ref[0, 0] = out.reshape(t, g, d).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scale", "causal", "pages_per_blk", "interpret"))
+def paged_attention_prefill_pallas(q: jnp.ndarray, k_pages: jnp.ndarray,
+                                   v_pages: jnp.ndarray,
+                                   block_tables: jnp.ndarray,
+                                   q_start: jnp.ndarray,
+                                   kv_lens: jnp.ndarray, scale: float,
+                                   causal: bool = True,
+                                   pages_per_blk: int = 8,
+                                   interpret: bool = False) -> jnp.ndarray:
+    """q [B, T, H, D] chunk rows → [B, T, H, D]; context read from pages
+    (which already include the chunk's own freshly written KV)."""
+    b, t, h, d = q.shape
+    hkv, n_pages, page_size, _ = k_pages.shape
+    g = h // hkv
+    p_max = block_tables.shape[1]
+    pages_per_blk = min(pages_per_blk, p_max)
+    blk_tokens = pages_per_blk * page_size
+    # causal limit: KV beyond the chunk's last token is never attended
+    limit = jnp.minimum(kv_lens, q_start + t) if causal else kv_lens
+    num_blocks = (cdiv_arr(limit, page_size) + pages_per_blk -
+                  1) // pages_per_blk
+    q_r = jnp.transpose(q.reshape(b, t, hkv, g, d), (0, 2, 1, 3, 4))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(b, hkv),
+        in_specs=[
+            pl.BlockSpec((1, 1, t, g, d), lambda i, j, *_: (i, j, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, 1, t, g, d),
+                               lambda i, j, *_: (i, j, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, pages_per_blk, page_size, d), k_pages.dtype),
+            pltpu.VMEM((2, pages_per_blk, page_size, d), v_pages.dtype),
+            pltpu.SemaphoreType.DMA((2, pages_per_blk)),
+            pltpu.SemaphoreType.DMA((2, pages_per_blk)),
+        ],
+    )
+    kernel = functools.partial(_prefill_kernel,
+                               pages_per_blk=pages_per_blk,
+                               page_size=page_size, scale=scale,
+                               causal=causal)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, hkv, t, g, d), q.dtype),
+        interpret=interpret,
+    )(block_tables, num_blocks, q_start, kv_lens, q_r, k_pages, v_pages)
+    return jnp.transpose(out, (0, 2, 1, 3, 4)).reshape(b, t, h, d)
+
+
+# ---------------------------------------------------------------------------
 # Dispatch
 # ---------------------------------------------------------------------------
 
@@ -324,7 +467,12 @@ def paged_attention_decode(q, k_pages, v_pages, block_tables, context_lens,
 
 def paged_attention_prefill(q, k_pages, v_pages, block_tables, q_start,
                             kv_lens, scale, causal=True):
-    # Pallas prefill kernel lands next; the XLA path is flash-fused by the
-    # TPU compiler at these (bucketed) shapes.
+    from vllm_omni_tpu.ops import use_pallas
+
+    if use_pallas() and k_pages.dtype != jnp.int8 and \
+            k_pages.shape[-1] % 128 == 0:
+        return paged_attention_prefill_pallas(
+            q, k_pages, v_pages, block_tables, q_start, kv_lens,
+            scale=scale, causal=causal)
     return paged_attention_prefill_xla(q, k_pages, v_pages, block_tables,
                                        q_start, kv_lens, scale, causal)

@@ -38,6 +38,7 @@ from vllm_omni_tpu.models.decoder import (DecoderConfig, compute_logits,
 from vllm_omni_tpu.ops import sampler as sampler_ops
 from vllm_omni_tpu.ops.attention import (paged_attention_decode_pallas,
                                          paged_attention_decode_xla,
+                                         paged_attention_prefill_pallas,
                                          paged_attention_prefill_xla,
                                          quantize_kv, write_kv_pages)
 from vllm_omni_tpu.platforms import current_platform
@@ -176,6 +177,10 @@ class ModelRunner:
                     o = paged_attention_decode_xla(
                         q2, kp, vp, block_tables, kv_lens, self.scale)
                 return o.reshape(b, 1, self.cfg.num_heads, self.cfg.head_dim)
+            if self._use_pallas_decode():  # same constraints apply
+                return paged_attention_prefill_pallas(
+                    q, kp, vp, block_tables, q_start, kv_lens,
+                    scale=self.scale)
             return paged_attention_prefill_xla(
                 q, kp, vp, block_tables, q_start, kv_lens, self.scale)
 
