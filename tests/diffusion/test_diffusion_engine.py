@@ -125,3 +125,17 @@ def test_tea_cache_skips_and_stays_close():
 
     np.testing.assert_allclose(tight.post_decode(st2, "latent"),
                                base.images, rtol=1e-4, atol=1e-4)
+
+
+def test_model_offload_parity():
+    """VAE host offload produces identical pixels (reference offloader
+    model-level mode)."""
+    import numpy as np
+
+    p = params(seed=9)
+    a = DiffusionEngine(make_config()).generate(
+        [DiffusionRequest("a", "x", p)])[0]
+    eng = DiffusionEngine(make_config(offload="model"))
+    assert eng.pipeline.vae_params is None
+    b = eng.generate([DiffusionRequest("b", "x", p)])[0]
+    np.testing.assert_array_equal(a.images, b.images)

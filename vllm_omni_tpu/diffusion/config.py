@@ -75,6 +75,11 @@ class DiffusionConfig:
     flow_shift: float = 3.0
     use_dynamic_shifting: bool = False
     cache: CacheAccelConfig = field(default_factory=CacheAccelConfig)
+    # host offload: "none" | "model" — model-level keeps the VAE in host
+    # RAM while the DiT denoises and stages it to HBM only for decode
+    # (reference offloader model-level mode, data.py:405-410 encoder↔DiT
+    # GPU mutual exclusion)
+    offload: str = "none"
     # execution
     scheduler_mode: str = "request"  # request | step
     enforce_eager: bool = False

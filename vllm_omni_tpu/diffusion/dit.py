@@ -65,11 +65,12 @@ def timestep_embedding(t: jnp.ndarray, dim: int,
     return jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
 
 
-def rope_2d(cfg: DiTConfig, h_tokens: int, w_tokens: int,
+def rope_3d(cfg: DiTConfig, f_tokens: int, h_tokens: int, w_tokens: int,
             text_len: int) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Per-token cos/sin [T_total, head_dim//2] — image tokens get (h, w)
-    axis frequencies, text tokens identity rotation (cos=1, sin=0),
-    matching the reference's image-rotary with zero text ids."""
+    """Per-token cos/sin [T_total, head_dim//2] — visual tokens get
+    (frame, h, w) axis frequencies (frame=0 for stills), text tokens
+    identity rotation (cos=1, sin=0), matching the reference's rotary
+    with zero text ids (video: Wan/LTX-class 3D rope)."""
     d_t, d_h, d_w = cfg.axes_dims_rope
     assert d_t + d_h + d_w == cfg.head_dim, "axes dims must sum to head_dim"
     hd2 = cfg.head_dim // 2
@@ -80,16 +81,24 @@ def rope_2d(cfg: DiTConfig, h_tokens: int, w_tokens: int,
             jnp.arange(0, dim, 2, dtype=jnp.float32) / dim))
         return pos[:, None] * inv[None, :]
 
-    hh = jnp.repeat(jnp.arange(h_tokens, dtype=jnp.float32), w_tokens)
-    ww = jnp.tile(jnp.arange(w_tokens, dtype=jnp.float32), h_tokens)
-    tt = jnp.zeros_like(hh)
+    n_spatial = h_tokens * w_tokens
+    hh = jnp.tile(jnp.repeat(jnp.arange(h_tokens, dtype=jnp.float32),
+                             w_tokens), f_tokens)
+    ww = jnp.tile(jnp.arange(w_tokens, dtype=jnp.float32),
+                  h_tokens * f_tokens)
+    tt = jnp.repeat(jnp.arange(f_tokens, dtype=jnp.float32), n_spatial)
     freqs = jnp.concatenate([axis_freqs(tt, d_t), axis_freqs(hh, d_h),
-                             axis_freqs(ww, d_w)], axis=-1)  # [Timg, hd2]
+                             axis_freqs(ww, d_w)], axis=-1)  # [Tvis, hd2]
     img_cos, img_sin = jnp.cos(freqs), jnp.sin(freqs)
     txt_cos = jnp.ones((text_len, hd2), jnp.float32)
     txt_sin = jnp.zeros((text_len, hd2), jnp.float32)
     return (jnp.concatenate([txt_cos, img_cos], axis=0),
             jnp.concatenate([txt_sin, img_sin], axis=0))
+
+
+def rope_2d(cfg: DiTConfig, h_tokens: int, w_tokens: int,
+            text_len: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    return rope_3d(cfg, 1, h_tokens, w_tokens, text_len)
 
 
 def apply_rope_interleaved(x: jnp.ndarray, cos: jnp.ndarray,
@@ -205,6 +214,10 @@ def modulated_input(params: Params, cfg: DiTConfig, latents: jnp.ndarray,
     metric's probe signal (reference cache/teacache/extractors: the
     modulated input of the first transformer block). Cheap relative to a
     full forward: one patchify matmul + the timestep MLP."""
+    if latents.ndim == 5:
+        b, f, h, w, c = latents.shape
+        latents = latents.reshape(b * f, h, w, c)
+        timesteps = jnp.repeat(timesteps, f)
     img = linear(patchify(latents, cfg.patch_size), params["img_in"])
     temb = timestep_embedding(timesteps, 256)
     temb = linear(temb.astype(img.dtype), params["time_in_1"])
@@ -225,10 +238,22 @@ def dit_forward(params: Params, cfg: DiTConfig, latents: jnp.ndarray,
 
     mesh axes used when present: "cfg" shards the CFG batch rows,
     "ulysses" shards the joint token sequence, "tp" shards heads/MLP.
+
+    Video: latents [B, F, H, W, C] — frames patchify independently and
+    join one token stream with 3D (frame, h, w) rope (Wan/LTX-class).
     """
-    b, h, w, c = latents.shape
+    video = latents.ndim == 5
+    if video:
+        b, f, h, w, c = latents.shape
+        frames = latents.reshape(b * f, h, w, c)
+    else:
+        b, h, w, c = latents.shape
+        f = 1
+        frames = latents
     p = cfg.patch_size
-    img = linear(patchify(latents, p), params["img_in"])
+    img = patchify(frames, p)  # [B*F, n, pd]
+    img = img.reshape(b, f * img.shape[1], img.shape[2])
+    img = linear(img, params["img_in"])
     txt = linear(text_states, params["txt_in"])
     x = jnp.concatenate([txt, img], axis=1)
     x = _constrain(x, mesh, P("cfg", "ulysses", None))
@@ -238,7 +263,7 @@ def dit_forward(params: Params, cfg: DiTConfig, latents: jnp.ndarray,
     temb = linear(jax.nn.silu(temb.astype(jnp.float32)).astype(x.dtype),
                   params["time_in_2"])  # [B, H]
 
-    cos, sin = rope_2d(cfg, h // p, w // p, text_states.shape[1])
+    cos, sin = rope_3d(cfg, f, h // p, w // p, text_states.shape[1])
     for layer in params["layers"]:
         mod = linear(jax.nn.silu(temb.astype(jnp.float32)).astype(x.dtype),
                      layer["ada_mod"])  # [B, 6H]
@@ -250,8 +275,12 @@ def dit_forward(params: Params, cfg: DiTConfig, latents: jnp.ndarray,
     shift, scale = fin[:, :fin.shape[1] // 2], fin[:, fin.shape[1] // 2:]
     img_x = x[:, text_states.shape[1]:]
     img_x = _modulate(_layer_norm_nb(img_x), shift, scale)
-    out = linear(img_x, params["final_proj"])
-    return unpatchify(out, h, w, p, c)
+    out = linear(img_x, params["final_proj"])  # [B, F*n, pd]
+    out = out.reshape(b * f, out.shape[1] // f, out.shape[2])
+    frames_out = unpatchify(out, h, w, p, c)
+    if video:
+        return frames_out.reshape(b, f, h, w, c)
+    return frames_out
 
 
 # ---------------------------------------------------------------------------

@@ -73,8 +73,11 @@ class DiffusionEngine:
             t0 = time.monotonic()
             images, state = self.pipeline.run(req)
             req.status = RequestStatus.FINISHED_STOPPED
+            is_video = req.params.num_frames > 1
             return [DiffusionOutput(
-                request_id=req.request_id, images=images, finished=True,
+                request_id=req.request_id,
+                images=None if is_video else images,
+                video=images if is_video else None, finished=True,
                 step_index=state.step_index, num_steps=state.num_steps,
                 stage_durations={"denoise_s": time.monotonic() - t0})]
         except Exception as e:  # per-request error isolation
@@ -104,8 +107,11 @@ class DiffusionEngine:
                                                req.params.output_type)
             req.status = RequestStatus.FINISHED_STOPPED
             self.running = None
+            is_video = req.params.num_frames > 1
             return [DiffusionOutput(
-                request_id=req.request_id, images=images, finished=True,
+                request_id=req.request_id,
+                images=None if is_video else images,
+                video=images if is_video else None, finished=True,
                 step_index=state.step_index, num_steps=state.num_steps,
                 stage_durations={
                     "denoise_s": time.monotonic() - state.t_start})]

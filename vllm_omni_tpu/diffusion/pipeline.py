@@ -78,6 +78,12 @@ class DiffusionPipeline:
         self.dit_params = init_dit_params(config.dit, k1, self.dtype)
         self.vae_params = init_vae_params(
             k2, config.vae_latent_channels, dtype=self.dtype)
+        self._vae_host = None
+        if config.offload == "model":
+            # VAE lives in host RAM; HBM holds only the DiT while
+            # denoising (staged in per decode, freed after)
+            self._vae_host = jax.device_get(self.vae_params)
+            self.vae_params = None
         # parallel layout: one mesh carries cfg/sp(ulysses)/tp — replaces
         # the reference's initialize_model_parallel rank plumbing
         from vllm_omni_tpu.parallel import stage_mesh
@@ -115,9 +121,11 @@ class DiffusionPipeline:
                            p.height, p.width)
         seed = p.seed if p.seed is not None else 0
         key = jax.random.PRNGKey(seed)
-        latents = jax.random.normal(
-            key, (1, h_lat, w_lat, cfgd.vae_latent_channels), jnp.float32
-        ).astype(self.dtype)
+        shape = (1, h_lat, w_lat, cfgd.vae_latent_channels) \
+            if p.num_frames <= 1 else \
+            (1, p.num_frames, h_lat, w_lat, cfgd.vae_latent_channels)
+        latents = jax.random.normal(key, shape, jnp.float32).astype(
+            self.dtype)
         text_states = self._resolve_text_states(req)
         use_cfg = p.use_cfg and text_states.shape[0] == 2
         sigmas = self.scheduler.sigmas_for(
@@ -260,8 +268,18 @@ class DiffusionPipeline:
                     output_type: str = "np") -> Any:
         if output_type == "latent":
             return np.asarray(state.latents)
-        images = self._decode_fn()(self.vae_params, state.latents)
-        arr = np.asarray(images)  # [-1, 1] float
+        lat = state.latents
+        if lat.ndim == 5:  # video: frames decode as a batch
+            b, f, h, w, c = lat.shape
+            lat = lat.reshape(b * f, h, w, c)
+        if self._vae_host is not None:
+            vae = jax.device_put(self._vae_host)  # stage in for decode
+            images = self._decode_fn()(vae, lat)
+            arr = np.asarray(images)
+            del vae, images  # free HBM before the next denoise
+        else:
+            images = self._decode_fn()(self.vae_params, lat)
+            arr = np.asarray(images)  # [-1, 1] float
         if output_type == "np":
             return ((arr + 1.0) * 127.5).clip(0, 255).astype(np.uint8)
         if output_type == "pil":
