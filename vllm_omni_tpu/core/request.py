@@ -67,6 +67,11 @@ class Request:
     # with prompt_embeds: per-token bool mask of which positions take the
     # provided embeds (multimodal placeholder fusion); None = all
     embeds_token_mask: Any = None
+    # M-RoPE: [3, T_prompt] (time/height/width) position ids for the
+    # prompt, and the offset decode positions carry (max_id+1 -
+    # prompt_len) — reference: vLLM MRotaryEmbedding semantics
+    mrope_positions: Any = None
+    mrope_delta: int = 0
     # payload carried across stages (hidden states, codec codes, ...)
     additional_information: dict[str, Any] = field(default_factory=dict)
     # multimodal encoder inputs (features already preprocessed host-side)

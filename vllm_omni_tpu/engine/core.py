@@ -89,6 +89,11 @@ class EngineCore:
                                                  mm_inputs)
             kwargs["prompt_embeds"] = pe
             kwargs["embeds_token_mask"] = mask
+            if self.decoder_cfg.mrope_section is not None:
+                mp, delta = self.mm_processor.compute_mrope_positions(
+                    prompt_token_ids)
+                kwargs["mrope_positions"] = mp
+                kwargs["mrope_delta"] = delta
         req = Request(request_id=rid, prompt_token_ids=list(prompt_token_ids),
                       sampling_params=params, **kwargs)
         self.scheduler.add_request(req)

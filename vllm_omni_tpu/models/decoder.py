@@ -55,6 +55,10 @@ class DecoderConfig:
     qk_norm: bool = False  # Qwen3 per-head RMSNorm on q/k
     attention_bias: bool = False  # Qwen2 qkv bias
     max_position_embeddings: int = 4096
+    # M-RoPE: head_dim/2 frequency slots split between (time, height,
+    # width) position streams (Qwen-VL/Omni; reference patches vLLM's
+    # MRotaryEmbedding, patch.py:108-119). None = standard 1D RoPE.
+    mrope_section: Optional[tuple[int, ...]] = None
     # MoE (0 experts = dense). Qwen3-MoE: all layers sparse.
     num_experts: int = 0
     num_experts_per_tok: int = 0
@@ -191,7 +195,19 @@ def decoder_forward(params: Params, cfg: DecoderConfig,
         x = input_embeds
     else:
         x = jnp.take(params["embed"], token_ids, axis=0)
-    cos, sin = compute_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
+    if cfg.mrope_section is not None and positions.ndim == 3:
+        # positions [B, 3, T]: per-batch-row M-RoPE
+        from vllm_omni_tpu.ops.rope import compute_mrope_cos_sin
+
+        cos, sin = jax.vmap(
+            lambda p: compute_mrope_cos_sin(p, cfg.head_dim,
+                                            cfg.mrope_section,
+                                            cfg.rope_theta))(positions)
+    else:
+        if positions.ndim == 3:  # mrope ids given but model is 1D-rope
+            positions = positions[:, 0]
+        cos, sin = compute_cos_sin(positions, cfg.head_dim,
+                                   cfg.rope_theta)
     for i, layer in enumerate(params["layers"]):
         h = rms_norm(x, layer["input_norm"], cfg.rms_norm_eps)
         x = x + _attention_block(layer, cfg, h, cos, sin, i, attn_apply)

@@ -79,6 +79,53 @@ class MMProcessor:
         out = self._vision_fn(self.vision_params, jnp.asarray(pixels))
         return np.asarray(out).reshape(-1, self.hidden_size)
 
+    def compute_mrope_positions(self, prompt_token_ids: list[int]
+                                ) -> tuple[np.ndarray, int]:
+        """[3, T] (time/height/width) position ids + decode delta
+        (vLLM MRotaryEmbedding get_input_positions semantics): text
+        tokens advance all streams together; an image placeholder run of
+        n=gh·gw tokens keeps time constant with (h, w) grid ids; audio
+        runs advance time per frame."""
+        toks = np.asarray(prompt_token_ids)
+        t = len(toks)
+        pos = np.zeros((3, t), np.int64)
+        cur = 0  # next position value (max so far + 1)
+        i = 0
+        while i < t:
+            tok = int(toks[i])
+            if self.image_token_id is not None and \
+                    tok == self.image_token_id:
+                n = 1
+                while i + n < t and int(toks[i + n]) == \
+                        self.image_token_id:
+                    n += 1
+                gh = int(np.sqrt(n))
+                while gh > 1 and n % gh:
+                    gh -= 1
+                gw = n // gh
+                hh = np.repeat(np.arange(gh), gw)
+                ww = np.tile(np.arange(gw), gh)
+                pos[0, i:i + n] = cur
+                pos[1, i:i + n] = cur + hh
+                pos[2, i:i + n] = cur + ww
+                cur = int(pos[:, i:i + n].max()) + 1
+                i += n
+            elif self.audio_token_id is not None and \
+                    tok == self.audio_token_id:
+                n = 1
+                while i + n < t and int(toks[i + n]) == \
+                        self.audio_token_id:
+                    n += 1
+                rng = cur + np.arange(n)
+                pos[:, i:i + n] = rng
+                cur = int(rng.max()) + 1
+                i += n
+            else:
+                pos[:, i] = cur
+                cur += 1
+                i += 1
+        return pos.astype(np.int32), cur - t
+
     def process(self, prompt_token_ids: list[int],
                 mm_inputs: dict[str, Any]
                 ) -> tuple[np.ndarray, np.ndarray]:

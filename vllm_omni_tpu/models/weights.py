@@ -70,6 +70,9 @@ def hf_config_to_decoder_config(hf: dict[str, Any]) -> DecoderConfig:
         attention_bias=hf.get("attention_bias",
                               flags.get("attention_bias", False)),
         max_position_embeddings=hf.get("max_position_embeddings", 4096),
+        mrope_section=tuple(hf["rope_scaling"]["mrope_section"])
+        if isinstance(hf.get("rope_scaling"), dict)
+        and hf["rope_scaling"].get("mrope_section") else None,
         num_experts=hf.get("num_experts", 0) if flags.get("moe") else 0,
         num_experts_per_tok=hf.get("num_experts_per_tok", 0),
         moe_intermediate_size=hf.get("moe_intermediate_size", 0),

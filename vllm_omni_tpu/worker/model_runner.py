@@ -157,7 +157,7 @@ class ModelRunner:
         """Shared traced forward. Mutates a local copy of kv_pages via
         closure; returns (hidden [B,T,H], new_kv)."""
         kv_list = list(kv_pages)
-        b, t = token_ids.shape
+        b, t = token_ids.shape[0], token_ids.shape[-1]
 
         def attn_apply(i, q, k, v):
             kp, vp = kv_list[i]
@@ -256,6 +256,7 @@ class ModelRunner:
         kv_len is position+1; KV slots are computed from bt on device.
         """
         b = state.shape[1]
+        mrope = self.cfg.mrope_section is not None
         sampling = sampler_ops.unpack_sampling(f_sampling, i_sampling)
         rows = jnp.arange(b)
         counts0 = None
@@ -268,13 +269,23 @@ class ModelRunner:
                 (out_tokens >= 0).reshape(-1).astype(jnp.int32),
                 mode="drop")
 
+        delta = state[3] if state.shape[0] > 3 else jnp.zeros(
+            (b,), jnp.int32)
+
         def one_step(carry, _):
             kv, tok, pos, ctr, counts = carry
             kv_lens = pos + 1
             page = bt[rows, pos // self.page_size]
             slot = page * self.page_size + pos % self.page_size
+            if mrope:
+                # decode: all three M-RoPE streams advance together at
+                # max_prompt_pos + n (vLLM MRotaryEmbedding delta rule)
+                rope_pos = jnp.broadcast_to(
+                    (pos + delta)[:, None, None], (b, 3, 1))
+            else:
+                rope_pos = pos[:, None]
             hidden, kv = self._forward(
-                params, kv, tok[:, None], pos[:, None], bt, None, kv_lens,
+                params, kv, tok[:, None], rope_pos, bt, None, kv_lens,
                 slot[:, None], decode=True)
             last_h = hidden[:, 0]
             logits = compute_logits(params, self.cfg, last_h)
@@ -290,7 +301,7 @@ class ModelRunner:
             one_step, init, None, length=k)
         # next-chain state stays ON DEVICE: steady-state decode needs no
         # host→device uploads at all (the engine feeds this straight back)
-        next_state = jnp.stack([tok_f, pos_f, ctr_f])
+        next_state = jnp.stack([tok_f, pos_f, ctr_f, delta])
         if return_hidden:
             ids, lps, hid = outs
             return ids, lps, kv, next_state, hid  # ids/lps [K, B]
@@ -390,7 +401,8 @@ class ModelRunner:
         pw = self._page_bucket(max_pages)
 
         token_ids = np.zeros((b, t), np.int32)
-        positions = np.zeros((b, t), np.int32)
+        mrope = self.cfg.mrope_section is not None
+        positions = np.zeros((b, 3, t) if mrope else (b, t), np.int32)
         slot_ids = np.zeros((b, t), np.int32)
         q_start = np.zeros((b,), np.int32)
         kv_lens = np.zeros((b,), np.int32)
@@ -418,7 +430,16 @@ class ModelRunner:
                         r.embeds_token_mask[s.start:s.start + s.length])
                 else:
                     embeds_mask[i, :s.length] = True
-            positions[i, :s.length] = np.arange(s.start, s.start + s.length)
+            if mrope:
+                if r.mrope_positions is not None:
+                    positions[i, :, :s.length] = np.asarray(
+                        r.mrope_positions)[:, s.start:s.start + s.length]
+                else:
+                    positions[i, :, :s.length] = np.arange(
+                        s.start, s.start + s.length)
+            else:
+                positions[i, :s.length] = np.arange(
+                    s.start, s.start + s.length)
             for j in range(s.length):
                 pos = s.start + j
                 page = r.page_ids[pos // self.page_size]
@@ -501,7 +522,7 @@ class ModelRunner:
                 bt_arg = jax.device_put(bt)
                 c["bt"], c["bt_np"] = bt_arg, bt
         else:
-            state = np.zeros((3, b), np.int32)
+            state = np.zeros((4, b), np.int32)
             o_bucket = 1
             if use_penalties:
                 o_bucket = pick_bucket(
@@ -515,6 +536,7 @@ class ModelRunner:
                         else 0)
                 state[1, i] = r.num_tokens - 1
                 state[2, i] = r.num_output_tokens
+                state[3, i] = r.mrope_delta
                 if use_penalties and r.output_token_ids:
                     o = r.output_token_ids[-o_bucket:]
                     out_tokens[i, :len(o)] = o
