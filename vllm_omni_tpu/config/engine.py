@@ -82,6 +82,13 @@ class SchedulerConfig:
     # reference's CUDA-graph decode capture; stop checks lag by <= this
     # many tokens)
     multi_step: int = 8
+    # speculative decoding (n-gram prompt lookup): propose up to
+    # spec_gamma tokens from repeated context n-grams and verify them in
+    # ONE forward — multiplies tokens per weight pass exactly where
+    # small-batch decode is MXU-pass-latency-bound
+    # (docs/design/performance.md). 0 disables. Greedy requests only.
+    spec_gamma: int = 0
+    spec_ngram: int = 2
     # static compilation buckets
     multi_step_buckets: tuple[int, ...] = (1, 2, 4, 8, 16)
     decode_bs_buckets: tuple[int, ...] = (1, 2, 4, 8, 16, 32, 64)

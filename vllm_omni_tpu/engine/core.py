@@ -148,7 +148,58 @@ class EngineCore:
                 return b
         return 1
 
+    def _spec_applicable(self) -> bool:
+        sc = self.config.scheduler
+        if sc.spec_gamma <= 0 or self.scheduler.waiting or \
+                not self.scheduler.running:
+            return False
+        for r in self.scheduler.running:
+            p = r.sampling_params
+            if p.temperature != 0.0 or p.return_hidden_states or \
+                    p.repetition_penalty != 1.0 or \
+                    p.presence_penalty != 0.0 or \
+                    p.frequency_penalty != 0.0:
+                return False
+            if r.num_tokens + sc.spec_gamma + 1 > \
+                    self.config.model.max_model_len:
+                return False
+        return True
+
+    def _step_speculative(self) -> Optional[list[RequestOutput]]:
+        """N-gram prompt-lookup speculation: propose from repeated
+        context, verify γ+1 positions in ONE forward (reference keeps
+        vLLM's spec-decode paths; on TPU this multiplies tokens per
+        MXU weight pass at small batch)."""
+        sc = self.config.scheduler
+        proposals = {
+            r.request_id: self.runner.ngram_propose(
+                r.all_token_ids(), sc.spec_gamma, sc.spec_ngram)
+            for r in self.scheduler.running}
+        if not any(proposals.values()):
+            return None  # nothing to speculate on — chain path is better
+        sched = self.scheduler.schedule(lookahead=sc.spec_gamma + 1)
+        if not sched.decodes:
+            return None
+        accepted = self.runner.execute_spec_verify(
+            sched.decodes,
+            [proposals.get(r.request_id, []) for r in sched.decodes],
+            sc.spec_gamma)
+        outputs = []
+        for req, toks in zip(sched.decodes, accepted):
+            fin = False
+            for tok in toks:
+                if fin:
+                    break
+                req.append_output_token(tok)
+                fin = self._check_stop(req, tok)
+            outputs.append(self._make_output(req, finished=fin))
+        return outputs
+
     def step(self) -> list[RequestOutput]:
+        if self._spec_applicable():
+            out = self._step_speculative()
+            if out is not None:
+                return out
         sched = self.scheduler.schedule(lookahead=self._pick_lookahead())
         outputs: list[RequestOutput] = []
         for req in sched.completed_generation:

@@ -97,6 +97,9 @@ class ModelRunner:
         self._decode_cache: Optional[dict] = None
         self.decode_cache_hits = 0
         self.decode_cache_misses = 0
+        # device forward passes (weight-streaming passes) — the unit
+        # device time scales with; spec decode optimizes this
+        self.forward_passes = 0
 
     # -- memory -------------------------------------------------------------
     def _page_bytes(self) -> int:
@@ -335,6 +338,103 @@ class ModelRunner:
             self._fn_cache[key] = fn
         return fn
 
+    # -- speculative decoding (verify pass) ----------------------------------
+    def _spec_verify_body(self, params, kv_pages, token_ids, positions,
+                          block_tables, q_start, kv_lens, slot_ids):
+        """Feed [last, p1..pγ] per row with causal paged attention
+        (prefill path — writes their KV) and return the greedy target
+        token at EVERY position [B, γ+1]."""
+        hidden, new_kv = self._forward(params, kv_pages, token_ids,
+                                       positions, block_tables, q_start,
+                                       kv_lens, slot_ids, decode=False)
+        logits = compute_logits(params, self.cfg, hidden)  # [B,T,V]
+        ids = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return ids, new_kv
+
+    def execute_spec_verify(self, reqs: list[Request],
+                            proposals: list[list[int]],
+                            gamma: int) -> list[list[int]]:
+        """→ per request, the ACCEPTED new tokens (matched proposals +
+        one bonus target; ≥1 token each). Caller pre-allocated pages for
+        num_tokens + gamma + 1."""
+        n = len(reqs)
+        b = pick_bucket(n, self.config.scheduler.decode_bs_buckets)
+        t = gamma + 1
+        max_pages = max(cdiv(r.num_tokens + t, self.page_size)
+                        for r in reqs)
+        pw = self._page_bucket(max_pages)
+        mrope = self.cfg.mrope_section is not None
+
+        token_ids = np.zeros((b, t), np.int32)
+        positions = np.zeros((b, 3, t) if mrope else (b, t), np.int32)
+        slot_ids = np.zeros((b, t), np.int32)
+        q_start = np.zeros((b,), np.int32)
+        kv_lens = np.zeros((b,), np.int32)
+        bt = np.zeros((b, pw), np.int32)
+        bt[:n] = self._block_table_rows(reqs, pw)
+        for i, r in enumerate(reqs):
+            fed = [r.output_token_ids[-1] if r.output_token_ids else
+                   (r.prompt_token_ids[-1] if r.prompt_token_ids else 0)]
+            fed += list(proposals[i][:gamma])
+            fed += [0] * (t - len(fed))
+            token_ids[i] = fed
+            pos0 = r.num_tokens - 1
+            pos_row = np.arange(pos0, pos0 + t)
+            if mrope:
+                positions[i, :] = pos_row + r.mrope_delta
+            else:
+                positions[i] = pos_row
+            q_start[i] = pos0
+            kv_lens[i] = pos0 + t
+            for j in range(t):
+                p = pos0 + j
+                page = r.page_ids[p // self.page_size]
+                slot_ids[i, j] = page * self.page_size + \
+                    p % self.page_size
+
+        fn = self._fn_cache.get(("spec", b, t, pw))
+        if fn is None:
+            fn = jax.jit(self._spec_verify_body, donate_argnums=(1,))
+            self._fn_cache[("spec", b, t, pw)] = fn
+        ids, self.kv_pages = fn(self.params, self.kv_pages, token_ids,
+                                positions, bt, q_start, kv_lens, slot_ids)
+        self.forward_passes += 1
+        self._decode_cache = None  # chain state invalidated by KV writes
+        targets = np.asarray(ids)  # [B, t]: target for position pos0+j+1
+        out: list[list[int]] = []
+        for i, r in enumerate(reqs):
+            prop = list(proposals[i][:gamma])
+            accepted = []
+            j = 0
+            while j < len(prop) and prop[j] == int(targets[i, j]):
+                accepted.append(prop[j])
+                j += 1
+            accepted.append(int(targets[i, j]))  # bonus / correction
+            out.append(accepted)
+        return out
+
+    @staticmethod
+    def ngram_propose(token_ids: list[int], gamma: int,
+                      n: int = 2) -> list[int]:
+        """Prompt-lookup proposal: find the most recent earlier
+        occurrence of the trailing n-gram; propose the tokens that
+        followed it."""
+        if len(token_ids) < n + 1:
+            return []
+        key = tuple(token_ids[-n:])
+        best: list[int] = []
+        # most recent earlier occurrence with a FULL gamma-token follow
+        # wins (a match too close to the end truncates the proposal —
+        # exactly the cyclic-tail case speculation thrives on)
+        for start in range(len(token_ids) - n - 1, -1, -1):
+            if tuple(token_ids[start:start + n]) == key:
+                follow = token_ids[start + n:start + n + gamma]
+                if len(follow) >= gamma:
+                    return list(follow)
+                if len(follow) > len(best):
+                    best = list(follow)
+        return best
+
     # -- sleep mode / weight reload ------------------------------------------
     def sleep(self, level: int = 1) -> None:
         """Free device memory (reference: diffusion_worker.py:278-357
@@ -544,6 +644,7 @@ class ModelRunner:
                 [r.sampling_params for r in reqs] + [None] * (b - n), b)
             bt_arg = bt
 
+        self.forward_passes += k
         fn = self._get_fn("decode_multi", k=k,
                           use_penalties=use_penalties,
                           return_hidden=return_hidden,
