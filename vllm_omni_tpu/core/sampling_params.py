@@ -19,6 +19,9 @@ class SamplingParams:
     temperature: float = 1.0
     top_p: float = 1.0
     top_k: int = -1  # -1 = disabled
+    min_p: float = 0.0  # filter tokens below min_p * max_prob
+    # token id → additive logit bias (OpenAI logit_bias)
+    logit_bias: dict[int, float] = field(default_factory=dict)
     min_tokens: int = 0
     repetition_penalty: float = 1.0
     presence_penalty: float = 0.0
@@ -44,6 +47,8 @@ class SamplingParams:
             raise ValueError("top_p must be in (0, 1]")
         if self.top_k == 0 or self.top_k < -1:
             raise ValueError("top_k must be -1 (off) or >= 1")
+        if not 0 <= self.min_p <= 1:
+            raise ValueError("min_p must be in [0, 1]")
         if self.max_tokens < 1:
             raise ValueError("max_tokens must be >= 1")
 

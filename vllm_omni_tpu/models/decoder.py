@@ -97,6 +97,8 @@ def linear(x: jnp.ndarray, p: Params, group_size: int = 128) -> jnp.ndarray:
             method = "int8"
         elif w_q.dtype == jnp.uint8:
             method = "int4"
+            # group size travels implicitly: K / num scale groups
+            group_size = (2 * w_q.shape[0]) // p["scale"].shape[0]
         else:
             method = "fp8"
         out = quantized_matmul(x, w_q, p["scale"], method,

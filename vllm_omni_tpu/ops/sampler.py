@@ -31,6 +31,7 @@ def make_sampling_arrays(params_list, np=None):
     out = {
         "temperature": np.zeros((b,), np.float32),
         "top_p": np.ones((b,), np.float32),
+        "min_p": np.zeros((b,), np.float32),
         "top_k": np.full((b,), -1, np.int32),
         "repetition_penalty": np.ones((b,), np.float32),
         "presence_penalty": np.zeros((b,), np.float32),
@@ -42,6 +43,7 @@ def make_sampling_arrays(params_list, np=None):
             continue
         out["temperature"][i] = p.temperature
         out["top_p"][i] = p.top_p
+        out["min_p"][i] = p.min_p
         out["top_k"][i] = p.top_k
         out["repetition_penalty"][i] = p.repetition_penalty
         out["presence_penalty"][i] = p.presence_penalty
@@ -55,11 +57,12 @@ def pack_sampling(params_list, b: int):
     decode loop ships ONE f32 and ONE i32 host→device transfer instead of
     seven (transfer count, not bytes, is what the dispatch path pays for).
 
-    Returns (f32 [5, B]: temp/top_p/rep/pres/freq, i32 [2, B]: top_k/seed).
+    Returns (f32 [6, B]: temp/top_p/rep/pres/freq/min_p,
+    i32 [2, B]: top_k/seed).
     """
     import numpy as np
 
-    f = np.zeros((5, b), np.float32)
+    f = np.zeros((6, b), np.float32)
     f[1] = 1.0  # top_p
     f[2] = 1.0  # repetition
     ints = np.zeros((2, b), np.int32)
@@ -72,6 +75,7 @@ def pack_sampling(params_list, b: int):
         f[2, i] = p.repetition_penalty
         f[3, i] = p.presence_penalty
         f[4, i] = p.frequency_penalty
+        f[5, i] = p.min_p
         ints[0, i] = p.top_k
         ints[1, i] = np.int32((0 if p.seed is None else p.seed) &
                               0x7FFFFFFF)
@@ -85,6 +89,7 @@ def unpack_sampling(fpack: jnp.ndarray, ipack: jnp.ndarray) -> dict:
         "repetition_penalty": fpack[2],
         "presence_penalty": fpack[3],
         "frequency_penalty": fpack[4],
+        "min_p": fpack[5] if fpack.shape[0] > 5 else None,
         "top_k": ipack[0],
         "seed": ipack[1].astype(jnp.uint32),
     }
@@ -119,6 +124,15 @@ def _mask_top_k(logits: jnp.ndarray, top_k: jnp.ndarray) -> jnp.ndarray:
     kth = jnp.take_along_axis(topvals, (k - 1)[:, None], axis=-1)  # [B,1]
     active = (top_k > 0)[:, None]
     return jnp.where(active & (logits < kth), NEG_INF, logits)
+
+
+def _mask_min_p(logits: jnp.ndarray, min_p: jnp.ndarray) -> jnp.ndarray:
+    """Drop tokens whose probability < min_p * max_prob (cheap: one max,
+    no sort)."""
+    active = min_p > 0
+    probs = jax.nn.softmax(logits, axis=-1)
+    thresh = min_p[:, None] * jnp.max(probs, axis=-1, keepdims=True)
+    return jnp.where(active[:, None] & (probs < thresh), NEG_INF, logits)
 
 
 def _mask_top_p(logits: jnp.ndarray, top_p: jnp.ndarray) -> jnp.ndarray:
@@ -167,6 +181,9 @@ def sample(logits: jnp.ndarray, sampling: dict, step: jnp.ndarray,
     scaled = logits / safe_temp[:, None]
     scaled = _mask_top_k(scaled, sampling["top_k"])
     scaled = _mask_top_p(scaled, sampling["top_p"])
+    min_p = sampling.get("min_p")
+    if min_p is not None:
+        scaled = _mask_min_p(scaled, min_p)
 
     def row_key(seed, s):
         return jax.random.fold_in(jax.random.PRNGKey(seed), s)

@@ -193,8 +193,9 @@ class ModelRunner:
 
     def _prefill_body(self, params, kv_pages, token_ids, positions,
                       block_tables, q_start, kv_lens, slot_ids, last_idx,
-                      sampling, step_ctr, embeds, embeds_mask, *,
-                      return_hidden: bool, with_embeds: bool):
+                      sampling, step_ctr, embeds, embeds_mask, logit_bias,
+                      *, return_hidden: bool, with_embeds: bool,
+                      use_bias: bool = False):
         if with_embeds:
             # positions flagged in embeds_mask [B, T] use the provided
             # embeddings instead of the token embedding lookup: whole-row
@@ -215,6 +216,8 @@ class ModelRunner:
         b = token_ids.shape[0]
         last_h = hidden[jnp.arange(b), last_idx]  # [B, H]
         logits = compute_logits(params, self.cfg, last_h)
+        if use_bias:
+            logits = logits + logit_bias
         ids, lp = sampler_ops.sample(logits, sampling, step_ctr)
         out = (ids, lp, new_kv)
         if return_hidden:
@@ -247,9 +250,9 @@ class ModelRunner:
         return out
 
     def _decode_multi_body(self, params, kv_pages, state, bt, f_sampling,
-                           i_sampling, out_tokens, *, k: int,
+                           i_sampling, out_tokens, logit_bias, *, k: int,
                            use_penalties: bool, return_hidden: bool,
-                           greedy_only: bool):
+                           greedy_only: bool, use_bias: bool = False):
         """K chained decode steps in one program — the TPU serving hot
         loop. Sampled tokens feed the next step on device; the host syncs
         once per K tokens (amortizes dispatch/transfer latency K×, the
@@ -292,6 +295,8 @@ class ModelRunner:
                 slot[:, None], decode=True)
             last_h = hidden[:, 0]
             logits = compute_logits(params, self.cfg, last_h)
+            if use_bias:
+                logits = logits + logit_bias  # [B, V] additive
             ids, lp = sampler_ops.sample(logits, sampling, ctr, counts,
                                          greedy_only=greedy_only)
             if use_penalties:
@@ -320,14 +325,16 @@ class ModelRunner:
                 body = functools.partial(
                     self._prefill_body,
                     return_hidden=static["return_hidden"],
-                    with_embeds=static["with_embeds"])
+                    with_embeds=static["with_embeds"],
+                    use_bias=static.get("use_bias", False))
                 fn = jax.jit(body, donate_argnums=(1,))
             elif kind == "decode_multi":
                 body = functools.partial(
                     self._decode_multi_body, k=static["k"],
                     use_penalties=static["use_penalties"],
                     return_hidden=static["return_hidden"],
-                    greedy_only=static["greedy_only"])
+                    greedy_only=static["greedy_only"],
+                    use_bias=static.get("use_bias", False))
                 fn = jax.jit(body, donate_argnums=(1,))
             else:
                 body = functools.partial(
@@ -550,12 +557,22 @@ class ModelRunner:
         sampling = sampler_ops.make_sampling_arrays(
             [s.request.sampling_params for s in scheduled] +
             [None] * (b - n))
+        use_bias = any(s.request.sampling_params.logit_bias
+                       for s in scheduled)
+        if use_bias:
+            bias = np.zeros((b, self.cfg.vocab_size), np.float32)
+            for i, s in enumerate(scheduled):
+                for tok, v in s.request.sampling_params.logit_bias.items():
+                    if 0 <= int(tok) < self.cfg.vocab_size:
+                        bias[i, int(tok)] = float(v)
+        else:
+            bias = np.zeros((1, 1), np.float32)
 
         fn = self._get_fn("prefill", return_hidden=return_hidden,
-                          with_embeds=with_embeds)
+                          with_embeds=with_embeds, use_bias=use_bias)
         out = fn(self.params, self.kv_pages, token_ids, positions, bt,
                  q_start, kv_lens, slot_ids, last_idx, sampling, step_ctr,
-                 embeds, embeds_mask)
+                 embeds, embeds_mask, bias)
         if return_hidden:
             ids, lp, self.kv_pages, hidden = out
         else:
@@ -600,14 +617,16 @@ class ModelRunner:
             or r.sampling_params.frequency_penalty != 0.0 for r in reqs)
         greedy_only = all(r.sampling_params.temperature == 0.0
                           for r in reqs)
+        use_bias = any(r.sampling_params.logit_bias for r in reqs)
         want_lps = any(r.sampling_params.logprobs for r in reqs)
 
         key = (tuple(r.request_id for r in reqs), b, pw, k,
-               use_penalties, greedy_only, return_hidden)
+               use_penalties, greedy_only, return_hidden, use_bias)
         bt = np.zeros((b, pw), np.int32)
         bt[:n] = self._block_table_rows(reqs, pw)
         c = self._decode_cache
-        reuse = (not use_penalties and c is not None and c["key"] == key
+        reuse = (not use_penalties and not use_bias and c is not None
+                 and c["key"] == key
                  and c["expect_tokens"] == [r.num_tokens for r in reqs])
         if reuse:
             self.decode_cache_hits += 1
@@ -645,19 +664,27 @@ class ModelRunner:
             bt_arg = bt
 
         self.forward_passes += k
+        if use_bias:
+            bias = np.zeros((b, self.cfg.vocab_size), np.float32)
+            for i, r in enumerate(reqs):
+                for tok, v in r.sampling_params.logit_bias.items():
+                    if 0 <= int(tok) < self.cfg.vocab_size:
+                        bias[i, int(tok)] = float(v)
+        else:
+            bias = np.zeros((1, 1), np.float32)
         fn = self._get_fn("decode_multi", k=k,
                           use_penalties=use_penalties,
                           return_hidden=return_hidden,
-                          greedy_only=greedy_only)
+                          greedy_only=greedy_only, use_bias=use_bias)
         out = fn(self.params, self.kv_pages, state, bt_arg, f_s, i_s,
-                 out_tokens)
+                 out_tokens, bias)
         if return_hidden:
             ids, lps, self.kv_pages, next_state, hid = out
             hid_np = np.asarray(hid)
         else:
             ids, lps, self.kv_pages, next_state = out
             hid_np = None
-        if not use_penalties:
+        if not use_penalties and not use_bias:
             # stash device-resident inputs for the next chain
             if not reuse:
                 f_s, i_s, out_tokens, bt_dev = jax.device_put(
