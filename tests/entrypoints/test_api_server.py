@@ -150,3 +150,27 @@ async def test_profiler_endpoints(client):
     assert (await r.json())["status"] == "started"
     r = await client.post("/profiler/stop")
     assert (await r.json())["status"] == "stopped"
+
+
+async def test_realtime_ws(client):
+    ws = await client.ws_connect("/v1/realtime")
+    await ws.send_json({"type": "session.update",
+                        "session": {"max_output_tokens": 5,
+                                    "temperature": 0.0}})
+    msg = await ws.receive_json()
+    assert msg["type"] == "session.updated"
+    await ws.send_json({
+        "type": "conversation.item.create",
+        "item": {"content": [
+            {"type": "input_token_ids", "token_ids": [1, 2, 3, 4]}]}})
+    await ws.send_json({"type": "response.create"})
+    done = None
+    for _ in range(50):
+        msg = await ws.receive_json()
+        if msg["type"] == "response.done":
+            done = msg
+            break
+        assert msg["type"] in ("response.output_text.delta",
+                               "response.audio.delta")
+    assert done is not None and len(done["token_ids"]) == 5
+    await ws.close()

@@ -300,6 +300,85 @@ async def speech_stream_ws(request: web.Request) -> web.WebSocketResponse:
     return ws
 
 
+async def realtime_ws(request: web.Request) -> web.WebSocketResponse:
+    """WS /v1/realtime (reference api_server.py:1203): minimal realtime
+    session — client sends conversation items, server streams response
+    text deltas (+ audio when the pipeline produces it).
+
+    Events in:  {"type": "session.update", "session": {...}}
+                {"type": "conversation.item.create",
+                 "item": {"content": [{"type": "input_text", "text": ...}
+                          | {"type": "input_token_ids", "token_ids": [...]}]}}
+                {"type": "response.create"}
+    Events out: session.updated, response.output_text.delta,
+                response.audio.delta, response.done, error.
+    """
+    omni = request.app[OMNI_KEY]
+    ws = web.WebSocketResponse()
+    await ws.prepare(request)
+    session: dict[str, Any] = {"modalities": ["text"],
+                               "max_output_tokens": 256,
+                               "temperature": 0.8}
+    pending: list[Any] = []
+    async for msg in ws:
+        if msg.type != 1:  # TEXT
+            break
+        try:
+            evt = json.loads(msg.data)
+        except ValueError:
+            await ws.send_json({"type": "error",
+                                "error": {"message": "bad json"}})
+            continue
+        kind = evt.get("type")
+        if kind == "session.update":
+            session.update(evt.get("session") or {})
+            await ws.send_json({"type": "session.updated",
+                                "session": session})
+        elif kind == "conversation.item.create":
+            for part in (evt.get("item") or {}).get("content", []):
+                if part.get("type") == "input_text":
+                    pending.append(part.get("text", ""))
+                elif part.get("type") == "input_token_ids":
+                    pending.append(list(part.get("token_ids") or []))
+        elif kind == "response.create":
+            from vllm_omni_tpu.core.sampling_params import SamplingParams
+
+            prompt = pending[-1] if pending else ""
+            sp = SamplingParams(
+                max_tokens=int(session.get("max_output_tokens", 256)),
+                temperature=float(session.get("temperature", 0.8)))
+            modality = (session.get("modalities") or ["text"])[0]
+            sent = 0
+            try:
+                async for out in omni.generate(prompt, sp,
+                                               modality=modality):
+                    comp = out.outputs[0] if out.outputs else None
+                    if comp is not None and omni.tokenizer is not None:
+                        text = omni.tokenizer.decode(
+                            comp.token_ids, skip_special_tokens=True)
+                        if len(text) > sent:
+                            await ws.send_json({
+                                "type": "response.output_text.delta",
+                                "delta": text[sent:]})
+                            sent = len(text)
+                    if out.finished:
+                        mm = _mm_delta(out) or {}
+                        if "audio" in mm:
+                            await ws.send_json({
+                                "type": "response.audio.delta",
+                                **mm["audio"]})
+                        await ws.send_json({
+                            "type": "response.done",
+                            "token_ids": comp.token_ids if comp else []})
+            except Exception as e:
+                await ws.send_json({"type": "error",
+                                    "error": {"message": str(e)}})
+        elif kind == "close":
+            break
+    await ws.close()
+    return ws
+
+
 # -- video job API (reference /v1/videos async job store,
 # api_server.py:2163-2381 + serving handlers storage.py/stores.py) --------
 
@@ -400,6 +479,7 @@ def create_app(omni: AsyncOmni, model_name: str = "omni") -> web.Application:
     app.router.add_post("/v1/images/generations", image_generations)
     app.router.add_post("/v1/audio/speech", audio_speech)
     app.router.add_get("/v1/audio/speech/stream", speech_stream_ws)
+    app.router.add_get("/v1/realtime", realtime_ws)
     app.router.add_post("/v1/videos", create_video_job)
     app.router.add_get("/v1/videos/{job_id}", get_video_job)
     app.router.add_get("/v1/videos/{job_id}/content", get_video_content)
