@@ -105,3 +105,24 @@ def test_pipeline_hidden_state_handoff_is_embeds():
     # prompt 9 tokens prefilled + 4 decodes (first token sampled from
     # prefill logits → its hidden comes from the following decode rows)
     assert pe.shape[1] == 64 and pe.shape[0] >= 9
+
+
+def test_collective_rpc_sleep_wake():
+    """collective_rpc fans sleep/wake across stage engines (reference
+    AsyncOmni.collective_rpc async_omni.py:502)."""
+    pipeline = load_stage_configs(PIPELINE_3STAGE)
+    runner = PipelineRunner(pipeline)
+    res = runner.collective_rpc("sleep", 1)
+    assert set(res) == {0, 1, 2}
+    assert runner.engines[0].runner.params is None
+    runner.collective_rpc("wake_up")
+    assert runner.engines[0].runner.params is not None
+    # subset targeting
+    res = runner.collective_rpc("sleep", 1, stage_ids=[1])
+    assert set(res) == {1}
+    assert runner.engines[0].runner.params is not None
+    runner.collective_rpc("wake_up", stage_ids=[1])
+    # still generates correctly after a sleep/wake cycle
+    sp = SamplingParams(max_tokens=4, temperature=0.0, ignore_eos=True)
+    outs = runner.generate([list(range(1, 10))], [sp], modality="audio")
+    assert outs[0].finished

@@ -386,6 +386,21 @@ class PipelineRunner:
             finals.append(out)
         return finals
 
+    def collective_rpc(self, method: str, *args: Any,
+                       stage_ids: Optional[list[int]] = None,
+                       **kwargs: Any) -> dict[int, Any]:
+        """Invoke `method` on every stage engine (or the given subset) —
+        sleep/wake_up/reload_weights/profiling control (reference:
+        AsyncOmni.collective_rpc async_omni.py:502). Returns per-stage
+        results; stages lacking the method report None."""
+        results: dict[int, Any] = {}
+        for sid, handle in self.handles.items():
+            if stage_ids is not None and sid not in stage_ids:
+                continue
+            fn = getattr(handle.engine, method, None)
+            results[sid] = fn(*args, **kwargs) if callable(fn) else None
+        return results
+
     def feed_input(self, request_id: str, token_ids: list[int],
                    final: bool = False) -> None:
         """Streaming input: append a prompt chunk to a resumable request

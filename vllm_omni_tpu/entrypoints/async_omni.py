@@ -132,6 +132,15 @@ class AsyncOmni:
         with self._lock:
             return self.runner.abort(request_id)
 
+    async def collective_rpc(self, method: str, *args: Any,
+                             stage_ids=None, **kwargs: Any) -> dict:
+        """Fan an RPC out to every stage engine (reference
+        async_omni.py:502) — e.g. sleep/wake_up for RL rollout engines."""
+        with self._lock:
+            return self.runner.collective_rpc(method, *args,
+                                              stage_ids=stage_ids,
+                                              **kwargs)
+
     async def feed_input(self, request_id: str,
                          prompt: Union[str, list[int]],
                          final: bool = False) -> None:
