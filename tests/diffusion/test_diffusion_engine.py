@@ -139,3 +139,26 @@ def test_model_offload_parity():
     assert eng.pipeline.vae_params is None
     b = eng.generate([DiffusionRequest("b", "x", p)])[0]
     np.testing.assert_array_equal(a.images, b.images)
+
+
+def test_layerwise_offload_parity():
+    """Layerwise host offload (block-by-block prefetch) produces
+    identical latents (reference offloader/layerwise_backend.py:21)."""
+    import numpy as np
+
+    p = params(seed=12, output_type="latent", num_inference_steps=3)
+    a = DiffusionEngine(make_config()).generate(
+        [DiffusionRequest("a", "x", p)])[0]
+    eng = DiffusionEngine(make_config(offload="layerwise"))
+    assert "layers" not in eng.pipeline.dit_params
+    b = eng.generate([DiffusionRequest("b", "x", p)])[0]
+    np.testing.assert_allclose(b.images, a.images, rtol=1e-5, atol=1e-5)
+    # CFG path too
+    p2 = params(seed=12, output_type="latent", num_inference_steps=2,
+                guidance_scale=4.0, negative_prompt="bad")
+    a2 = DiffusionEngine(make_config()).generate(
+        [DiffusionRequest("a", "x", p2)])[0]
+    b2 = DiffusionEngine(make_config(offload="layerwise")).generate(
+        [DiffusionRequest("b", "x", p2)])[0]
+    np.testing.assert_allclose(b2.images, a2.images, rtol=1e-5,
+                               atol=1e-5)

@@ -174,3 +174,16 @@ async def test_realtime_ws(client):
                                "response.audio.delta")
     assert done is not None and len(done["token_ids"]) == 5
     await ws.close()
+
+
+async def test_voice_crud(client):
+    r = await client.post("/v1/audio/voices", json={
+        "name": "alice", "description": "warm"})
+    assert r.status == 200
+    r = await client.get("/v1/audio/voices")
+    names = [v["name"] for v in (await r.json())["voices"]]
+    assert "alice" in names
+    r = await client.delete("/v1/audio/voices/alice")
+    assert r.status == 200
+    r = await client.delete("/v1/audio/voices/alice")
+    assert r.status == 404

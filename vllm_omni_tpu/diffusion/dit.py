@@ -230,18 +230,10 @@ def modulated_input(params: Params, cfg: DiTConfig, latents: jnp.ndarray,
     return _modulate(_layer_norm_nb(img), m[:, 0], m[:, 1])
 
 
-def dit_forward(params: Params, cfg: DiTConfig, latents: jnp.ndarray,
-                text_states: jnp.ndarray, timesteps: jnp.ndarray,
-                mesh=None) -> jnp.ndarray:
-    """latents [B, H, W, C], text_states [B, Ttxt, text_dim], timesteps
-    [B] (0..num_train_timesteps) → velocity prediction [B, H, W, C].
-
-    mesh axes used when present: "cfg" shards the CFG batch rows,
-    "ulysses" shards the joint token sequence, "tp" shards heads/MLP.
-
-    Video: latents [B, F, H, W, C] — frames patchify independently and
-    join one token stream with 3D (frame, h, w) rope (Wan/LTX-class).
-    """
+def dit_prolog(params: Params, cfg: DiTConfig, latents: jnp.ndarray,
+               text_states: jnp.ndarray, timesteps: jnp.ndarray,
+               mesh=None):
+    """Embedding + conditioning stage: → (x [B,T,H], temb [B,H])."""
     video = latents.ndim == 5
     if video:
         b, f, h, w, c = latents.shape
@@ -262,18 +254,34 @@ def dit_forward(params: Params, cfg: DiTConfig, latents: jnp.ndarray,
     temb = linear(temb.astype(x.dtype), params["time_in_1"])
     temb = linear(jax.nn.silu(temb.astype(jnp.float32)).astype(x.dtype),
                   params["time_in_2"])  # [B, H]
+    return x, temb
 
-    cos, sin = rope_3d(cfg, f, h // p, w // p, text_states.shape[1])
-    for layer in params["layers"]:
-        mod = linear(jax.nn.silu(temb.astype(jnp.float32)).astype(x.dtype),
-                     layer["ada_mod"])  # [B, 6H]
-        x = _dit_block(layer, cfg, x, mod, cos, sin, mesh=mesh)
 
-    # final AdaLN + projection back to patches (image tokens only)
+def dit_block_apply(layer: Params, cfg: DiTConfig, x: jnp.ndarray,
+                    temb: jnp.ndarray, cos: jnp.ndarray,
+                    sin: jnp.ndarray, mesh=None) -> jnp.ndarray:
+    """One transformer block incl. its AdaLN modulation — the unit the
+    layerwise offloader streams (all blocks share one compiled program)."""
+    mod = linear(jax.nn.silu(temb.astype(jnp.float32)).astype(x.dtype),
+                 layer["ada_mod"])  # [B, 6H]
+    return _dit_block(layer, cfg, x, mod, cos, sin, mesh=mesh)
+
+
+def dit_epilog(params: Params, cfg: DiTConfig, x: jnp.ndarray,
+               temb: jnp.ndarray, text_len: int, latent_shape
+               ) -> jnp.ndarray:
+    """Final AdaLN + projection back to latent patches."""
+    video = len(latent_shape) == 5
+    if video:
+        b, f, h, w, c = latent_shape
+    else:
+        b, h, w, c = latent_shape
+        f = 1
+    p = cfg.patch_size
     fin = linear(jax.nn.silu(temb.astype(jnp.float32)).astype(x.dtype),
                  params["final_mod"])  # [B, 2H]
     shift, scale = fin[:, :fin.shape[1] // 2], fin[:, fin.shape[1] // 2:]
-    img_x = x[:, text_states.shape[1]:]
+    img_x = x[:, text_len:]
     img_x = _modulate(_layer_norm_nb(img_x), shift, scale)
     out = linear(img_x, params["final_proj"])  # [B, F*n, pd]
     out = out.reshape(b * f, out.shape[1] // f, out.shape[2])
@@ -281,6 +289,32 @@ def dit_forward(params: Params, cfg: DiTConfig, latents: jnp.ndarray,
     if video:
         return frames_out.reshape(b, f, h, w, c)
     return frames_out
+
+
+def dit_rope(cfg: DiTConfig, latent_shape, text_len: int):
+    video = len(latent_shape) == 5
+    f = latent_shape[1] if video else 1
+    h, w = latent_shape[-3], latent_shape[-2]
+    p = cfg.patch_size
+    return rope_3d(cfg, f, h // p, w // p, text_len)
+
+
+def dit_forward(params: Params, cfg: DiTConfig, latents: jnp.ndarray,
+                text_states: jnp.ndarray, timesteps: jnp.ndarray,
+                mesh=None) -> jnp.ndarray:
+    """latents [B, H, W, C] (or video [B, F, H, W, C]), text_states
+    [B, Ttxt, text_dim], timesteps [B] → velocity prediction.
+
+    mesh axes used when present: "cfg" shards the CFG batch rows,
+    "ulysses" shards the joint token sequence, "tp" shards heads/MLP.
+    """
+    x, temb = dit_prolog(params, cfg, latents, text_states, timesteps,
+                         mesh=mesh)
+    cos, sin = dit_rope(cfg, latents.shape, text_states.shape[1])
+    for layer in params["layers"]:
+        x = dit_block_apply(layer, cfg, x, temb, cos, sin, mesh=mesh)
+    return dit_epilog(params, cfg, x, temb, text_states.shape[1],
+                      latents.shape)
 
 
 # ---------------------------------------------------------------------------

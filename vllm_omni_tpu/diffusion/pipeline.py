@@ -79,11 +79,28 @@ class DiffusionPipeline:
         self.vae_params = init_vae_params(
             k2, config.vae_latent_channels, dtype=self.dtype)
         self._vae_host = None
-        if config.offload == "model":
+        self._host_layers = None
+        if config.offload in ("model", "layerwise"):
             # VAE lives in host RAM; HBM holds only the DiT while
             # denoising (staged in per decode, freed after)
             self._vae_host = jax.device_get(self.vae_params)
             self.vae_params = None
+        if config.offload == "layerwise":
+            # reference layerwise_backend.py:21: block-by-block prefetch.
+            # DiT blocks live in host RAM; the denoise step streams them
+            # to HBM one ahead of compute (all blocks share one compiled
+            # program) — peak HBM = resident embedders + 2 blocks +
+            # activations.
+            self._host_layers = [jax.device_get(l)
+                                 for l in self.dit_params["layers"]]
+            self.dit_params = {k: v for k, v in self.dit_params.items()
+                               if k != "layers"}
+            self._block_fn = jax.jit(functools.partial(
+                self._apply_block_jit))
+            self._prolog_fn = jax.jit(self._prolog_jit)
+            self._epilog_fn = jax.jit(self._epilog_jit,
+                                      static_argnames=("text_len",
+                                                       "latent_shape"))
         # parallel layout: one mesh carries cfg/sp(ulysses)/tp — replaces
         # the reference's initialize_model_parallel rank plumbing
         from vllm_omni_tpu.parallel import stage_mesh
@@ -200,13 +217,75 @@ class DiffusionPipeline:
         fn = self._step_fns.get(key)
         if fn is None:
             body = self._cached_step_body if cached else self._step_body
-            fn = jax.jit(functools.partial(body, use_cfg=use_cfg),
-                         donate_argnums=(1,))
+            if self._host_layers is not None:
+                # layerwise offload: the step loop runs host-side
+                # (device_put per block); only the pieces are jitted
+                if cached:
+                    raise ValueError(
+                        "tea_cache is incompatible with layerwise "
+                        "offload (step must stay host-driven)")
+                fn = functools.partial(body, use_cfg=use_cfg)
+            else:
+                fn = jax.jit(functools.partial(body, use_cfg=use_cfg),
+                             donate_argnums=(1,))
             self._step_fns[key] = fn
         return fn
 
+    # layerwise-offload jit pieces (shapes shared by all blocks → one
+    # compiled program each)
+    def _prolog_jit(self, params, latents, text_states, timesteps):
+        from vllm_omni_tpu.diffusion.dit import dit_prolog, dit_rope
+
+        x, temb = dit_prolog(params, self.config.dit, latents,
+                             text_states, timesteps, mesh=self.mesh)
+        cos, sin = dit_rope(self.config.dit, latents.shape,
+                            text_states.shape[1])
+        return x, temb, cos, sin
+
+    def _apply_block_jit(self, layer, x, temb, cos, sin):
+        from vllm_omni_tpu.diffusion.dit import dit_block_apply
+
+        return dit_block_apply(layer, self.config.dit, x, temb, cos, sin,
+                               mesh=self.mesh)
+
+    def _epilog_jit(self, params, x, temb, *, text_len: int,
+                    latent_shape):
+        from vllm_omni_tpu.diffusion.dit import dit_epilog
+
+        return dit_epilog(params, self.config.dit, x, temb, text_len,
+                          latent_shape)
+
+    def _predict_velocity_layerwise(self, latents, text_states,
+                                    timesteps):
+        x, temb, cos, sin = self._prolog_fn(self.dit_params, latents,
+                                            text_states, timesteps)
+        # double-buffered host→HBM prefetch: device_put is async, so
+        # block i+1 stages in while block i computes
+        nxt = jax.device_put(self._host_layers[0])
+        for i in range(len(self._host_layers)):
+            cur = nxt
+            if i + 1 < len(self._host_layers):
+                nxt = jax.device_put(self._host_layers[i + 1])
+            x = self._block_fn(cur, x, temb, cos, sin)
+            del cur
+        return self._epilog_fn(self.dit_params, x, temb,
+                               text_len=text_states.shape[1],
+                               latent_shape=tuple(latents.shape)
+                               ).astype(jnp.float32)
+
     def _predict_velocity(self, params, latents, text_states, t,
                           guidance, use_cfg: bool):
+        if self._host_layers is not None:
+            tt0 = jnp.full((latents.shape[0],), t, jnp.float32)
+            if use_cfg:
+                lat2 = jnp.concatenate([latents, latents], axis=0)
+                tt2 = jnp.full((2,), t, jnp.float32)
+                v = self._predict_velocity_layerwise(lat2, text_states,
+                                                     tt2)
+                v_cond, v_uncond = v[:1], v[1:]
+                return v_uncond + guidance * (v_cond - v_uncond)
+            return self._predict_velocity_layerwise(
+                latents, text_states[:1], tt0)
         if use_cfg:
             lat2 = jnp.concatenate([latents, latents], axis=0)
             tt = jnp.full((2,), t, jnp.float32)

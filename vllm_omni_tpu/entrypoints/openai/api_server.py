@@ -300,6 +300,42 @@ async def speech_stream_ws(request: web.Request) -> web.WebSocketResponse:
     return ws
 
 
+# -- voice CRUD (reference /v1/audio/voices api_server.py:1013-1139:
+# register/list/delete cloned voices; the voice payload reaches the TTS
+# pipeline through additional_information) ---------------------------------
+
+VOICES_KEY = web.AppKey("voices", dict)
+
+
+async def list_voices(request: web.Request) -> web.Response:
+    return web.json_response({"voices": [
+        {"name": k, **{kk: vv for kk, vv in v.items() if kk != "audio"}}
+        for k, v in request.app[VOICES_KEY].items()]})
+
+
+async def create_voice(request: web.Request) -> web.Response:
+    body = await request.json()
+    name = body.get("name")
+    if not name:
+        return web.json_response(
+            {"error": {"message": "voice needs a name"}}, status=400)
+    voices = request.app[VOICES_KEY]
+    voices[name] = {
+        "audio": body.get("audio"),  # b64 reference audio (voice clone)
+        "description": body.get("description", ""),
+        "sample_rate": body.get("sample_rate", 24000),
+    }
+    return web.json_response({"name": name, "status": "created"})
+
+
+async def delete_voice(request: web.Request) -> web.Response:
+    name = request.match_info["name"]
+    if request.app[VOICES_KEY].pop(name, None) is None:
+        return web.json_response({"error": {"message": "not found"}},
+                                 status=404)
+    return web.json_response({"name": name, "status": "deleted"})
+
+
 async def realtime_ws(request: web.Request) -> web.WebSocketResponse:
     """WS /v1/realtime (reference api_server.py:1203): minimal realtime
     session — client sends conversation items, server streams response
@@ -471,6 +507,7 @@ def create_app(omni: AsyncOmni, model_name: str = "omni") -> web.Application:
     app[OMNI_KEY] = omni
     app[NAME_KEY] = model_name
     app[JOBS_KEY] = {}
+    app[VOICES_KEY] = {}
     app[PROF_KEY] = StageProfiler()
     app.router.add_get("/health", health)
     app.router.add_get("/v1/models", list_models)
@@ -479,6 +516,9 @@ def create_app(omni: AsyncOmni, model_name: str = "omni") -> web.Application:
     app.router.add_post("/v1/images/generations", image_generations)
     app.router.add_post("/v1/audio/speech", audio_speech)
     app.router.add_get("/v1/audio/speech/stream", speech_stream_ws)
+    app.router.add_get("/v1/audio/voices", list_voices)
+    app.router.add_post("/v1/audio/voices", create_voice)
+    app.router.add_delete("/v1/audio/voices/{name}", delete_voice)
     app.router.add_get("/v1/realtime", realtime_ws)
     app.router.add_post("/v1/videos", create_video_job)
     app.router.add_get("/v1/videos/{job_id}", get_video_job)
