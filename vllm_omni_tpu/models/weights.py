@@ -261,6 +261,12 @@ def load_model(model_config: ModelConfig,
                 f"model path {src!r} not found (HF hub download not "
                 "available in this environment; pass a local dir)")
         hf = dict(model_config.hf_overrides)
+        if "hidden_size" not in hf or "num_attention_heads" not in hf:
+            raise ValueError(
+                "model='dummy' (random-weight tier) needs the architecture "
+                "in hf_overrides (vocab_size/hidden_size/num_hidden_layers/"
+                "num_attention_heads/...); pass a local HF checkpoint dir "
+                "to load real weights")
         cfg = hf_config_to_decoder_config(hf)
         # one jitted program builds the whole (quantized) pytree on
         # device: a single dispatch instead of ~8 eager ops per linear
