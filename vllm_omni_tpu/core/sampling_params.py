@@ -32,6 +32,10 @@ class SamplingParams:
     ignore_eos: bool = False
     logprobs: Optional[int] = None
     detokenize: bool = True
+    # PD disaggregation: keep KV pages pinned after finish so the KV
+    # transfer manager can extract them (reference deferred stop,
+    # omni_ar_scheduler.py:64-67); release via engine.release_transfer
+    pin_kv: bool = False
     # omni: request the final per-token hidden states for next-stage handoff
     # (reference: worker/gpu_ar_model_runner.py returns hidden states in
     # OmniModelRunnerOutput, outputs.py:39)

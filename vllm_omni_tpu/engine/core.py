@@ -112,6 +112,59 @@ class EngineCore:
     def has_unfinished(self) -> bool:
         return self.scheduler.has_unfinished()
 
+    # -- KV transfer (prefill/decode disaggregation) -------------------------
+    def extract_request_kv(self, request_id: str) -> dict[str, Any]:
+        """Pull a request's prompt KV off the device for transfer to
+        another engine (reference handle_finished_requests_kv_transfer
+        kv_transfer_manager.py:721). The request must still hold its
+        pages (finish with pin_for_transfer, or mid-flight)."""
+        req = self.scheduler.get_request(request_id)
+        if req is None or not req.page_ids:
+            raise KeyError(f"no live pages for request {request_id!r}")
+        used_pages = (req.num_computed_tokens +
+                      self.config.cache.page_size - 1) // \
+            self.config.cache.page_size
+        kv = self.runner.extract_kv(req.page_ids[:used_pages])
+        return {
+            "kv": kv,
+            "prompt_token_ids": list(req.prompt_token_ids),
+            "num_computed_tokens": req.num_computed_tokens,
+            "first_token": req.output_token_ids[0]
+            if req.output_token_ids else None,
+        }
+
+    def release_transfer(self, request_id: str) -> None:
+        self.scheduler.release_transfer(request_id)
+
+    def inject_request_kv(self, payload: dict[str, Any],
+                          sampling_params: Optional[SamplingParams] = None,
+                          request_id: Optional[str] = None) -> str:
+        """Admit a request whose prompt KV was computed elsewhere: pages
+        are allocated, the KV scattered in, and the request enters the
+        running set directly — decode continues with zero prompt
+        recompute (reference re-injection, kv_transfer_manager.py:968;
+        the PD-disaggregation fast path)."""
+        rid = request_id or random_uuid()
+        params = sampling_params or SamplingParams()
+        prompt = list(payload["prompt_token_ids"])
+        n_computed = int(payload["num_computed_tokens"])
+        kv = payload["kv"]
+        req = Request(request_id=rid, prompt_token_ids=prompt,
+                      sampling_params=params)
+        req.num_computed_tokens = n_computed
+        first = payload.get("first_token")
+        if first is not None:
+            req.append_output_token(int(first))
+        # pages must cover transferred KV + the next decode slot
+        alloc = self.scheduler.block_manager.allocate(
+            max(req.num_tokens, n_computed))
+        req.page_ids = alloc.page_ids
+        self.runner.inject_kv(req.page_ids[:kv.shape[3]], kv)
+        self.scheduler._all[rid] = req
+        req.status = RequestStatus.WAITING
+        self.scheduler.waiting.append(req)
+        return rid
+
     # -- sleep mode ----------------------------------------------------------
     def sleep(self, level: int = 1) -> None:
         if self.has_unfinished():
@@ -286,7 +339,9 @@ class EngineCore:
                     status = RequestStatus.FINISHED_STOPPED
         if status is None:
             return False
-        self.scheduler.finish_request(req, status)
+        self.scheduler.finish_request(
+            req, status,
+            pin_for_transfer=req.sampling_params.pin_kv)
         return True
 
     # -- outputs ------------------------------------------------------------

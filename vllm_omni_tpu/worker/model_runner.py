@@ -345,6 +345,56 @@ class ModelRunner:
             self._fn_cache[key] = fn
         return fn
 
+    # -- KV extraction / injection (stage disaggregation) --------------------
+    def extract_kv(self, page_ids: list[int]) -> np.ndarray:
+        """Gather a request's KV pages off the device →
+        [L, 2, Hkv, P, ps, D] (reference kv_transfer_manager.py:274
+        extract side). P is padded to a power-of-2 bucket; callers slice
+        by the real page count."""
+        pw = self._page_bucket(len(page_ids))
+        ids = np.zeros((pw,), np.int32)
+        ids[:len(page_ids)] = page_ids
+        key = ("kv_extract", pw)
+        fn = self._fn_cache.get(key)
+        if fn is None:
+            def gather(kv_pages, pids):
+                per_layer = [jnp.stack([kp[:, pids], vp[:, pids]])
+                             for kp, vp in kv_pages]
+                return jnp.stack(per_layer)  # [L,2,Hkv,P,ps,D]
+
+            fn = jax.jit(gather)
+            self._fn_cache[key] = fn
+        out = np.asarray(fn(self.kv_pages, ids))
+        return out[:, :, :, :len(page_ids)]
+
+    def inject_kv(self, page_ids: list[int], data: np.ndarray) -> None:
+        """Scatter transferred KV into this engine's pages (reference
+        receive_kv_cache_for_request :968). data: [L, 2, Hkv, P, ps, D]
+        with P == len(page_ids); dtype converts to this engine's KV
+        storage dtype."""
+        pw = self._page_bucket(len(page_ids))
+        p = len(page_ids)
+        padded = np.zeros(data.shape[:3] + (pw,) + data.shape[4:],
+                          data.dtype)
+        padded[:, :, :, :p] = data
+        ids = np.zeros((pw,), np.int32)  # pad slots → null page 0
+        ids[:p] = page_ids
+        key = ("kv_inject", pw)
+        fn = self._fn_cache.get(key)
+        if fn is None:
+            def scatter(kv_pages, pids, blob):
+                out = []
+                for i, (kp, vp) in enumerate(kv_pages):
+                    kp = kp.at[:, pids].set(blob[i, 0].astype(kp.dtype))
+                    vp = vp.at[:, pids].set(blob[i, 1].astype(vp.dtype))
+                    out.append((kp, vp))
+                return out
+
+            fn = jax.jit(scatter, donate_argnums=(0,))
+            self._fn_cache[key] = fn
+        self.kv_pages = fn(self.kv_pages, ids, padded)
+        self._decode_cache = None
+
     # -- speculative decoding (verify pass) ----------------------------------
     def _spec_verify_body(self, params, kv_pages, token_ids, positions,
                           block_tables, q_start, kv_lens, slot_ids):
