@@ -69,3 +69,60 @@ def test_ar_to_dit_pipeline():
     # different prompts → different hidden states → different images
     assert not np.array_equal(imgs[0], imgs[1])
     assert outs[0].stage_durations.keys() == {"stage0", "stage1"}
+
+
+def test_cross_stage_cfg_companion():
+    """The negative prompt runs through the AR encoder as a companion
+    request; its hidden states become the DiT's uncond branch (reference
+    architecture_overview.md:101-106 CFG companion requests)."""
+    from vllm_omni_tpu.core.sampling_params import DiffusionSamplingParams
+
+    cfg = {
+        "stage_args": [
+            {"stage_id": 0, "stage_type": "llm",
+             "engine_args": {"model": "dummy", "hf_overrides": TINY_LLM,
+                             "dtype": "float32", "max_model_len": 128,
+                             "num_pages": 32, "page_size": 16},
+             "default_sampling_params": {"max_tokens": 4,
+                                         "temperature": 0.0,
+                                         "ignore_eos": True}},
+            {"stage_id": 1, "stage_type": "diffusion",
+             "engine_args": {"dit": TINY_DIT, "dtype": "float32",
+                             "vae_latent_channels": 4,
+                             "resolution_buckets": [[32, 32]]},
+             "engine_input_source": [0],
+             "final_output": True, "final_output_type": "image"},
+        ]
+    }
+    from vllm_omni_tpu.config.stage_config import load_stage_configs
+    from vllm_omni_tpu.engine.orchestrator import PipelineRunner
+
+    dp = DiffusionSamplingParams(
+        num_inference_steps=2, height=32, width=32, guidance_scale=4.0,
+        seed=7, output_type="latent",
+        extra_args={"negative_prompt_token_ids": [9, 8, 7, 6]})
+    runner = PipelineRunner(load_stage_configs(cfg))
+    sp = SamplingParams(max_tokens=4, temperature=0.0, ignore_eos=True)
+    runner.submit(list(range(1, 9)), sp, "r1", modality="image",
+                  diffusion_params=dp)
+    while runner.has_unfinished():
+        runner.step()
+    out = runner._active["r1"].final_output
+    assert out is not None and out.error is None
+    # companion ran and its hidden states reached the diffusion stage
+    assert 0 in runner._active["r1"].companion_outputs
+    lat_companion = out.multimodal_output["image"]
+
+    # without companion tokens: falls back to hash-embed negative →
+    # different uncond branch → different latents
+    runner2 = PipelineRunner(load_stage_configs(cfg))
+    dp2 = DiffusionSamplingParams(
+        num_inference_steps=2, height=32, width=32, guidance_scale=4.0,
+        seed=7, output_type="latent", negative_prompt="bad")
+    runner2.submit(list(range(1, 9)), sp, "r2", modality="image",
+                   diffusion_params=dp2)
+    while runner2.has_unfinished():
+        runner2.step()
+    lat_plain = runner2._active["r2"].final_output.multimodal_output[
+        "image"]
+    assert not np.array_equal(lat_companion, lat_plain)

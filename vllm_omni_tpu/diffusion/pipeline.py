@@ -172,8 +172,19 @@ class DiffusionPipeline:
             cond = _hash_embed(str(req.prompt), self.TEXT_LEN, d)[None]
         rows = [cond]
         if req.params.use_cfg:
-            neg = req.negative_prompt or req.params.negative_prompt or ""
-            rows.append(_hash_embed(str(neg), self.TEXT_LEN, d)[None])
+            neg = req.additional_information.get("negative_text_states")
+            if neg is not None:
+                # cross-stage CFG: negative branch encoded by the
+                # upstream AR stage (companion request)
+                neg = np.asarray(neg, np.float32)
+                if neg.ndim == 2:
+                    neg = neg[None]
+                rows.append(_pad_or_trim(neg, self.TEXT_LEN))
+            else:
+                neg_p = req.negative_prompt or \
+                    req.params.negative_prompt or ""
+                rows.append(_hash_embed(str(neg_p), self.TEXT_LEN,
+                                        d)[None])
         return jnp.asarray(np.concatenate(rows, axis=0), self.dtype)
 
     # -- 2/4: one denoise step ----------------------------------------------

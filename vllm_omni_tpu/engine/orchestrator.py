@@ -57,6 +57,11 @@ def default_process_input(prev_outputs: dict[int, RequestOutput],
         if comp.hidden_states is not None:
             kwargs["additional_information"]["text_states"] = \
                 comp.hidden_states
+        companion = (ctx.get("companions") or {}).get(src_id)
+        if companion is not None and companion.outputs and \
+                companion.outputs[0].hidden_states is not None:
+            kwargs["additional_information"]["negative_text_states"] = \
+                companion.outputs[0].hidden_states
         return kwargs
     kwargs = {"additional_information": info}
     if comp.hidden_states is not None:
@@ -83,6 +88,11 @@ class PipelineRequest:
     # chunked-request started
     chunk_sent: dict[int, int] = field(default_factory=dict)
     chunk_started: set[int] = field(default_factory=set)
+    # cross-stage CFG companions: source stage_id → negative-branch
+    # output (reference orchestrator companion map orchestrator.py:141)
+    companion_outputs: dict[int, RequestOutput] = field(
+        default_factory=dict)
+    companion_pending: set[int] = field(default_factory=set)
 
 
 class _StageHandle:
@@ -220,6 +230,8 @@ class PipelineRunner:
         for stage in src_stages:
             preq.dispatched_stages.add(stage.stage_id)
             preq.stage_start[stage.stage_id] = time.monotonic()
+            self._maybe_submit_cfg_companion(stage, preq,
+                                             prompt_token_ids)
             if stage.stage_type == "diffusion":
                 payload: dict[str, Any] = {
                     "prompt": prompt if prompt is not None else "",
@@ -250,6 +262,42 @@ class PipelineRunner:
             sp = _with_hidden(sp)
         return sp
 
+    def _maybe_submit_cfg_companion(self, stage: StageConfig,
+                                     preq: PipelineRequest,
+                                     prompt_token_ids) -> None:
+        """Cross-stage CFG (reference architecture_overview.md:101-106
+        + cfg_companion_tracker.py): when an AR stage conditions a
+        CFG-enabled diffusion stage, run the NEGATIVE prompt through the
+        same encoder as a companion request; both branches' hidden
+        states reach the DiT as cond/uncond text_states."""
+        if stage.stage_type != "llm":
+            return
+        consumers = [c for c in self.pipeline.consumers_of(stage.stage_id)
+                     if c.stage_type == "diffusion"]
+        if not consumers:
+            return
+        dp = preq.diffusion_params
+        use_cfg = (dp is not None and dp.use_cfg) or any(
+            (c.default_sampling_params or {}).get("guidance_scale", 1.0)
+            > 1.0 for c in consumers)
+        if not use_cfg:
+            return
+        neg_tokens = None
+        if dp is not None:
+            neg_tokens = dp.extra_args.get("negative_prompt_token_ids")
+            if neg_tokens is None and dp.negative_prompt and \
+                    self.tokenizer is not None:
+                neg_tokens = self.tokenizer.encode(dp.negative_prompt)
+        if not neg_tokens:
+            return  # diffusion stage falls back to its own neg embedding
+        sid = stage.stage_id
+        sp = self._stage_params(stage, preq.sampling_params,
+                                user_stage0=False)
+        preq.companion_pending.add(sid)
+        self.handles[sid].engine.add_request(
+            list(neg_tokens), sp,
+            request_id=f"{preq.request_id}#cfg-neg{sid}")
+
     def _diffusion_params(self, stage: StageConfig, preq: PipelineRequest):
         from vllm_omni_tpu.core.sampling_params import \
             DiffusionSamplingParams
@@ -268,6 +316,10 @@ class PipelineRunner:
             if not handle.has_unfinished():
                 continue
             for out in handle.step():
+                if "#cfg-neg" in out.request_id:
+                    if out.finished:
+                        self._route_companion(stage, out)
+                    continue
                 if out.finished:
                     finals.extend(self._route(stage, out))
                     continue
@@ -282,6 +334,19 @@ class PipelineRunner:
                         out.final_output_type = stage.final_output_type
                         self.on_stream(out)
         return finals
+
+    def _route_companion(self, stage: StageConfig,
+                         out: RequestOutput) -> None:
+        parent_rid = out.request_id.split("#cfg-neg")[0]
+        preq = self._active.get(parent_rid)
+        if preq is None:
+            return
+        preq.companion_outputs[stage.stage_id] = out
+        preq.companion_pending.discard(stage.stage_id)
+        # the consumer may have been waiting only on the companion
+        fake_parent = preq.stage_outputs.get(stage.stage_id)
+        if fake_parent is not None:
+            self._route(stage, fake_parent)
 
     def _forward_chunks(self, stage: StageConfig, out: RequestOutput,
                         final: bool) -> None:
@@ -358,8 +423,14 @@ class PipelineRunner:
             if not all(s in preq.stage_outputs
                        for s in consumer.engine_input_source):
                 continue
+            if consumer.stage_type == "diffusion" and any(
+                    s in preq.companion_pending
+                    for s in consumer.engine_input_source):
+                continue  # wait for the negative branch
+            ctx = dict(self._ctx)
+            ctx["companions"] = preq.companion_outputs
             payload = self.processors[consumer.stage_id](
-                preq.stage_outputs, consumer, self._ctx)
+                preq.stage_outputs, consumer, ctx)
             if consumer.stage_type == "diffusion":
                 payload.setdefault("diffusion_params",
                                    self._diffusion_params(consumer, preq))
@@ -375,7 +446,7 @@ class PipelineRunner:
             num_new_tokens=len(out.outputs[0].token_ids)
             if out.outputs else 0, finished=True)
         final_stage = self.pipeline.final_stage_for(preq.modality)
-        if sid == final_stage.stage_id:
+        if sid == final_stage.stage_id and preq.final_output is None:
             out.final_output_type = stage.final_output_type
             out.stage_durations = dict(preq.stage_durations)
             post = stage.resolve_output_processor()
