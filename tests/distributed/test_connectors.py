@@ -97,3 +97,81 @@ def test_chunk_streaming():
     for i, c in enumerate(got):
         np.testing.assert_array_equal(c, chunks_in[i])
     conn.close()
+
+
+def test_tcp_connector_cross_instance():
+    """Cross-host path: producer's connector serves, consumer's fetches
+    over TCP with the metadata addr (the Mooncake role)."""
+    from vllm_omni_tpu.distributed.tcp_connector import TcpConnector
+
+    a = TcpConnector()
+    b = TcpConnector()
+    try:
+        data = {"kv": np.random.default_rng(1).standard_normal(
+            (2, 4, 8)).astype(np.float32), "ids": [1, 2, 3]}
+        ok, size, meta = a.put(0, 1, "reqX", data)
+        assert ok and size > 0 and meta["addr"] == a.addr
+        got, n = b.get(0, 1, "reqX", meta)
+        np.testing.assert_array_equal(got["kv"], data["kv"])
+        assert got["ids"] == [1, 2, 3]
+        # local fast path on the producer side
+        got2, _ = a.get(0, 1, "reqX", meta)
+        np.testing.assert_array_equal(got2["kv"], data["kv"])
+        a.cleanup(0, 1, "reqX")
+        with pytest.raises(KeyError):
+            b.get(0, 1, "reqX", meta)
+    finally:
+        a.close()
+        b.close()
+
+
+def test_tcp_pd_disaggregation():
+    """PD disaggregation over the TCP data plane between two engines
+    (cross-host shape of tests/engine/test_kv_transfer.py)."""
+    from vllm_omni_tpu.config.engine import EngineConfig
+    from vllm_omni_tpu.core.sampling_params import SamplingParams
+    from vllm_omni_tpu.distributed.tcp_connector import TcpConnector
+    from vllm_omni_tpu.distributed.transfer_manager import TransferManager
+    from vllm_omni_tpu.engine.core import EngineCore
+
+    hf = {"architectures": ["Qwen3ForCausalLM"], "vocab_size": 128,
+          "hidden_size": 32, "intermediate_size": 64,
+          "num_hidden_layers": 2, "num_attention_heads": 2,
+          "num_key_value_heads": 2, "head_dim": 16, "eos_token_id": 0}
+
+    def engine():
+        return EngineCore(EngineConfig.from_kwargs(
+            model="dummy", hf_overrides=hf, dtype="float32",
+            max_model_len=128, num_pages=32, page_size=16,
+            max_num_seqs=2, max_num_batched_tokens=64))
+
+    def drain(eng):
+        finals = {}
+        while eng.has_unfinished():
+            for o in eng.step():
+                if o.finished:
+                    finals[o.request_id] = o
+        return finals
+
+    prompt = list(range(1, 25))
+    pre, dec = engine(), engine()
+    rid = pre.add_request(list(prompt), SamplingParams(
+        max_tokens=1, temperature=0.0, ignore_eos=True, pin_kv=True))
+    drain(pre)
+    conn_a, conn_b = TcpConnector(), TcpConnector()
+    try:
+        meta = TransferManager(conn_a).send(0, 1, rid,
+                                            pre.extract_request_kv(rid))
+        received = TransferManager(conn_b).receive(0, 1, rid, meta)
+        rid2 = dec.inject_request_kv(received, SamplingParams(
+            max_tokens=8, temperature=0.0, ignore_eos=True))
+        toks = drain(dec)[rid2].outputs[0].token_ids
+        # single-engine reference
+        ref_eng = engine()
+        rref = ref_eng.add_request(list(prompt), SamplingParams(
+            max_tokens=8, temperature=0.0, ignore_eos=True))
+        ref = drain(ref_eng)[rref].outputs[0].token_ids
+        assert toks == ref
+    finally:
+        conn_a.close()
+        conn_b.close()
