@@ -57,3 +57,22 @@ def test_video_cfg_and_sp():
     a = eng.generate([DiffusionRequest("v", "x", p)])[0]
     b = base.generate([DiffusionRequest("v", "x", p)])[0]
     np.testing.assert_allclose(a.video, b.video, rtol=2e-4, atol=2e-4)
+
+
+def test_frame_interpolation():
+    """RIFE-role fps doubling (reference postprocess/rife_interpolator)."""
+    from vllm_omni_tpu.diffusion.postprocess import FrameInterpolator
+
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 255, (4, 32, 32, 3)).astype(np.uint8)
+    interp = FrameInterpolator()
+    out = interp.interpolate(frames)
+    assert out.shape == (7, 32, 32, 3) and out.dtype == np.uint8
+    # originals preserved at even indices
+    np.testing.assert_array_equal(out[0::2], frames)
+    # zero-init head → midpoints ≈ average of neighbours
+    mid = out[1].astype(np.float32)
+    avg = (frames[0].astype(np.float32) + frames[1]) / 2
+    assert np.abs(mid - avg).mean() < 2.0
+    # two rounds: 4 → 7 → 13
+    assert interp.interpolate(frames, rounds=2).shape[0] == 13
