@@ -157,6 +157,12 @@ def _dit_block(layer: Params, cfg: DiTConfig, x: jnp.ndarray,
         # online-softmax merge (composes with head-parallel ulysses/tp)
         attn = ring_attention(q, k, v, scale=cfg.head_dim ** -0.5,
                               mesh=mesh)
+    elif mesh is None:
+        # single-device: Pallas flash attention (VMEM-blocked online
+        # softmax — no [T, S] score materialization)
+        from vllm_omni_tpu.ops.flash_attention import flash_attention
+
+        attn = flash_attention(q, k, v, scale=cfg.head_dim ** -0.5)
     else:
         # Ulysses: seq-shard → head-shard for the attention body
         head_spec = P("cfg", None, ("ulysses", "tp"), None)

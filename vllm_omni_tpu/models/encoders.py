@@ -60,7 +60,9 @@ def _encoder_block(layer: Params, x: jnp.ndarray, num_heads: int
     q = linear(y, layer["q_proj"]).reshape(b, t, num_heads, d)
     k = linear(y, layer["k_proj"]).reshape(b, t, num_heads, d)
     v = linear(y, layer["v_proj"]).reshape(b, t, num_heads, d)
-    attn = mha_xla(q, k, v, scale=d ** -0.5, causal=False)
+    from vllm_omni_tpu.ops.flash_attention import flash_attention
+
+    attn = flash_attention(q, k, v, scale=d ** -0.5, causal=False)
     x = x + linear(attn.reshape(b, t, h), layer["o_proj"])
     y = layer_norm(x, layer["ln2_w"], layer["ln2_b"])
     y = linear(y, layer["fc1"])
