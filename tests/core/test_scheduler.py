@@ -128,3 +128,55 @@ def test_abort_and_transfer_pinning():
     assert s.block_manager.num_free_pages == free_before  # pinned
     s.release_transfer("a")
     assert s.block_manager.num_free_pages == free_before + len(pages)
+
+
+def test_preempted_victim_not_decoded_same_step():
+    """ADVICE r1 (high): a request preempted mid-decode-loop must not be
+    scheduled for decode in the SAME step (its pages were freed; decoding
+    it would read uninitialized KV while it sits in `waiting`)."""
+    s = make_sched(max_seqs=4, num_pages=8, page_size=4, max_tokens=64)
+    r1 = req("r1", n_prompt=12, max_tokens=32)
+    r2 = req("r2", n_prompt=12, max_tokens=32)
+    s.add_request(r1)
+    s.add_request(r2)
+    out = s.schedule()
+    for p in out.prefills:
+        s.complete_prefill(p)
+    assert len(s.running) == 2
+    saw_preempt = False
+    for _ in range(10):
+        out = s.schedule()
+        if out.preempted:
+            saw_preempt = True
+            for victim in out.preempted:
+                assert victim not in out.decodes
+                assert not victim.page_ids  # fully freed, no fresh alloc
+                assert victim.status == RequestStatus.PREEMPTED
+        for r in out.decodes:
+            # every decoded request still holds pages covering its tokens
+            assert r in s.running
+            assert r.page_ids
+            r.append_output_token(1)
+        if saw_preempt:
+            break
+    assert saw_preempt
+
+
+def test_preemption_skips_already_scheduled_victims():
+    """A request already in this step's decode list is not an eligible
+    preemption victim (its device step is committed)."""
+    s = make_sched(max_seqs=4, num_pages=10, page_size=4, max_tokens=64)
+    rs = [req(f"r{i}", n_prompt=8, max_tokens=32) for i in range(3)]
+    for r in rs:
+        s.add_request(r)
+    out = s.schedule()
+    for p in out.prefills:
+        s.complete_prefill(p)
+    for _ in range(12):
+        out = s.schedule()
+        for victim in out.preempted:
+            assert victim not in out.decodes
+        for r in out.decodes:
+            r.append_output_token(1)
+        if not s.running and not s.waiting:
+            break

@@ -28,7 +28,7 @@ from __future__ import annotations
 
 from collections import deque
 from dataclasses import dataclass, field
-from typing import Optional
+from typing import Optional, Sequence
 
 from vllm_omni_tpu.config.engine import CacheConfig, SchedulerConfig
 from vllm_omni_tpu.core.block_manager import BlockManager
@@ -194,13 +194,19 @@ class Scheduler:
         if not out.prefills and self.running:
             decodes: list[Request] = []
             for req in list(self.running):
+                if req not in self.running:
+                    # preempted by an earlier iteration this step: its
+                    # pages are freed and it sits in `waiting` for full
+                    # recompute — decoding it now would read blank KV
+                    continue
                 # need slots for every token generated in this chain
                 new_total = req.num_tokens + out.lookahead
                 try:
                     self.block_manager.extend(req.page_ids, req.num_tokens,
                                               new_total)
                 except MemoryError:
-                    victim = self._preempt_lowest_priority(exclude=req)
+                    victim = self._preempt_lowest_priority(
+                        exclude=req, scheduled=decodes)
                     if victim is None:
                         # cannot make room; skip this request this step
                         continue
@@ -264,11 +270,18 @@ class Scheduler:
             self.block_manager.free(req.page_ids)
             req.page_ids = []
 
-    def _preempt_lowest_priority(self,
-                                 exclude: Request) -> Optional[Request]:
+    def _preempt_lowest_priority(
+            self, exclude: Request,
+            scheduled: Sequence[Request] = ()) -> Optional[Request]:
         """Preempt the most recently arrived running request: free its
-        pages, reset computed tokens, push back to waiting (recompute)."""
-        candidates = [r for r in self.running if r is not exclude]
+        pages, reset computed tokens, push back to waiting (recompute).
+
+        Requests already scheduled for this step (`scheduled`) are not
+        eligible victims — their decode is committed; preempting one
+        would free pages the imminent device step still writes to."""
+        sched_ids = {id(r) for r in scheduled}
+        candidates = [r for r in self.running
+                      if r is not exclude and id(r) not in sched_ids]
         if not candidates:
             return None
         victim = max(candidates, key=lambda r: r.arrival_time)

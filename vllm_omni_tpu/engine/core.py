@@ -30,6 +30,21 @@ from vllm_omni_tpu.worker.model_runner import ModelRunner, StepResult
 logger = init_logger(__name__)
 
 
+def _seed_params(params: SamplingParams) -> SamplingParams:
+    """Unseeded sampling gets a fresh nondeterministic per-request seed
+    at admission. Defaulting seed=None to a constant would hand every
+    unseeded request the SAME counter-based PRNG stream — two concurrent
+    requests with identical prompts would produce byte-identical
+    'random' completions (vLLM uses an independent generator here)."""
+    if params.seed is not None or params.temperature == 0.0:
+        return params
+    import dataclasses
+    import os
+
+    return dataclasses.replace(
+        params, seed=int.from_bytes(os.urandom(4), "little"))
+
+
 class EngineCore:
     """Single-stage engine: add_request / step / abort."""
 
@@ -71,7 +86,7 @@ class EngineCore:
                     request_id: Optional[str] = None,
                     **kwargs: Any) -> str:
         rid = request_id or random_uuid()
-        params = sampling_params or SamplingParams()
+        params = _seed_params(sampling_params or SamplingParams())
         max_len = self.config.model.max_model_len
         embeds = kwargs.get("prompt_embeds")
         n_prompt = len(prompt_token_ids) if prompt_token_ids else (
@@ -145,7 +160,7 @@ class EngineCore:
         recompute (reference re-injection, kv_transfer_manager.py:968;
         the PD-disaggregation fast path)."""
         rid = request_id or random_uuid()
-        params = sampling_params or SamplingParams()
+        params = _seed_params(sampling_params or SamplingParams())
         prompt = list(payload["prompt_token_ids"])
         n_computed = int(payload["num_computed_tokens"])
         kv = payload["kv"]

@@ -131,10 +131,25 @@ def merge(params: dict) -> dict:
 
 def load_peft_safetensors(path: str, dtype=jnp.float32) -> dict:
     """HF PEFT adapter_model.safetensors → adapter pytree (llama-style
-    names: base_model.model.model.layers.N.self_attn.q_proj.lora_A...)."""
+    names: base_model.model.model.layers.N.self_attn.q_proj.lora_A...).
+
+    The standard PEFT scaling lora_alpha / r (adapter_config.json) is
+    folded into lora_b at load time, so deltas land with the magnitude
+    the adapter was trained for; `LoRAManager.activate`'s scale then
+    multiplies on top (user scale, default 1.0)."""
+    import json
     import os
 
     from safetensors import safe_open
+
+    alpha_scale = 1.0
+    cfg_path = os.path.join(path, "adapter_config.json")
+    if os.path.exists(cfg_path):
+        with open(cfg_path) as fh:
+            cfg = json.load(fh)
+        r, alpha = cfg.get("r"), cfg.get("lora_alpha")
+        if r and alpha:
+            alpha_scale = float(alpha) / float(r)
 
     f = os.path.join(path, "adapter_model.safetensors")
     layers: dict[int, dict] = {}
@@ -149,8 +164,10 @@ def load_peft_safetensors(path: str, dtype=jnp.float32) -> dict:
             proj = parts[i + 3] if parts[i + 2] == "self_attn" else \
                 parts[i + 3]
             which = "lora_a" if "lora_A" in tname else "lora_b"
-            arr = jnp.asarray(np.asarray(st.get_tensor(tname)).T).astype(
-                dtype)
+            t = np.asarray(st.get_tensor(tname)).T
+            if which == "lora_b" and alpha_scale != 1.0:
+                t = t * alpha_scale
+            arr = jnp.asarray(t).astype(dtype)
             layers.setdefault(layer_idx, {}).setdefault(
                 proj, {})[which] = arr
     max_layer = max(layers) if layers else -1

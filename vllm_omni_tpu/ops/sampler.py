@@ -98,18 +98,25 @@ def unpack_sampling(fpack: jnp.ndarray, ipack: jnp.ndarray) -> dict:
 def apply_penalties(logits: jnp.ndarray, counts: jnp.ndarray,
                     repetition_penalty: jnp.ndarray,
                     presence_penalty: jnp.ndarray,
-                    frequency_penalty: jnp.ndarray) -> jnp.ndarray:
-    """logits [B, V] f32; counts [B, V] int32 occurrence counts.
+                    frequency_penalty: jnp.ndarray,
+                    prompt_counts: Optional[jnp.ndarray] = None
+                    ) -> jnp.ndarray:
+    """logits [B, V] f32; counts [B, V] int32 OUTPUT-token occurrence
+    counts; prompt_counts [B, V] int32 PROMPT-token occurrences.
 
-    Matches HF/vLLM semantics: repetition divides positive / multiplies
-    negative logits of seen tokens; presence subtracts a flat penalty,
-    frequency subtracts count-proportional.
+    Matches HF/vLLM semantics exactly: repetition penalty applies over
+    prompt + output tokens (divides positive / multiplies negative logits
+    of any seen token); presence subtracts a flat penalty and frequency a
+    count-proportional one, both over output tokens only.
     """
-    seen = counts > 0
+    out_seen = counts > 0
+    rep_seen = out_seen if prompt_counts is None else (
+        out_seen | (prompt_counts > 0))
     rp = repetition_penalty[:, None]
     penalized = jnp.where(logits > 0, logits / rp, logits * rp)
-    logits = jnp.where(seen, penalized, logits)
-    logits = logits - presence_penalty[:, None] * seen.astype(jnp.float32)
+    logits = jnp.where(rep_seen, penalized, logits)
+    logits = logits - presence_penalty[:, None] * out_seen.astype(
+        jnp.float32)
     logits = logits - frequency_penalty[:, None] * counts.astype(jnp.float32)
     return logits
 
@@ -117,12 +124,13 @@ def apply_penalties(logits: jnp.ndarray, counts: jnp.ndarray,
 def _mask_top_k(logits: jnp.ndarray, top_k: jnp.ndarray) -> jnp.ndarray:
     """Per-row top-k mask without a sort: keep values >= the k-th largest.
     top_k[b] == -1 disables. Uses a fixed 64-wide top_k window — requests
-    asking for k > 64 fall back to no top-k (arbitrarily rare)."""
+    asking for k > 64 genuinely fall back to no top-k (the mask
+    deactivates rather than silently truncating to top-64)."""
     k_cap = min(64, logits.shape[-1])
     topvals, _ = jax.lax.top_k(logits, k_cap)  # [B, k_cap] sorted desc
     k = jnp.clip(top_k, 1, k_cap)
     kth = jnp.take_along_axis(topvals, (k - 1)[:, None], axis=-1)  # [B,1]
-    active = (top_k > 0)[:, None]
+    active = ((top_k > 0) & (top_k <= k_cap))[:, None]
     return jnp.where(active & (logits < kth), NEG_INF, logits)
 
 
@@ -155,7 +163,9 @@ def _mask_top_p(logits: jnp.ndarray, top_p: jnp.ndarray) -> jnp.ndarray:
 
 def sample(logits: jnp.ndarray, sampling: dict, step: jnp.ndarray,
            counts: Optional[jnp.ndarray] = None,
-           greedy_only: bool = False) -> tuple[jnp.ndarray, jnp.ndarray]:
+           greedy_only: bool = False,
+           prompt_counts: Optional[jnp.ndarray] = None
+           ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """logits [B, V] → (token_ids [B] int32, logprobs [B] f32).
 
     sampling: dict of batched arrays (see make_sampling_arrays), all [B].
@@ -163,13 +173,16 @@ def sample(logits: jnp.ndarray, sampling: dict, step: jnp.ndarray,
     greedy_only (static): whole batch is temperature-0 — skip the
     top-k/top-p masking and the [B, V] sort entirely (hot-loop win at
     vocab ≈ 150k).
+    counts / prompt_counts: [B, V] occurrence buffers for output /
+    prompt tokens (repetition penalty spans both; see apply_penalties).
     """
     logits = logits.astype(jnp.float32)
     if counts is not None:
         logits = apply_penalties(logits, counts,
                                  sampling["repetition_penalty"],
                                  sampling["presence_penalty"],
-                                 sampling["frequency_penalty"])
+                                 sampling["frequency_penalty"],
+                                 prompt_counts=prompt_counts)
     greedy_ids = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     if greedy_only:
         lp = jnp.take_along_axis(jax.nn.log_softmax(logits, axis=-1),

@@ -191,11 +191,21 @@ class ModelRunner:
                                  attn_apply, input_embeds=input_embeds)
         return hidden, kv_list
 
+    @staticmethod
+    def _counts_from(tokens: jnp.ndarray, b: int, v: int) -> jnp.ndarray:
+        """[B, W] token buffer (-1 = pad) → [B, V] int32 occurrence
+        counts (pads dropped via out-of-bounds scatter)."""
+        rows = jnp.broadcast_to(jnp.arange(b)[:, None], tokens.shape)
+        return jnp.zeros((b, v), jnp.int32).at[
+            rows.reshape(-1), tokens.reshape(-1)].add(
+            (tokens >= 0).reshape(-1).astype(jnp.int32), mode="drop")
+
     def _prefill_body(self, params, kv_pages, token_ids, positions,
                       block_tables, q_start, kv_lens, slot_ids, last_idx,
                       sampling, step_ctr, embeds, embeds_mask, logit_bias,
+                      prompt_tokens, out_tokens,
                       *, return_hidden: bool, with_embeds: bool,
-                      use_bias: bool = False):
+                      use_bias: bool = False, use_penalties: bool = False):
         if with_embeds:
             # positions flagged in embeds_mask [B, T] use the provided
             # embeddings instead of the token embedding lookup: whole-row
@@ -218,7 +228,15 @@ class ModelRunner:
         logits = compute_logits(params, self.cfg, last_h)
         if use_bias:
             logits = logits + logit_bias
-        ids, lp = sampler_ops.sample(logits, sampling, step_ctr)
+        counts = prompt_counts = None
+        if use_penalties:
+            # the token sampled at prefill end honors penalties too
+            # (vLLM semantics — repetition spans the prompt)
+            v = logits.shape[-1]
+            counts = self._counts_from(out_tokens, b, v)
+            prompt_counts = self._counts_from(prompt_tokens, b, v)
+        ids, lp = sampler_ops.sample(logits, sampling, step_ctr, counts,
+                                     prompt_counts=prompt_counts)
         out = (ids, lp, new_kv)
         if return_hidden:
             out = out + (hidden,)
@@ -226,31 +244,28 @@ class ModelRunner:
 
     def _decode_body(self, params, kv_pages, token_ids, positions,
                      block_tables, kv_lens, slot_ids, sampling, step_ctr,
-                     out_tokens, *, use_penalties: bool,
+                     out_tokens, prompt_tokens, *, use_penalties: bool,
                      return_hidden: bool):
         hidden, new_kv = self._forward(
             params, kv_pages, token_ids[:, None], positions[:, None],
             block_tables, None, kv_lens, slot_ids[:, None], decode=True)
         last_h = hidden[:, 0]  # [B, H]
         logits = compute_logits(params, self.cfg, last_h)
-        counts = None
+        counts = prompt_counts = None
         if use_penalties:
             b, v = logits.shape
-            counts = jnp.zeros((b, v), jnp.int32)
-            rows = jnp.broadcast_to(
-                jnp.arange(b)[:, None], out_tokens.shape)
-            counts = counts.at[rows.reshape(-1),
-                               out_tokens.reshape(-1)].add(
-                                   (out_tokens >= 0).reshape(-1).astype(
-                                       jnp.int32), mode="drop")
-        ids, lp = sampler_ops.sample(logits, sampling, step_ctr, counts)
+            counts = self._counts_from(out_tokens, b, v)
+            prompt_counts = self._counts_from(prompt_tokens, b, v)
+        ids, lp = sampler_ops.sample(logits, sampling, step_ctr, counts,
+                                     prompt_counts=prompt_counts)
         out = (ids, lp, new_kv)
         if return_hidden:
             out = out + (last_h,)
         return out
 
     def _decode_multi_body(self, params, kv_pages, state, bt, f_sampling,
-                           i_sampling, out_tokens, logit_bias, *, k: int,
+                           i_sampling, out_tokens, logit_bias,
+                           prompt_tokens, *, k: int,
                            use_penalties: bool, return_hidden: bool,
                            greedy_only: bool, use_bias: bool = False):
         """K chained decode steps in one program — the TPU serving hot
@@ -265,15 +280,12 @@ class ModelRunner:
         mrope = self.cfg.mrope_section is not None
         sampling = sampler_ops.unpack_sampling(f_sampling, i_sampling)
         rows = jnp.arange(b)
-        counts0 = None
+        counts0 = prompt_counts = None
         if use_penalties:
             v = self.cfg.vocab_size
-            counts0 = jnp.zeros((b, v), jnp.int32)
-            rr = jnp.broadcast_to(rows[:, None], out_tokens.shape)
-            counts0 = counts0.at[rr.reshape(-1),
-                                 out_tokens.reshape(-1)].add(
-                (out_tokens >= 0).reshape(-1).astype(jnp.int32),
-                mode="drop")
+            counts0 = self._counts_from(out_tokens, b, v)
+            # prompt occurrences are fixed for the whole chain
+            prompt_counts = self._counts_from(prompt_tokens, b, v)
 
         delta = state[3] if state.shape[0] > 3 else jnp.zeros(
             (b,), jnp.int32)
@@ -298,7 +310,8 @@ class ModelRunner:
             if use_bias:
                 logits = logits + logit_bias  # [B, V] additive
             ids, lp = sampler_ops.sample(logits, sampling, ctr, counts,
-                                         greedy_only=greedy_only)
+                                         greedy_only=greedy_only,
+                                         prompt_counts=prompt_counts)
             if use_penalties:
                 counts = counts.at[rows, ids].add(1)
             out = (ids, lp, last_h) if return_hidden else (ids, lp)
@@ -326,7 +339,8 @@ class ModelRunner:
                     self._prefill_body,
                     return_hidden=static["return_hidden"],
                     with_embeds=static["with_embeds"],
-                    use_bias=static.get("use_bias", False))
+                    use_bias=static.get("use_bias", False),
+                    use_penalties=static.get("use_penalties", False))
                 fn = jax.jit(body, donate_argnums=(1,))
             elif kind == "decode_multi":
                 body = functools.partial(
@@ -540,6 +554,19 @@ class ModelRunner:
             b *= 2
         return min(b, max(self.max_pages_per_seq, 8))
 
+    _PENALTY_BUCKETS = tuple(2 ** i for i in range(4, 18))
+
+    def _prompt_token_buffer(self, reqs: list, b: int) -> np.ndarray:
+        """[B, PB] int32 prompt-token buffer (-1 pad) for repetition
+        penalty (vLLM spans prompt + output); PB bucketed power-of-2."""
+        pb = pick_bucket(max(max(len(r.prompt_token_ids), 1)
+                             for r in reqs), self._PENALTY_BUCKETS)
+        buf = np.full((b, pb), -1, np.int32)
+        for i, r in enumerate(reqs):
+            toks = r.prompt_token_ids[:pb]
+            buf[i, :len(toks)] = toks
+        return buf
+
     def _block_table_rows(self, reqs: list, width: int) -> np.ndarray:
         bt = np.zeros((len(reqs), width), np.int32)
         for i, r in enumerate(reqs):
@@ -607,6 +634,22 @@ class ModelRunner:
         sampling = sampler_ops.make_sampling_arrays(
             [s.request.sampling_params for s in scheduled] +
             [None] * (b - n))
+        use_penalties = any(
+            s.request.sampling_params.repetition_penalty != 1.0
+            or s.request.sampling_params.presence_penalty != 0.0
+            or s.request.sampling_params.frequency_penalty != 0.0
+            for s in scheduled)
+        if use_penalties:
+            prompt_buf = self._prompt_token_buffer(reqs, b)
+            ob = pick_bucket(
+                max(max(r.num_output_tokens, 1) for r in reqs),
+                self._PENALTY_BUCKETS)
+            out_buf = np.full((b, ob), -1, np.int32)
+            for i, r in enumerate(reqs):
+                o = r.output_token_ids[-ob:]
+                out_buf[i, :len(o)] = o
+        else:
+            prompt_buf = out_buf = np.full((1, 1), -1, np.int32)
         use_bias = any(s.request.sampling_params.logit_bias
                        for s in scheduled)
         if use_bias:
@@ -619,10 +662,11 @@ class ModelRunner:
             bias = np.zeros((1, 1), np.float32)
 
         fn = self._get_fn("prefill", return_hidden=return_hidden,
-                          with_embeds=with_embeds, use_bias=use_bias)
+                          with_embeds=with_embeds, use_bias=use_bias,
+                          use_penalties=use_penalties)
         out = fn(self.params, self.kv_pages, token_ids, positions, bt,
                  q_start, kv_lens, slot_ids, last_idx, sampling, step_ctr,
-                 embeds, embeds_mask, bias)
+                 embeds, embeds_mask, bias, prompt_buf, out_buf)
         if return_hidden:
             ids, lp, self.kv_pages, hidden = out
         else:
@@ -722,12 +766,14 @@ class ModelRunner:
                         bias[i, int(tok)] = float(v)
         else:
             bias = np.zeros((1, 1), np.float32)
+        prompt_buf = self._prompt_token_buffer(reqs, b) if use_penalties \
+            else np.full((1, 1), -1, np.int32)
         fn = self._get_fn("decode_multi", k=k,
                           use_penalties=use_penalties,
                           return_hidden=return_hidden,
                           greedy_only=greedy_only, use_bias=use_bias)
         out = fn(self.params, self.kv_pages, state, bt_arg, f_s, i_s,
-                 out_tokens, bias)
+                 out_tokens, bias, prompt_buf)
         if return_hidden:
             ids, lps, self.kv_pages, next_state, hid = out
             hid_np = np.asarray(hid)
@@ -804,10 +850,13 @@ class ModelRunner:
         sampling = sampler_ops.make_sampling_arrays(
             [r.sampling_params for r in reqs] + [None] * (b - n))
 
+        prompt_buf = self._prompt_token_buffer(reqs, b) if use_penalties \
+            else np.full((1, 1), -1, np.int32)
         fn = self._get_fn("decode", use_penalties=use_penalties,
                           return_hidden=return_hidden)
         out = fn(self.params, self.kv_pages, token_ids, positions, bt,
-                 kv_lens, slot_ids, sampling, step_ctr, out_tokens)
+                 kv_lens, slot_ids, sampling, step_ctr, out_tokens,
+                 prompt_buf)
         if return_hidden:
             ids, lp, self.kv_pages, last_h = out
         else:
