@@ -1,0 +1,229 @@
+"""Per-kernel speed-of-light study on one real TPU chip.
+
+Measures the decode hot path piece by piece (in-jit fori loops — no
+dispatch overhead) and compares each against the roofline bound:
+  t_sol = max(bytes / HBM_BW, flops / PEAK)
+Also probes MXU paths: bf16 dot, int8-weight upcast dot, Pallas fused
+dequant, and NATIVE int8xint8 dot (v5e MXU does 394 TOPS int8 = 2x bf16
+— if XLA lowers s8xs8->s32 natively, the MXU weight-pass bound halves).
+
+Usage:  python benchmarks/kernel_sol.py [--out KERNEL_SOL.md]
+Run on the real chip (axon default platform).
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# v5e single chip
+HBM_BW = 819e9  # bytes/s
+PEAK_BF16 = 197e12
+PEAK_INT8 = 394e12
+
+# Llama-3-8B decode matmul shapes (fused qkv / o / fused gate-up / down)
+SHAPES = [
+    ("qkv", 4096, 6144),
+    ("o_proj", 4096, 4096),
+    ("gate_up", 4096, 28672),
+    ("down", 14336, 4096),
+    ("lm_head", 4096, 128256),
+]
+
+
+def timed_loop(build_body, iters: int = 32, warmup: int = 2) -> float:
+    """build_body() -> (init_carry, body_fn(carry)->carry). Returns
+    seconds per iteration, measured inside one jit program."""
+    init, body = build_body()
+
+    @jax.jit
+    def run(c):
+        return jax.lax.fori_loop(0, iters, lambda i, c: body(c), c)
+
+    c = run(init)
+    jax.block_until_ready(c)
+    t0 = time.perf_counter()
+    c = run(c)
+    jax.block_until_ready(c)
+    return (time.perf_counter() - t0) / iters
+
+
+def bench_hbm_read(gb: float = 4.0) -> float:
+    """Pure HBM read bandwidth: sum a big random bf16 array (random so
+    XLA cannot constant-fold the reduction; array rides the loop carry
+    with a data dependence on the evolving scalar)."""
+    n = int(gb * (1 << 30) / 2)
+    a = jax.random.normal(jax.random.PRNGKey(0), (n,), jnp.bfloat16)
+
+    def build():
+        def body(c):
+            s, x = c
+            x = jax.lax.optimization_barrier(x)
+            s2 = s + jnp.sum(x.astype(jnp.float32))
+            return (s2, x)
+
+        return (jnp.float32(0), a), body
+
+    t = timed_loop(build, iters=4)
+    return (n * 2) / t  # one read of the array per iteration
+
+
+def _mk_matmul(m, k, n, kind, seed=0):
+    key = jax.random.PRNGKey(seed)
+    x = jax.random.normal(key, (m, k), jnp.bfloat16)
+    w = jax.random.normal(key, (k, n), jnp.float32) * 0.02
+    if kind == "bf16":
+        wa = w.astype(jnp.bfloat16)
+
+        def body(c):
+            xx, acc = c
+            o = jnp.dot(xx, wa, preferred_element_type=jnp.float32)
+            return (jax.lax.optimization_barrier((xx, o))[0], acc)
+
+        return (x, jnp.float32(0)), body
+    from vllm_omni_tpu.ops.quant import (int8_matmul_pallas, int8_matmul_xla,
+                                         quantize_int8)
+
+    wq, scale = quantize_int8(w)
+    wq, scale = jax.device_put((wq, scale))
+    if kind == "int8_xla":
+        def body(c):
+            xx, acc = c
+            o = int8_matmul_xla(xx, wq, scale)
+            return (jax.lax.optimization_barrier((xx, o))[0], acc)
+
+        return (x, jnp.float32(0)), body
+    if kind == "int8_pallas":
+        def body(c):
+            xx, acc = c
+            o = int8_matmul_pallas(xx, wq, scale)
+            return (jax.lax.optimization_barrier((xx, o))[0], acc)
+
+        return (x, jnp.float32(0)), body
+    if kind == "int8_native":
+        # w8a8: dynamic per-token act quant + s8xs8 -> s32 MXU dot
+        def body(c):
+            xx, acc = c
+            amax = jnp.max(jnp.abs(xx.astype(jnp.float32)), axis=-1)
+            xs = jnp.maximum(amax / 127.0, 1e-8)
+            xq = jnp.clip(jnp.round(xx.astype(jnp.float32) / xs[:, None]),
+                          -127, 127).astype(jnp.int8)
+            o32 = jax.lax.dot_general(
+                xq, wq, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            o = (o32.astype(jnp.float32) * xs[:, None] *
+                 scale[None, :]).astype(jnp.bfloat16)
+            return (jax.lax.optimization_barrier((xx, o))[0], acc)
+
+        return (x, jnp.float32(0)), body
+    raise ValueError(kind)
+
+
+def bench_matmuls(ms=(8, 32, 128), kinds=("bf16", "int8_xla",
+                                          "int8_pallas", "int8_native")):
+    rows = []
+    for name, k, n in SHAPES:
+        for m in ms:
+            for kind in kinds:
+                try:
+                    t = timed_loop(functools.partial(
+                        lambda m, k, n, kind: _mk_matmul(m, k, n, kind),
+                        m, k, n, kind), iters=32)
+                except Exception as e:  # noqa: BLE001
+                    rows.append((name, m, kind, None, str(e)[:160]))
+                    print(f"{name:9s} M={m:<4d} {kind:12s} FAILED: "
+                          f"{str(e)[:160]}", flush=True)
+                    continue
+                wbytes = k * n * (2 if kind == "bf16" else 1)
+                flops = 2 * m * k * n
+                peak = PEAK_INT8 if kind == "int8_native" else PEAK_BF16
+                t_sol = max(wbytes / HBM_BW, flops / peak)
+                rows.append((name, m, kind, t, t_sol))
+                print(f"{name:9s} M={m:<4d} {kind:12s} "
+                      f"{t*1e3:7.3f} ms  sol={t_sol*1e3:6.3f} ms  "
+                      f"eff={100*t_sol/t:5.1f}%  "
+                      f"{wbytes/t/1e9:6.1f} GB/s", flush=True)
+    return rows
+
+
+def bench_paged_attention(b=32, ctx=248, layers=1):
+    """Pallas decode attention at serving shape (8 kv heads, d=128)."""
+    from vllm_omni_tpu.ops.attention import (paged_attention_decode_pallas,
+                                             quantize_kv, write_kv_pages)
+
+    hq, hkv, d, ps = 32, 8, 128, 16
+    pages_per = (ctx + ps - 1) // ps
+    npages = b * pages_per + 1
+    key = jax.random.PRNGKey(0)
+    kp = jax.random.normal(key, (hkv, npages, ps, d), jnp.bfloat16)
+    vp = jax.random.normal(key, (hkv, npages, ps, d), jnp.bfloat16)
+    bt = np.zeros((b, 32), np.int32)
+    for i in range(b):
+        bt[i, :pages_per] = np.arange(i * pages_per, (i + 1) * pages_per) + 1
+    bt = jnp.asarray(bt)
+    kv_lens = jnp.full((b,), ctx, jnp.int32)
+    q = jax.random.normal(key, (b, hq, d), jnp.bfloat16)
+
+    def build():
+        def body(c):
+            qq, acc = c
+            o = paged_attention_decode_pallas(qq, kp, vp, bt, kv_lens,
+                                              scale=d ** -0.5)
+            return (jax.lax.optimization_barrier((qq, o))[0], acc)
+
+        return (q, jnp.float32(0)), body
+
+    t = timed_loop(build, iters=32)
+    kv_bytes = b * ctx * 2 * hkv * d * 2
+    t_sol = kv_bytes / HBM_BW
+    print(f"paged_attn_decode b={b} ctx={ctx}: {t*1e3:.3f} ms "
+          f"sol={t_sol*1e3:.3f} ms eff={100*t_sol/t:.1f}%", flush=True)
+    return t, t_sol
+
+
+def bench_sampler(b=32, v=128256):
+    from vllm_omni_tpu.ops import sampler as S
+
+    key = jax.random.PRNGKey(0)
+    logits = jax.random.normal(key, (b, v), jnp.float32)
+
+    def build_greedy():
+        def body(c):
+            lg, acc = c
+            ids = jnp.argmax(lg, axis=-1)
+            lp = jnp.take_along_axis(jax.nn.log_softmax(lg, axis=-1),
+                                     ids[:, None], axis=-1)
+            return (jax.lax.optimization_barrier((lg, ids, lp))[0], acc)
+
+        return (logits, jnp.float32(0)), body
+
+    t = timed_loop(build_greedy, iters=32)
+    print(f"sampler greedy+lp b={b} V={v}: {t*1e3:.3f} ms", flush=True)
+    return t
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    args = ap.parse_args()
+    print("devices:", jax.devices(), flush=True)
+    bw = bench_hbm_read(2.0 if args.quick else 4.0)
+    print(f"HBM read bandwidth (sum reduce): {bw/1e9:.1f} GB/s", flush=True)
+    ms = (32,) if args.quick else (8, 32, 128)
+    bench_matmuls(ms=ms)
+    bench_paged_attention()
+    bench_sampler()
+
+
+if __name__ == "__main__":
+    main()
