@@ -217,3 +217,51 @@ def test_prefill_pallas_matches_xla_interpret():
                                          interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("d,kv_dtype", [(64, None), (64, "int8"),
+                                        (128, "int8"), (64, "fp8")])
+def test_decode_pallas_geometry_matrix(d, kv_dtype):
+    """int8/fp8 KV take the Pallas path (in-kernel dequant) — golden vs
+    the XLA gather oracle. d=64 cases validate kernel numerics in
+    interpret mode only: on real hardware Mosaic requires 128-aligned
+    DMA slices, so dispatch (pallas_supported_geometry) gates on
+    head_dim % 128 until the packed-pair page layout lands."""
+    case = PagedCase(3, b=3, hkv=2, g=4, d=d, page_size=8, n_pages=32,
+                     ctx_lens=(9, 24, 5), kv_dtype=kv_dtype)
+    scale = case.d ** -0.5
+    ref = paged_attention_decode_xla(case.q, case.k_pages, case.v_pages,
+                                     case.block_tables,
+                                     jnp.asarray(case.ctx), scale)
+    out = paged_attention_decode_pallas(case.q, case.k_pages, case.v_pages,
+                                        case.block_tables,
+                                        jnp.asarray(case.ctx), scale=scale,
+                                        pages_per_blk=2, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("d,kv_dtype", [(64, None), (64, "int8"),
+                                        (128, "int8")])
+def test_prefill_pallas_geometry_matrix(d, kv_dtype):
+    from vllm_omni_tpu.ops.attention import (
+        paged_attention_prefill_pallas)
+
+    b, t, hkv, g, ps = 2, 8, 2, 2, 8
+    h = hkv * g
+    ctx = (24, 13)
+    key = jax.random.PRNGKey(7)
+    case = PagedCase(4, b=b, hkv=hkv, g=g, d=d, page_size=ps, n_pages=32,
+                     ctx_lens=ctx, kv_dtype=kv_dtype)
+    q = jax.random.normal(key, (b, t, h, d))
+    q_start = jnp.asarray([int(c) - t for c in ctx], jnp.int32)
+    scale = d ** -0.5
+    ref = paged_attention_prefill_xla(q, case.k_pages, case.v_pages,
+                                      case.block_tables, q_start,
+                                      jnp.asarray(case.ctx), scale)
+    out = paged_attention_prefill_pallas(q, case.k_pages, case.v_pages,
+                                         case.block_tables, q_start,
+                                         jnp.asarray(case.ctx), scale,
+                                         pages_per_blk=2, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)

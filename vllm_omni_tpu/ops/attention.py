@@ -192,7 +192,8 @@ def mha_xla(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float,
 def _decode_kernel(block_tables_ref, num_blocks_ref, context_lens_ref,
                    q_ref, k_hbm, v_hbm, o_ref,
                    k_buf, v_buf, k_sem, v_sem,
-                   *, pages_per_blk: int, page_size: int, scale: float):
+                   *, pages_per_blk: int, page_size: int, scale: float,
+                   kv_scale: float = 1.0):
     b = pl.program_id(0)
     h = pl.program_id(1)
     n_blocks = num_blocks_ref[b]
@@ -232,8 +233,13 @@ def _decode_kernel(block_tables_ref, num_blocks_ref, context_lens_ref,
             start_fetch(blk + 1, (blk + 1) % 2)
 
         wait_fetch(slot)
+        # int8 KV: dequant in-register right after the DMA lands (the
+        # 1/16 write-scale from quantize_kv); fp8/bf16: kv_scale == 1
         k = k_buf[slot].reshape(blk_tokens, d).astype(jnp.float32)
         v = v_buf[slot].reshape(blk_tokens, d).astype(jnp.float32)
+        if kv_scale != 1.0:
+            k = k * kv_scale
+            v = v * kv_scale
         s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
         pos = blk * blk_tokens + jax.lax.broadcasted_iota(
             jnp.int32, (1, blk_tokens), 1)
@@ -271,6 +277,8 @@ def paged_attention_decode_pallas(q: jnp.ndarray, k_pages: jnp.ndarray,
                   1) // pages_per_blk
     q_r = q.reshape(b, hkv, g, d)
 
+    kv_scale = 1.0 / 16.0 if k_pages.dtype == jnp.int8 else 1.0
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(b, hkv),
@@ -290,7 +298,8 @@ def paged_attention_decode_pallas(q: jnp.ndarray, k_pages: jnp.ndarray,
         ],
     )
     kernel = functools.partial(_decode_kernel, pages_per_blk=pages_per_blk,
-                               page_size=page_size, scale=scale)
+                               page_size=page_size, scale=scale,
+                               kv_scale=kv_scale)
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -320,7 +329,7 @@ def _prefill_kernel(block_tables_ref, num_blocks_ref, q_start_ref,
                     kv_lens_ref, q_ref, k_hbm, v_hbm, o_ref,
                     k_buf, v_buf, k_sem, v_sem,
                     *, pages_per_blk: int, page_size: int, scale: float,
-                    causal: bool):
+                    causal: bool, kv_scale: float = 1.0):
     b = pl.program_id(0)
     h = pl.program_id(1)
     n_blocks = num_blocks_ref[b]
@@ -367,6 +376,9 @@ def _prefill_kernel(block_tables_ref, num_blocks_ref, q_start_ref,
         wait_fetch(slot)
         k = k_buf[slot].reshape(blk_tokens, d).astype(jnp.float32)
         v = v_buf[slot].reshape(blk_tokens, d).astype(jnp.float32)
+        if kv_scale != 1.0:
+            k = k * kv_scale
+            v = v * kv_scale
         s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
         kv_pos = blk * blk_tokens + jax.lax.broadcasted_iota(
             jnp.int32, (1, blk_tokens), 1)
@@ -437,7 +449,9 @@ def paged_attention_prefill_pallas(q: jnp.ndarray, k_pages: jnp.ndarray,
     kernel = functools.partial(_prefill_kernel,
                                pages_per_blk=pages_per_blk,
                                page_size=page_size, scale=scale,
-                               causal=causal)
+                               causal=causal,
+                               kv_scale=1.0 / 16.0
+                               if k_pages.dtype == jnp.int8 else 1.0)
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -452,13 +466,22 @@ def paged_attention_prefill_pallas(q: jnp.ndarray, k_pages: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 
+def pallas_supported_geometry(k_pages: jnp.ndarray) -> bool:
+    """Both Pallas paged-attention kernels take any KV storage dtype —
+    int8 dequants in-register right after the DMA lands (round 1 fell
+    back to the XLA gather path for int8 KV). head_dim must be a
+    multiple of 128: Mosaic requires HBM DMA slices 128-aligned on the
+    lane axis (verified on v5e — "Slice shape along dimension 3 must be
+    aligned to tiling (128)"); d=64 support needs the token-pair packed
+    page layout (two 64-dim vectors per 128-lane row)."""
+    return k_pages.shape[-1] % 128 == 0
+
+
 def paged_attention_decode(q, k_pages, v_pages, block_tables, context_lens,
                            scale):
     from vllm_omni_tpu.ops import use_pallas
 
-    # Mosaic DMA slices must be 128-aligned on the lane (head_dim) axis.
-    if use_pallas() and k_pages.dtype != jnp.int8 and \
-            k_pages.shape[-1] % 128 == 0:
+    if use_pallas() and pallas_supported_geometry(k_pages):
         return paged_attention_decode_pallas(
             q, k_pages, v_pages, block_tables, context_lens, scale=scale)
     return paged_attention_decode_xla(q, k_pages, v_pages, block_tables,
@@ -469,8 +492,7 @@ def paged_attention_prefill(q, k_pages, v_pages, block_tables, q_start,
                             kv_lens, scale, causal=True):
     from vllm_omni_tpu.ops import use_pallas
 
-    if use_pallas() and k_pages.dtype != jnp.int8 and \
-            k_pages.shape[-1] % 128 == 0:
+    if use_pallas() and pallas_supported_geometry(k_pages):
         return paged_attention_prefill_pallas(
             q, k_pages, v_pages, block_tables, q_start, kv_lens,
             scale=scale, causal=causal)

@@ -287,16 +287,22 @@ def int4_matmul_pallas(x: jnp.ndarray, w_packed: jnp.ndarray,
 
 def quantized_matmul(x: jnp.ndarray, w_q: jnp.ndarray, scale: jnp.ndarray,
                      method: str, group_size: int = 128) -> jnp.ndarray:
-    """Entry used by model layers. x: [..., K] → [..., N]."""
+    """Entry used by model layers. x: [..., K] → [..., N].
+
+    int8 takes XLA's upcast dot on every path: measured on v5e-1
+    (benchmarks/layer_variants.py, M=32 Llama-8B layer stack) the XLA
+    dot hits 78.5% of the HBM speed-of-light while the hand-written
+    Pallas fused-dequant kernel reaches only 53.9% — XLA's convert+dot
+    fusion already streams int8 weights at quantized width and its
+    pipelining beats ours. The Pallas kernel remains for int4 (XLA's
+    unpack path materializes the upcast in HBM) and as a tuning base.
+    """
     from vllm_omni_tpu.ops import use_pallas
 
     lead = x.shape[:-1]
     x2 = x.reshape(-1, x.shape[-1])
     if method == "int8":
-        if use_pallas() and x2.shape[0] % 8 == 0:
-            out = int8_matmul_pallas(x2, w_q, scale)
-        else:
-            out = int8_matmul_xla(x2, w_q, scale)
+        out = int8_matmul_xla(x2, w_q, scale)
     elif method == "int4":
         if use_pallas() and x2.shape[0] % 8 == 0:
             out = int4_matmul_pallas(x2, w_q, scale, group_size=group_size)

@@ -149,9 +149,9 @@ class ModelRunner:
     def _use_pallas_decode(self) -> bool:
         if self.mesh is not None and self.mesh.shape.get("tp", 1) > 1:
             return False  # shard_map-wrapped pallas decode lands later
-        # Mosaic DMA slices must be 128-aligned on the lane axis
+        # int8 KV dequants in-kernel; head_dim needs 128-alignment
+        # (ops/attention.py pallas_supported_geometry)
         return self.platform.supports_pallas and \
-            self.kv_dtype not in (jnp.int8,) and \
             self.cfg.head_dim % 128 == 0
 
     def _forward(self, params, kv_pages, token_ids, positions, block_tables,
