@@ -42,26 +42,37 @@ def lm_head_bench():
     wb = jax.device_put((w * 1).astype(jnp.bfloat16))
     del w
 
+    # weights must be jit *arguments*: closure-captured arrays are baked
+    # into the program as constants and blow up the remote-compile
+    # request (HTTP 413 on the axon tunnel)
     cases = [
-        ("lm_bf16", lambda c: jnp.dot(
-            c, wb, preferred_element_type=jnp.float32), 2),
-        ("lm_int8_up", lambda c: jnp.dot(
-            c, wq.astype(c.dtype),
-            preferred_element_type=jnp.float32) * ws, 1),
+        ("lm_bf16", lambda c, w: jnp.dot(
+            c, w, preferred_element_type=jnp.float32), wb, 2),
+        ("lm_int8_up", lambda c, w: jnp.dot(
+            c, w.astype(c.dtype),
+            preferred_element_type=jnp.float32) * ws, wq, 1),
+        ("lm_int8_native", lambda c, w: jnp.dot(
+            (c * 8).astype(jnp.int8), w,
+            preferred_element_type=jnp.int32).astype(jnp.float32)
+            * (ws / 8), wq, 1),
     ]
-    for name, f, itemsize in cases:
-        def body(c, f=f):
-            logits = f(c)
+    for name, f, w, itemsize in cases:
+        def body(c, w, f=f):
+            logits = f(c, w)
             ids = jnp.argmax(logits, axis=-1)
-            return jax.lax.optimization_barrier((c, ids))[0]
+            # carry must DEPEND on the compute or XLA hoists the whole
+            # body out of the fori_loop as loop-invariant
+            dep = (ids[:, None] & 0).astype(c.dtype)
+            return c + dep
 
         @jax.jit
-        def prog(xx):
-            return jax.lax.fori_loop(0, 64, lambda i, c: body(c), xx)
+        def prog(xx, w):
+            return jax.lax.fori_loop(
+                0, 64, lambda i, c: body(c, w), xx)
 
-        jax.block_until_ready(prog(x))
+        jax.block_until_ready(prog(x, w))
         t0 = time.perf_counter()
-        jax.block_until_ready(prog(x))
+        jax.block_until_ready(prog(x, w))
         dt = (time.perf_counter() - t0) / 64
         by = H * V * itemsize
         print(f"{name:12s} {dt*1e3:7.3f} ms  sol={by/HBM_BW*1e3:.3f} ms  "

@@ -125,8 +125,9 @@ def test_int4_engine_e2e():
     assert len(out.outputs[0].token_ids) == 8
     import jax.numpy as jnp
 
-    assert eng.runner.params["layers"][0]["q_proj"]["w_q"].dtype == \
-        jnp.uint8  # nibble-packed
+    layer0 = eng.runner.params["layers"][0]
+    proj = layer0.get("qkv_proj") or layer0["q_proj"]  # fused by default
+    assert proj["w_q"].dtype == jnp.uint8  # nibble-packed
 
 
 def test_fp8_kv_cache_e2e():

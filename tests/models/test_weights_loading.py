@@ -108,7 +108,9 @@ def test_load_with_quantize_on_load(tmp_path):
     export_hf(params, cfg, tmp_path)
     _, loaded, _ = load_model(ModelConfig(
         model=str(tmp_path), dtype="float32", quantization="int8"))
-    assert loaded["layers"][0]["q_proj"]["w_q"].dtype == jnp.int8
+    layer0 = loaded["layers"][0]
+    proj = layer0.get("qkv_proj") or layer0["q_proj"]  # fused by default
+    assert proj["w_q"].dtype == jnp.int8
     # numerics stay close after int8 quantization
     ids = jnp.arange(12).reshape(1, 12)
     pos = jnp.arange(12).reshape(1, 12)

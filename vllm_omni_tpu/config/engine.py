@@ -24,6 +24,18 @@ class ModelConfig:
     # weight quantization: None | "int8" | "int4" | "fp8"
     quantization: Optional[str] = None
     quant_group_size: int = 128  # for int4 grouped scales
+    # fused qkv / gate_up projection layout (single weight stream + one
+    # activation quant per block) — auto-disabled by the engine when
+    # tp > 1, where a contiguous column split would mix q/k/v
+    fused_qkv: bool = True
+    # int8 weights + per-token int8 activations on the native s8×s8 MXU
+    # dot (measured 83.4% of HBM speed-of-light vs 78.5% upcast,
+    # benchmarks/layer_variants.py); applies when quantization="int8"
+    # and the fused layout is active. ppl delta recorded in PPL_r02.json.
+    int8_w8a8: bool = True
+    # quantize lm_head with the weight scheme (reference excludes it;
+    # we gate on measured ppl delta — see benchmarks/ppl_eval.py)
+    quantize_lm_head: bool = False
     kv_cache_dtype: str = "auto"  # auto | bfloat16 | fp8 | int8
     max_model_len: int = 4096
     trust_remote_code: bool = False

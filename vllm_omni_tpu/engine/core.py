@@ -53,6 +53,10 @@ class EngineCore:
         self.config = config
         self.tokenizer = tokenizer
         t0 = time.monotonic()
+        if mesh is not None and mesh.shape.get("tp", 1) > 1:
+            # fused qkv/gate_up layouts are single-device only: a
+            # contiguous TP column split would mix q/k/v heads
+            config.model.fused_qkv = False
         self.decoder_cfg, params, self.hf_config = load_model(config.model)
         self.runner = ModelRunner(config, self.decoder_cfg, params,
                                   mesh=mesh)

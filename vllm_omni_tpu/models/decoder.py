@@ -64,6 +64,16 @@ class DecoderConfig:
     num_experts_per_tok: int = 0
     moe_intermediate_size: int = 0
     norm_topk_prob: bool = True
+    # Qwen2-MoE-style always-on shared expert gated by a sigmoid scalar
+    # (the Qwen3-Omni talker text tower keeps it; plain Qwen3-MoE
+    # dropped it). 0 = none.
+    shared_expert_intermediate_size: int = 0
+    # W8A8: per-token int8 activation quant feeding native s8×s8 MXU
+    # dots on int8-quantized linears (83.4% of HBM speed-of-light on
+    # v5e with fused projections vs 78.5% upcast —
+    # benchmarks/layer_variants.py). Set by the loader when
+    # quantization="int8" and the fused layout is active.
+    act_quant: bool = False
 
     @property
     def is_moe(self) -> bool:
@@ -83,11 +93,13 @@ class DecoderConfig:
 # ---------------------------------------------------------------------------
 
 
-def linear(x: jnp.ndarray, p: Params, group_size: int = 128) -> jnp.ndarray:
+def linear(x: jnp.ndarray, p: Params, group_size: int = 128,
+           act8: bool = False) -> jnp.ndarray:
     """x [..., K] @ weight [K, N]. `p` holds either {"w"} (full precision)
     or {"w_q", "scale"} with the quant method encoded in w_q.dtype:
     int8 → per-channel int8; uint8 → nibble-packed grouped int4;
-    float8_e4m3fn → fp8 W8A8. Optional bias under "b"."""
+    float8_e4m3fn → fp8 W8A8. Optional bias under "b". act8: int8
+    weights take the W8A8 native-dot path (per-token act quant)."""
     if "w" in p:
         out = jnp.dot(x, p["w"].astype(x.dtype),
                       preferred_element_type=jnp.float32).astype(x.dtype)
@@ -102,7 +114,7 @@ def linear(x: jnp.ndarray, p: Params, group_size: int = 128) -> jnp.ndarray:
         else:
             method = "fp8"
         out = quantized_matmul(x, w_q, p["scale"], method,
-                               group_size=group_size)
+                               group_size=group_size, act8=act8)
     if "lora_a" in p:
         # runtime LoRA (models/lora.py): rank-r bypass added to the base
         # matmul — the only option for quantized bases, negligible FLOPs
@@ -127,23 +139,45 @@ def _attention_block(layer: Params, cfg: DecoderConfig, x: jnp.ndarray,
                      attn_apply: AttnApply) -> jnp.ndarray:
     b, t, _ = x.shape
     d = cfg.head_dim
-    q = linear(x, layer["q_proj"]).reshape(b, t, cfg.num_heads, d)
-    k = linear(x, layer["k_proj"]).reshape(b, t, cfg.num_kv_heads, d)
-    v = linear(x, layer["v_proj"]).reshape(b, t, cfg.num_kv_heads, d)
+    a8 = cfg.act_quant
+    if "qkv_proj" in layer:
+        # fused projection (single-device layout; the loader keeps q/k/v
+        # separate under TP where a contiguous column split would mix
+        # them): one weight stream + one activation quant for all three
+        qkv = linear(x, layer["qkv_proj"], act8=a8)
+        q = qkv[..., :cfg.q_size].reshape(b, t, cfg.num_heads, d)
+        k = qkv[..., cfg.q_size:cfg.q_size + cfg.kv_size].reshape(
+            b, t, cfg.num_kv_heads, d)
+        v = qkv[..., cfg.q_size + cfg.kv_size:].reshape(
+            b, t, cfg.num_kv_heads, d)
+    else:
+        q = linear(x, layer["q_proj"], act8=a8).reshape(
+            b, t, cfg.num_heads, d)
+        k = linear(x, layer["k_proj"], act8=a8).reshape(
+            b, t, cfg.num_kv_heads, d)
+        v = linear(x, layer["v_proj"], act8=a8).reshape(
+            b, t, cfg.num_kv_heads, d)
     if cfg.qk_norm:
         q = rms_norm(q, layer["q_norm"], cfg.rms_norm_eps)
         k = rms_norm(k, layer["k_norm"], cfg.rms_norm_eps)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
     attn = attn_apply(layer_idx, q, k, v)  # [B, T, Hq, D]
-    return linear(attn.reshape(b, t, cfg.q_size), layer["o_proj"])
+    return linear(attn.reshape(b, t, cfg.q_size), layer["o_proj"],
+                  act8=a8)
 
 
-def _dense_mlp(layer: Params, x: jnp.ndarray) -> jnp.ndarray:
-    gate = linear(x, layer["gate_proj"])
-    up = linear(x, layer["up_proj"])
+def _dense_mlp(layer: Params, x: jnp.ndarray,
+               act8: bool = False) -> jnp.ndarray:
+    if "gate_up_proj" in layer:
+        gu = linear(x, layer["gate_up_proj"], act8=act8)
+        i = gu.shape[-1] // 2
+        gate, up = gu[..., :i], gu[..., i:]
+    else:
+        gate = linear(x, layer["gate_proj"], act8=act8)
+        up = linear(x, layer["up_proj"], act8=act8)
     return linear(jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype) * up,
-                  layer["down_proj"])
+                  layer["down_proj"], act8=act8)
 
 
 def _moe_mlp(layer: Params, cfg: DecoderConfig, x: jnp.ndarray
@@ -179,6 +213,16 @@ def _moe_mlp(layer: Params, cfg: DecoderConfig, x: jnp.ndarray
                      ew["down"].astype(x.dtype),
                      preferred_element_type=jnp.float32)  # [E,T,H]
     mixed = jnp.einsum("te,eth->th", combine.astype(jnp.float32), out)
+    if "shared_expert" in layer:
+        se = layer["shared_expert"]
+        gate_s = linear(xf, se["gate_proj"])
+        up_s = linear(xf, se["up_proj"])
+        shared = linear(jax.nn.silu(gate_s.astype(jnp.float32)).astype(
+            xf.dtype) * up_s, se["down_proj"])
+        sg = jax.nn.sigmoid(jnp.dot(
+            xf, layer["shared_expert_gate"]["w"].astype(xf.dtype),
+            preferred_element_type=jnp.float32))  # [T, 1]
+        mixed = mixed + sg * shared.astype(jnp.float32)
     return mixed.astype(x.dtype).reshape(b, t, h)
 
 
@@ -217,7 +261,7 @@ def decoder_forward(params: Params, cfg: DecoderConfig,
         if cfg.is_moe:
             x = x + _moe_mlp(layer, cfg, h)
         else:
-            x = x + _dense_mlp(layer, h)
+            x = x + _dense_mlp(layer, h, act8=cfg.act_quant)
     return rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
 
 
@@ -228,7 +272,8 @@ def compute_logits(params: Params, cfg: DecoderConfig,
         out = jnp.dot(hidden, params["embed"].T.astype(hidden.dtype),
                       preferred_element_type=jnp.float32)
     else:
-        out = linear(hidden, params["lm_head"]).astype(jnp.float32)
+        out = linear(hidden, params["lm_head"],
+                     act8=cfg.act_quant).astype(jnp.float32)
     return out
 
 
@@ -261,7 +306,8 @@ def _init_linear(key, k_in: int, n_out: int, dtype, bias: bool = False,
 
 def init_params(cfg: DecoderConfig, key: jax.Array, dtype=jnp.bfloat16,
                 quant: Optional[str] = None,
-                group_size: int = 128) -> Params:
+                group_size: int = 128, fused: bool = False,
+                quant_lm_head: bool = False) -> Params:
     keys = iter(jax.random.split(key, cfg.num_layers * 8 + 4))
     h, d = cfg.hidden_size, cfg.head_dim
     params: Params = {
@@ -271,17 +317,25 @@ def init_params(cfg: DecoderConfig, key: jax.Array, dtype=jnp.bfloat16,
         "layers": [],
     }
     if not cfg.tie_word_embeddings:
-        params["lm_head"] = _init_linear(next(keys), h, cfg.vocab_size, dtype)
+        params["lm_head"] = _init_linear(
+            next(keys), h, cfg.vocab_size, dtype,
+            quant=quant if quant_lm_head else None, group_size=group_size)
     for _ in range(cfg.num_layers):
+        # fused layouts are produced by fuse_layer_params below so the
+        # random draw is identical across layouts (TP-vs-single parity
+        # tests compare the same model)
         layer: Params = {
             "input_norm": jnp.ones((h,), dtype),
             "post_norm": jnp.ones((h,), dtype),
-            "q_proj": _init_linear(next(keys), h, cfg.q_size, dtype,
-                                   cfg.attention_bias, quant, group_size),
-            "k_proj": _init_linear(next(keys), h, cfg.kv_size, dtype,
-                                   cfg.attention_bias, quant, group_size),
-            "v_proj": _init_linear(next(keys), h, cfg.kv_size, dtype,
-                                   cfg.attention_bias, quant, group_size),
+            "q_proj": _init_linear(
+                next(keys), h, cfg.q_size, dtype, cfg.attention_bias,
+                quant, group_size),
+            "k_proj": _init_linear(
+                next(keys), h, cfg.kv_size, dtype, cfg.attention_bias,
+                quant, group_size),
+            "v_proj": _init_linear(
+                next(keys), h, cfg.kv_size, dtype, cfg.attention_bias,
+                quant, group_size),
             "o_proj": _init_linear(next(keys), cfg.q_size, h, dtype,
                                    False, quant, group_size),
         }
@@ -301,6 +355,17 @@ def init_params(cfg: DecoderConfig, key: jax.Array, dtype=jnp.bfloat16,
                 "down": (jax.random.normal(k4, (e, i, h), jnp.float32) *
                          i ** -0.5).astype(dtype),
             }
+            if cfg.shared_expert_intermediate_size > 0:
+                si = cfg.shared_expert_intermediate_size
+                k5, k6, k7, k8 = jax.random.split(next(keys), 4)
+                layer["shared_expert"] = {
+                    "gate_proj": _init_linear(k5, h, si, dtype),
+                    "up_proj": _init_linear(k6, h, si, dtype),
+                    "down_proj": _init_linear(k7, si, h, dtype),
+                }
+                layer["shared_expert_gate"] = {"w": (
+                    jax.random.normal(k8, (h, 1), jnp.float32) *
+                    h ** -0.5).astype(dtype)}
         else:
             layer["gate_proj"] = _init_linear(
                 next(keys), h, cfg.intermediate_size, dtype, False, quant,
@@ -312,6 +377,39 @@ def init_params(cfg: DecoderConfig, key: jax.Array, dtype=jnp.bfloat16,
                 next(keys), cfg.intermediate_size, h, dtype, False, quant,
                 group_size)
         params["layers"].append(layer)
+    if fused:
+        fuse_layer_params(params)
+    return params
+
+
+def fuse_layer_params(params: Params) -> Params:
+    """Concatenate per-layer q/k/v → qkv_proj and gate/up →
+    gate_up_proj in place. Works on full-precision ("w") and quantized
+    ("w_q" + per-channel "scale") leaves alike — per-output-channel
+    int8/fp8 scales and nibble-packed int4 columns concatenate exactly.
+    Single-device layout only (under TP the separate projections keep
+    contiguous column splits head-aligned)."""
+
+    def cat(parts: list[Params]) -> Params:
+        fused: Params = {}
+        for leaf in ("w", "w_q"):
+            if leaf in parts[0]:
+                fused[leaf] = jnp.concatenate(
+                    [p[leaf] for p in parts], axis=1)
+        if "scale" in parts[0]:
+            fused["scale"] = jnp.concatenate(
+                [p["scale"] for p in parts], axis=-1)
+        if all("b" in p for p in parts):
+            fused["b"] = jnp.concatenate([p["b"] for p in parts])
+        return fused
+
+    for layer in params.get("layers", []):
+        if all(k in layer for k in ("q_proj", "k_proj", "v_proj")):
+            layer["qkv_proj"] = cat(
+                [layer.pop(n) for n in ("q_proj", "k_proj", "v_proj")])
+        if "gate_proj" in layer and "up_proj" in layer:
+            layer["gate_up_proj"] = cat(
+                [layer.pop("gate_proj"), layer.pop("up_proj")])
     return params
 
 
@@ -319,7 +417,10 @@ def init_params(cfg: DecoderConfig, key: jax.Array, dtype=jnp.bfloat16,
 # Sharding (tensor parallel over mesh axis "tp")
 # ---------------------------------------------------------------------------
 
-_COL = {"q_proj", "k_proj", "v_proj", "gate_proj", "up_proj", "lm_head"}
+_COL = {"q_proj", "k_proj", "v_proj", "gate_proj", "up_proj", "lm_head",
+        # fused layouts exist only at tp==1 (a contiguous column split
+        # would mix q/k/v); specs listed for completeness
+        "qkv_proj", "gate_up_proj"}
 _ROW = {"o_proj", "down_proj"}
 
 

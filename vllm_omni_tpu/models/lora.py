@@ -22,7 +22,60 @@ from vllm_omni_tpu.logger import init_logger
 logger = init_logger(__name__)
 
 _LINEAR_NAMES = {"q_proj", "k_proj", "v_proj", "o_proj", "gate_proj",
-                 "up_proj", "down_proj", "lm_head", "mlp_in", "mlp_out"}
+                 "up_proj", "down_proj", "lm_head", "mlp_in", "mlp_out",
+                 "qkv_proj", "gate_up_proj"}
+
+# fused layout: which separate adapters fold into which fused linear
+_FUSE_MAP = {"qkv_proj": ("q_proj", "k_proj", "v_proj"),
+             "gate_up_proj": ("gate_proj", "up_proj")}
+
+
+def _fuse_adapters(layer_p: dict, layer_l: dict) -> dict:
+    """Fold separate q/k/v (gate/up) adapters into the fused linear's
+    block-diagonal equivalent: lora_a concat on the rank axis, lora_b
+    block-diagonal on (rank, out-col) — numerically exact."""
+    out = dict(layer_l)
+    for fused_name, parts in _FUSE_MAP.items():
+        if fused_name not in layer_p:
+            continue
+        present = [(i, layer_l[p]) for i, p in enumerate(parts)
+                   if isinstance(layer_l.get(p), dict)
+                   and "lora_a" in layer_l[p]]
+        if not present:
+            continue
+        w = layer_p[fused_name].get("w")
+        n_total = w.shape[1] if w is not None else \
+            layer_p[fused_name]["w_q"].shape[1]
+        # column extents of each part in the fused output axis
+        n_parts = len(parts)
+        if fused_name == "qkv_proj":
+            # q may be wider than k/v (GQA); infer from adapters where
+            # possible, split remaining evenly between k and v
+            widths = [None] * n_parts
+            for i, ad in present:
+                widths[i] = ad["lora_b"].shape[1]
+            known = sum(x for x in widths if x)
+            missing = [i for i, x in enumerate(widths) if x is None]
+            if missing:
+                each = (n_total - known) // len(missing)
+                for i in missing:
+                    widths[i] = each
+        else:
+            widths = [n_total // n_parts] * n_parts
+        offs = [0]
+        for x in widths:
+            offs.append(offs[-1] + x)
+        ranks = [ad["lora_a"].shape[1] for _, ad in present]
+        a = jnp.concatenate([ad["lora_a"] for _, ad in present], axis=1)
+        b = jnp.zeros((sum(ranks), n_total), present[0][1]["lora_b"].dtype)
+        r0 = 0
+        for (i, ad), r in zip(present, ranks):
+            b = b.at[r0:r0 + r, offs[i]:offs[i + 1]].set(ad["lora_b"])
+            r0 += r
+        out[fused_name] = {"lora_a": a, "lora_b": b}
+        for p in parts:
+            out.pop(p, None)
+    return out
 
 
 def _walk(node: Any, name: str, fn) -> Any:
@@ -41,7 +94,9 @@ def init_lora(params: dict, rank: int = 8, key=None, scale: float = 1.0,
     """Random adapter matching `params` structure (A ~ N(0, 1/r), B = 0
     — standard LoRA init). Returns {path-matching pytree of
     {"lora_a","lora_b"}} with scale folded into B's future updates."""
-    targets = targets or {"q_proj", "v_proj"}
+    # qkv_proj covers the fused layout (q/v adapters have no separate
+    # linear to land on there)
+    targets = targets or {"q_proj", "v_proj", "qkv_proj"}
     counter = [0]
     key = key if key is not None else jax.random.PRNGKey(0)
 
@@ -82,6 +137,12 @@ def attach(params: dict, lora: dict, scale: float = 1.0) -> dict:
                 new["lora_b"] = (l_node["lora_b"].astype(jnp.float32) *
                                  scale).astype(l_node["lora_b"].dtype)
                 return new
+            if isinstance(l_node, dict) and any(
+                    p in l_node for ps in _FUSE_MAP.values() for p in ps
+                    ) and any(f in p_node for f in _FUSE_MAP):
+                # separate-projection adapter (e.g. PEFT q_proj/v_proj)
+                # over a fused base layer
+                l_node = _fuse_adapters(p_node, l_node)
             return {k: walk(v, (l_node or {}).get(k) if isinstance(
                 l_node, dict) else None, k) for k, v in p_node.items()}
         if isinstance(p_node, list):

@@ -85,9 +85,10 @@ def hf_config_to_decoder_config(hf: dict[str, Any]) -> DecoderConfig:
 # ---------------------------------------------------------------------------
 
 # linears quantized by weight-only schemes; embeddings/norms/router stay
-# full precision (matches the reference: lm_head & embeddings excluded)
+# full precision (matches the reference: embeddings excluded; lm_head
+# opt-in via ModelConfig.quantize_lm_head, gated on measured ppl delta)
 _QUANT_LINEARS = {"q_proj", "k_proj", "v_proj", "o_proj", "gate_proj",
-                  "up_proj", "down_proj"}
+                  "up_proj", "down_proj", "qkv_proj", "gate_up_proj"}
 
 
 def _quantize_linear(w: jnp.ndarray, method: str, group_size: int) -> dict:
@@ -103,15 +104,17 @@ def _quantize_linear(w: jnp.ndarray, method: str, group_size: int) -> dict:
 
 
 def quantize_params(params: dict, method: Optional[str],
-                    group_size: int = 128) -> dict:
+                    group_size: int = 128,
+                    quantize_lm_head: bool = False) -> dict:
     """Walk a full-precision param pytree and quantize eligible linears
     in place (returns the same structure)."""
     if method is None:
         return params
+    targets = _QUANT_LINEARS | ({"lm_head"} if quantize_lm_head else set())
 
     def walk(node: Any, name: str) -> Any:
         if isinstance(node, dict):
-            if name in _QUANT_LINEARS and "w" in node:
+            if name in targets and "w" in node:
                 newp = _quantize_linear(node["w"], method, group_size)
                 if "b" in node:
                     newp["b"] = node["b"]
@@ -122,6 +125,11 @@ def quantize_params(params: dict, method: Optional[str],
         return node
 
     return walk(params, "")
+
+
+# fused-layout concat (decoder.fuse_layer_params) is re-exported here
+# for loader callers
+from vllm_omni_tpu.models.decoder import fuse_layer_params  # noqa: E402
 
 
 def init_params_quantized(cfg: DecoderConfig, key, method: str,
@@ -156,7 +164,10 @@ def _assign(params: dict, hf_name: str, value: np.ndarray, dtype,
     def as_dtype(v):
         return jnp.asarray(v).astype(dtype)
 
-    if parts[:2] == ["embed_tokens", "weight"]:
+    if parts[:2] == ["embed_tokens", "weight"] or \
+            parts[:2] == ["codec_embedding", "weight"]:
+        # codec_embedding: the talker text tower embeds codec ids
+        # (qwen3_omni_moe_talker Qwen3OmniMoeTalkerModel)
         params["embed"] = as_dtype(value)
         return True
     if parts[:2] == ["norm", "weight"]:
@@ -194,6 +205,13 @@ def _assign(params: dict, hf_name: str, value: np.ndarray, dtype,
             return True
         if rest[1] == "gate" and rest[2] == "weight":  # MoE router
             layer["router"] = {"w": as_dtype(value.T)}
+            return True
+        if rest[1] == "shared_expert":  # Qwen2MoE/talker shared expert
+            se = layer.setdefault("shared_expert", {})
+            se.setdefault(rest[2], {})["w"] = as_dtype(value.T)
+            return True
+        if rest[1] == "shared_expert_gate" and rest[2] == "weight":
+            layer["shared_expert_gate"] = {"w": as_dtype(value.T)}
             return True
         if rest[1] == "experts":
             e = int(rest[2])
@@ -268,6 +286,7 @@ def load_model(model_config: ModelConfig,
                 "num_attention_heads/...); pass a local HF checkpoint dir "
                 "to load real weights")
         cfg = hf_config_to_decoder_config(hf)
+        cfg = _apply_quant_flags(cfg, model_config)
         # one jitted program builds the whole (quantized) pytree on
         # device: a single dispatch instead of ~8 eager ops per linear
         # (init of an 8B model goes from minutes to seconds behind a
@@ -277,7 +296,9 @@ def load_model(model_config: ModelConfig,
         init_fn = jax.jit(functools.partial(
             init_params, cfg, dtype=dtype,
             quant=model_config.quantization,
-            group_size=model_config.quant_group_size))
+            group_size=model_config.quant_group_size,
+            fused=model_config.fused_qkv,
+            quant_lm_head=model_config.quantize_lm_head))
         params = init_fn(jax.random.PRNGKey(model_config.seed))
         return cfg, params, hf
     else:
@@ -285,7 +306,24 @@ def load_model(model_config: ModelConfig,
             hf = json.load(f)
         hf.update(model_config.hf_overrides)
         cfg = hf_config_to_decoder_config(hf)
+        cfg = _apply_quant_flags(cfg, model_config)
         params = load_safetensors_params(src, cfg, dtype)
+        if model_config.fused_qkv:
+            params = fuse_layer_params(params)
     params = quantize_params(params, model_config.quantization,
-                             model_config.quant_group_size)
+                             model_config.quant_group_size,
+                             quantize_lm_head=model_config.quantize_lm_head)
     return cfg, params, hf
+
+
+def _apply_quant_flags(cfg: DecoderConfig,
+                       model_config: ModelConfig) -> DecoderConfig:
+    """W8A8 activation quant rides the fused layout (separate q/k/v
+    re-quantize the same input three times — measured slower than the
+    upcast dot, benchmarks/layer_variants.py sep_native row)."""
+    import dataclasses
+
+    if (model_config.quantization == "int8" and model_config.int8_w8a8
+            and model_config.fused_qkv):
+        cfg = dataclasses.replace(cfg, act_quant=True)
+    return cfg

@@ -81,6 +81,31 @@ def unpack_int4(packed: jnp.ndarray, group_size: int) -> jnp.ndarray:
     return jnp.concatenate([lo, hi], axis=1).reshape(2 * K2, N)
 
 
+def quantize_int8_act(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Dynamic per-token symmetric int8 activation quant for the W8A8
+    path. x: [M, K] → (int8 [M, K], f32 [M])."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1)
+    scale = jnp.maximum(amax / 127.0, 1e-8)
+    q = jnp.clip(jnp.round(xf / scale[:, None]), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def int8_matmul_native(x: jnp.ndarray, w_q: jnp.ndarray,
+                       w_scale: jnp.ndarray) -> jnp.ndarray:
+    """W8A8: per-token act quant + native s8×s8→s32 MXU dot + rescale.
+
+    The fastest int8 path on v5e at decode batch: 83.4% of HBM
+    speed-of-light with fused projections vs 78.5% for the upcast dot
+    (benchmarks/layer_variants.py). The int32 accumulator dot streams
+    weights at quantized width and keeps the MXU in its int mode."""
+    xq, xs = quantize_int8_act(x)
+    o = jax.lax.dot_general(xq, w_q, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+    return (o.astype(jnp.float32) * xs[:, None] *
+            w_scale[None, :]).astype(x.dtype)
+
+
 def quantize_fp8(w: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Per-output-channel scaled float8_e4m3. w: [K,N] → (fp8, f32 [N])."""
     w = w.astype(jnp.float32)
@@ -286,23 +311,29 @@ def int4_matmul_pallas(x: jnp.ndarray, w_packed: jnp.ndarray,
 
 
 def quantized_matmul(x: jnp.ndarray, w_q: jnp.ndarray, scale: jnp.ndarray,
-                     method: str, group_size: int = 128) -> jnp.ndarray:
+                     method: str, group_size: int = 128,
+                     act8: bool = False) -> jnp.ndarray:
     """Entry used by model layers. x: [..., K] → [..., N].
 
-    int8 takes XLA's upcast dot on every path: measured on v5e-1
-    (benchmarks/layer_variants.py, M=32 Llama-8B layer stack) the XLA
-    dot hits 78.5% of the HBM speed-of-light while the hand-written
-    Pallas fused-dequant kernel reaches only 53.9% — XLA's convert+dot
-    fusion already streams int8 weights at quantized width and its
-    pipelining beats ours. The Pallas kernel remains for int4 (XLA's
-    unpack path materializes the upcast in HBM) and as a tuning base.
+    int8 never takes the hand-written Pallas kernel: measured on v5e-1
+    (benchmarks/layer_variants.py, M=32 Llama-8B layer stack) XLA's
+    upcast dot hits 78.5% of the HBM speed-of-light while the Pallas
+    fused-dequant kernel reaches only 53.9% — XLA's convert+dot fusion
+    already streams int8 weights at quantized width and its pipelining
+    beats ours. With act8 (per-token activation quant, W8A8) the native
+    s8×s8 MXU dot reaches 83.4% with fused projections — the serving
+    default. The Pallas kernel remains for int4 (XLA's unpack path
+    materializes the upcast in HBM) and as a tuning base.
     """
     from vllm_omni_tpu.ops import use_pallas
 
     lead = x.shape[:-1]
     x2 = x.reshape(-1, x.shape[-1])
     if method == "int8":
-        out = int8_matmul_xla(x2, w_q, scale)
+        if act8:
+            out = int8_matmul_native(x2, w_q, scale)
+        else:
+            out = int8_matmul_xla(x2, w_q, scale)
     elif method == "int4":
         if use_pallas() and x2.shape[0] % 8 == 0:
             out = int4_matmul_pallas(x2, w_q, scale, group_size=group_size)
