@@ -89,29 +89,61 @@ def run_variant(name: str, hf: dict, prompt_len: int = 120,
     return per_pass
 
 
-def main() -> None:
-    results = {}
-    results["base_32L"] = run_variant("base_32L", BASE_HF)
-    half = dict(BASE_HF, num_hidden_layers=16)
-    results["half_16L"] = run_variant("half_16L", half)
-    tinyv = dict(BASE_HF, vocab_size=2048, eos_token_id=1)
-    results["tiny_vocab"] = run_variant("tiny_vocab", tinyv)
-    results["short_ctx"] = run_variant("short_ctx", BASE_HF, prompt_len=8)
-    results["bf16"] = run_variant("bf16_weights", BASE_HF, quant=None)
+VARIANTS = {
+    "base_32L": lambda: run_variant("base_32L", BASE_HF),
+    "half_16L": lambda: run_variant(
+        "half_16L", dict(BASE_HF, num_hidden_layers=16)),
+    "tiny_vocab": lambda: run_variant(
+        "tiny_vocab", dict(BASE_HF, vocab_size=2048, eos_token_id=1)),
+    "short_ctx": lambda: run_variant("short_ctx", BASE_HF, prompt_len=8),
+    "bf16": lambda: run_variant("bf16_weights", BASE_HF, quant=None),
+}
 
-    per_layer = (results["base_32L"] - results["half_16L"]) / 16
-    lm_head = results["base_32L"] - results["tiny_vocab"]
-    attn_ctx = results["base_32L"] - results["short_ctx"]
-    print("\n--- attribution (ms/pass) ---")
-    print(f"per decoder layer : {per_layer*1e3:7.3f}  "
-          f"(x32 = {per_layer*32*1e3:.2f})")
-    print(f"lm_head + sampler : {lm_head*1e3:7.3f}")
-    print(f"attn ctx 120->8   : {attn_ctx*1e3:7.3f}")
-    print(f"residual (fixed)  : "
-          f"{(results['base_32L'] - per_layer*32 - lm_head)*1e3:7.3f}")
-    print(f"int8 vs bf16      : {results['base_32L']*1e3:.2f} vs "
-          f"{results['bf16']*1e3:.2f}")
+
+def main() -> None:
+    # each variant runs in its own subprocess: XLA donation/compile
+    # caches otherwise pin the previous variant's 8 GB of weights and
+    # the next engine init dies with RESOURCE_EXHAUSTED
+    import json
+    import subprocess
+
+    results = {}
+    for name in VARIANTS:
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), name],
+            capture_output=True, text=True)
+        line = [ln for ln in p.stdout.splitlines()
+                if ln.startswith("RESULT ")]
+        if not line:
+            sys.stderr.write(f"[{name}] FAILED:\n{p.stdout[-2000:]}"
+                             f"\n{p.stderr[-2000:]}\n")
+            continue
+        results[name] = json.loads(line[0][len("RESULT "):])["per_pass"]
+        print(f"{name:24s} {results[name]*1e3:7.2f} ms/pass", flush=True)
+
+    if "base_32L" in results and "half_16L" in results:
+        per_layer = (results["base_32L"] - results["half_16L"]) / 16
+        print("\n--- attribution (ms/pass) ---")
+        print(f"per decoder layer : {per_layer*1e3:7.3f}  "
+              f"(x32 = {per_layer*32*1e3:.2f})")
+        if "tiny_vocab" in results:
+            lm_head = results["base_32L"] - results["tiny_vocab"]
+            print(f"lm_head + sampler : {lm_head*1e3:7.3f}")
+            print(f"residual (fixed)  : "
+                  f"{(results['base_32L'] - per_layer*32 - lm_head)*1e3:7.3f}")
+        if "short_ctx" in results:
+            print(f"attn ctx 120->8   : "
+                  f"{(results['base_32L'] - results['short_ctx'])*1e3:7.3f}")
+        if "bf16" in results:
+            print(f"int8 vs bf16      : {results['base_32L']*1e3:.2f} vs "
+                  f"{results['bf16']*1e3:.2f}")
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1:
+        import json
+
+        pp = VARIANTS[sys.argv[1]]()
+        print("RESULT " + json.dumps({"per_pass": pp}), flush=True)
+    else:
+        main()

@@ -15,6 +15,7 @@ from __future__ import annotations
 import time
 from typing import Any, Optional
 
+import jax
 import jax.numpy as jnp
 
 from vllm_omni_tpu.config.engine import EngineConfig
@@ -58,6 +59,11 @@ class EngineCore:
             # contiguous TP column split would mix q/k/v heads
             config.model.fused_qkv = False
         self.decoder_cfg, params, self.hf_config = load_model(config.model)
+        # auxiliary towers of a composite omni checkpoint (talker MTP
+        # code predictor + thinker→talker projections, code2wav conv
+        # tower) — see weights._load_omni_component
+        self.aux = self.hf_config.pop("_aux", {}) if isinstance(
+            self.hf_config, dict) else {}
         self.runner = ModelRunner(config, self.decoder_cfg, params,
                                   mesh=mesh)
         self.scheduler = Scheduler(config.scheduler, config.cache,
@@ -99,6 +105,22 @@ class EngineCore:
             raise ValueError(
                 f"prompt of {n_prompt} tokens exceeds "
                 f"max_model_len={max_len}")
+        if embeds is not None and "projections" in self.aux:
+            # talker stage: thinker outputs project into talker dims
+            # (reference project_thinker_outputs,
+            # qwen3_omni_moe_talker.py:232). Text-token embeddings use
+            # text_projection; hidden states use hidden_projection.
+            from vllm_omni_tpu.models.qwen3_omni import resize_mlp
+
+            which = (kwargs.get("additional_information") or {}).get(
+                "projection", "hidden")
+            proj = self.aux["projections"][
+                "text_projection" if which == "text"
+                else "hidden_projection"]
+            import numpy as np
+
+            kwargs["prompt_embeds"] = np.asarray(
+                resize_mlp(proj, jnp.asarray(embeds, jnp.float32)))
         mm_inputs = kwargs.pop("mm_inputs", None)
         if mm_inputs:
             if self.mm_processor is None:
@@ -267,7 +289,112 @@ class EngineCore:
             outputs.append(self._make_output(req, finished=fin))
         return outputs
 
+    # -- omni family towers (talker MTP + code2wav) --------------------------
+    def _apply_code_predictor(self, req: Request) -> None:
+        """Talker finish hook: expand layer-0 codec codes into all RVQ
+        groups with the MTP code predictor (reference
+        code_predictor_forward, qwen3_omni_moe_talker.py:141). All codec
+        frames run as ONE batched jit; result lands in
+        additional_information["codec_codes"] as [G, T]."""
+        import numpy as np
+
+        from vllm_omni_tpu.models.qwen3_omni import code_predictor_generate
+        from vllm_omni_tpu.utils import pick_bucket
+
+        if "codec_codes" in req.additional_information:
+            return
+        cp_cfg, cp_params = self.aux["code_predictor"]
+        hs = req.additional_information.get("hidden_states")
+        if not hs or not req.output_token_ids:
+            return
+        all_h = np.concatenate([np.atleast_2d(np.asarray(h))
+                                for h in hs], axis=0)
+        n_prompt_h = all_h.shape[0] - max(0, req.num_output_tokens - 1)
+        toks = list(req.output_token_ids)
+        frames, frame_h = [], []
+        for j, t in enumerate(toks):
+            if t >= cp_cfg.vocab_size:
+                continue  # codec specials (eos/pad/bos) carry no frame
+            frames.append(t)
+            frame_h.append(all_h[n_prompt_h - 1 + j])
+        if not frames:
+            return
+        f = len(frames)
+        b = pick_bucket(f, tuple(2 ** i for i in range(13)))
+        codes0 = np.zeros((b,), np.int32)
+        codes0[:f] = frames
+        hid = np.zeros((b, cp_cfg.hidden_size), np.float32)
+        hid[:f] = np.stack(frame_h)
+        embed_tbl = self.runner.params["embed"]
+        fn = self._cp_fns.get(b) if hasattr(self, "_cp_fns") else None
+        if fn is None:
+            if not hasattr(self, "_cp_fns"):
+                self._cp_fns = {}
+
+            def run(params, embed_tbl, codes0, hid):
+                e0 = jnp.take(embed_tbl, codes0, axis=0).astype(
+                    hid.dtype)
+                codes, _ = code_predictor_generate(params, cp_cfg,
+                                                   hid, e0)
+                return codes
+
+            fn = jax.jit(run)
+            self._cp_fns[b] = fn
+        residual = np.asarray(fn(cp_params, embed_tbl, codes0,
+                                 hid))[:f]  # [F, G-1]
+        codec = np.concatenate([np.asarray(frames)[None, :],
+                                residual.T.astype(np.int64)], axis=0)
+        req.additional_information["codec_codes"] = codec.tolist()
+
+    def _step_code2wav(self) -> list[RequestOutput]:
+        """code2wav stage: codec codes → waveform, bypassing the
+        decoder entirely (reference runs code2wav as a generation-worker
+        stage, qwen3_omni_code2wav.py:122; batched decode is the 30%
+        E2E win of async_chunk_design.md:51)."""
+        import numpy as np
+
+        from vllm_omni_tpu.models.qwen3_omni import code2wav_forward
+        from vllm_omni_tpu.utils import pick_bucket
+
+        c2w_cfg, c2w_params = self.aux["code2wav"]
+        outputs: list[RequestOutput] = []
+        ready = [r for r in list(self.scheduler.waiting)
+                 if not r.resumable]  # final chunk clears resumable
+        if not ready:
+            return outputs
+        fn = getattr(self, "_c2w_fn", None)
+        if fn is None:
+            fn = jax.jit(lambda p, c: code2wav_forward(p, c2w_cfg, c))
+            self._c2w_fn = fn
+        for req in ready:
+            codes = req.additional_information.get("codec_codes")
+            if codes is not None:
+                arr = np.asarray(codes, np.int32)  # [G, T]
+            else:  # layer-0-only fallback (random tier)
+                arr = np.zeros((c2w_cfg.num_quantizers,
+                                len(req.prompt_token_ids)), np.int32)
+                arr[0] = np.clip(req.prompt_token_ids, 0,
+                                 c2w_cfg.codebook_size - 1)
+            t = arr.shape[1]
+            tb = pick_bucket(t, tuple(2 ** i for i in range(4, 15)))
+            padded = np.zeros((1, c2w_cfg.num_quantizers, tb), np.int32)
+            g = min(arr.shape[0], c2w_cfg.num_quantizers)
+            padded[0, :g, :t] = np.clip(
+                arr[:g], 0, c2w_cfg.codebook_size - 1)
+            wav = np.asarray(fn(c2w_params, padded))[
+                0, :t * c2w_cfg.total_upsample]
+            self.scheduler.finish_request(req,
+                                          RequestStatus.FINISHED_STOPPED)
+            out = self._make_output(req, finished=True)
+            out.multimodal_output = {"audio": {
+                "data": wav.astype(np.float32),
+                "sample_rate": 24000}}
+            outputs.append(out)
+        return outputs
+
     def step(self) -> list[RequestOutput]:
+        if "code2wav" in self.aux:
+            return self._step_code2wav()
         if self._spec_applicable():
             out = self._step_speculative()
             if out is not None:
@@ -365,6 +492,8 @@ class EngineCore:
 
     # -- outputs ------------------------------------------------------------
     def _make_output(self, req: Request, finished: bool) -> RequestOutput:
+        if finished and "code_predictor" in self.aux:
+            self._apply_code_predictor(req)
         text = ""
         if finished and self.tokenizer is not None and \
                 req.sampling_params.detokenize:

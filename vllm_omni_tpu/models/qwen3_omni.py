@@ -550,7 +550,8 @@ def init_code2wav(cfg: Code2WavConfig, key: jax.Array,
 # ---------------------------------------------------------------------------
 
 
-def load_qwen3_omni_checkpoint(path: str, dtype=jnp.float32
+def load_qwen3_omni_checkpoint(path: str, dtype=jnp.float32,
+                               only: Optional[set] = None
                                ) -> dict[str, Any]:
     """Load an HF `Qwen3OmniMoeForConditionalGeneration` checkpoint
     directory (config.json + safetensors with thinker./talker./code2wav.
@@ -594,7 +595,9 @@ def load_qwen3_omni_checkpoint(path: str, dtype=jnp.float32
     cp: dict = {"layers": [dict() for _ in range(cp_cfg.num_layers)]}
     cp_embeds: dict[int, np.ndarray] = {}
     cp_heads: dict[int, np.ndarray] = {}
-    c2w = init_code2wav(c2w_cfg, jax.random.PRNGKey(0), dtype)
+    want = only or {"thinker", "talker", "code2wav"}
+    c2w = init_code2wav(c2w_cfg, jax.random.PRNGKey(0), dtype) \
+        if "code2wav" in want else {}
     extras: dict = {"text_projection": {"fc1": {}, "fc2": {}},
                     "hidden_projection": {"fc1": {}, "fc2": {}}}
     unmapped: list[str] = []
@@ -709,10 +712,16 @@ def load_qwen3_omni_checkpoint(path: str, dtype=jnp.float32
 
     def route(name: str, v) -> bool:
         if name.startswith("thinker."):
+            if "thinker" not in want:
+                return True
             sub = name[len("thinker."):]
             if sub.startswith(("audio_tower.", "visual.")):
                 return True  # encoder towers: loaded by models/encoders
             return _assign(thinker, sub, v, dtype, thinker_cfg)
+        if name.startswith("talker.") and "talker" not in want:
+            return True
+        if name.startswith("code2wav.") and "code2wav" not in want:
+            return True
         if name.startswith("talker.code_predictor."):
             sub = name[len("talker.code_predictor."):]
             parts = sub.split(".")

@@ -49,5 +49,11 @@ def talker2code2wav(prev_outputs: dict[int, RequestOutput],
     prompt (non-chunked fallback path; async_chunk edges stream instead —
     orchestrator._forward_chunks)."""
     src = stage.engine_input_source[0]
-    comp = prev_outputs[src].outputs[0]
-    return {"prompt_token_ids": list(comp.token_ids)}
+    prev = prev_outputs[src]
+    comp = prev.outputs[0]
+    payload: dict[str, Any] = {"prompt_token_ids": list(comp.token_ids)}
+    codes = prev.additional_information.get("codec_codes")
+    if codes is not None:
+        # full RVQ code matrix from the talker's MTP code predictor
+        payload["additional_information"] = {"codec_codes": codes}
+    return payload

@@ -268,11 +268,23 @@ def load_safetensors_params(path: str, cfg: DecoderConfig,
 def load_model(model_config: ModelConfig,
                dtype=None) -> tuple[DecoderConfig, dict, dict]:
     """ModelConfig → (DecoderConfig, quantized params pytree, raw hf
-    config dict — the engine reads eos_token_id etc. from it)."""
+    config dict — the engine reads eos_token_id etc. from it).
+
+    hf_config_name selects a component of a composite omni checkpoint
+    (reference: hf_config_name in stage YAMLs, engine/arg_utils.py:33):
+    "thinker" | "talker" | "code2wav" against an HF
+    Qwen3OmniMoeForConditionalGeneration directory. Auxiliary towers
+    (code predictor, thinker→talker projections, code2wav params) ride
+    back under hf["_aux"] for the engine to claim."""
     if dtype is None:
         dtype = jnp.bfloat16 if model_config.dtype == "bfloat16" \
             else jnp.dtype(model_config.dtype)
     src = model_config.model
+    if model_config.hf_config_name and os.path.isdir(src):
+        with open(os.path.join(src, "config.json")) as f:
+            probe = json.load(f)
+        if "thinker_config" in probe:
+            return _load_omni_component(model_config, src, dtype)
     if src == "dummy" or not os.path.isdir(src):
         if src != "dummy":
             raise FileNotFoundError(
@@ -310,6 +322,59 @@ def load_model(model_config: ModelConfig,
         params = load_safetensors_params(src, cfg, dtype)
         if model_config.fused_qkv:
             params = fuse_layer_params(params)
+    params = quantize_params(params, model_config.quantization,
+                             model_config.quant_group_size,
+                             quantize_lm_head=model_config.quantize_lm_head)
+    return cfg, params, hf
+
+
+def _load_omni_component(model_config: ModelConfig, src: str, dtype
+                         ) -> tuple[DecoderConfig, dict, dict]:
+    """One component of an HF Qwen3-Omni checkpoint (thinker / talker /
+    code2wav) as this stage's model. The talker stage additionally gets
+    the MTP code predictor and the thinker→talker projections; the
+    code2wav stage gets the conv tower (the engine bypasses the decoder
+    entirely for it)."""
+    from vllm_omni_tpu.models.qwen3_omni import load_qwen3_omni_checkpoint
+
+    which = model_config.hf_config_name
+    ck = load_qwen3_omni_checkpoint(src, dtype=dtype, only={which})
+    hf_top = ck["hf_config"]
+    if which == "thinker":
+        cfg, params = ck["thinker"]
+        hf = dict(hf_top["thinker_config"].get("text_config", {}))
+        hf.setdefault("eos_token_id", hf_top.get("eos_token_id"))
+    elif which == "talker":
+        cfg, params = ck["talker"]
+        tk = hf_top["talker_config"]
+        hf = dict(tk.get("text_config", {}))
+        hf["eos_token_id"] = tk.get("codec_eos_token_id")
+        hf["_aux"] = {"code_predictor": ck["code_predictor"],
+                      "projections": ck["talker_extras"],
+                      "talker_special": {
+                          k: tk.get(k) for k in
+                          ("codec_bos_id", "codec_pad_id",
+                           "codec_eos_token_id", "codec_nothink_id",
+                           "codec_think_bos_id", "codec_think_eos_id")}}
+    elif which == "code2wav":
+        # minimal decoder config so the engine's generic machinery has
+        # shapes; the code2wav path never runs the decoder
+        c2w_cfg, c2w_params = ck["code2wav"]
+        cfg = DecoderConfig(
+            vocab_size=c2w_cfg.codebook_size * c2w_cfg.num_quantizers,
+            hidden_size=c2w_cfg.hidden_size, intermediate_size=8,
+            num_layers=0, num_heads=1, num_kv_heads=1, head_dim=8)
+        params = {"embed": jnp.zeros((8, 8), dtype), "layers": [],
+                  "final_norm": jnp.ones((8,), dtype),
+                  "lm_head": {"w": jnp.zeros((8, 8), dtype)}}
+        hf = {"_aux": {"code2wav": (c2w_cfg, c2w_params)}}
+        return cfg, params, hf
+    else:
+        raise ValueError(f"unknown hf_config_name {which!r} for omni "
+                         "checkpoint (thinker | talker | code2wav)")
+    cfg = _apply_quant_flags(cfg, model_config)
+    if model_config.fused_qkv:
+        params = fuse_layer_params(params)
     params = quantize_params(params, model_config.quantization,
                              model_config.quant_group_size,
                              quantize_lm_head=model_config.quantize_lm_head)
