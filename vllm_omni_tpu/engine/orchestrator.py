@@ -157,6 +157,18 @@ class PipelineRunner:
         self.handles: dict[int, _StageHandle] = {}
         self.processors: dict[int, Callable] = {}
         self.tokenizer = None
+        self.master = None
+        if any(s.engine_args.get("placement") == "remote"
+               for s in pipeline.stages):
+            import os
+
+            from vllm_omni_tpu.engine.master import OmniMasterServer
+
+            # fix the port via OMNI_TPU_MASTER_PORT to launch workers
+            # before/while the runner initializes
+            self.master = OmniMasterServer(
+                port=int(os.environ.get("OMNI_TPU_MASTER_PORT", "0")))
+        remote_clients: list = []
         for stage in pipeline.stages:
             args = dict(stage.engine_args)
             if stage.stage_type == "diffusion":
@@ -173,7 +185,26 @@ class PipelineRunner:
                 if args.get("model") is None:
                     raise ValueError(f"stage {stage.stage_id} has no model")
                 isolate = args.pop("process_isolation", False)
-                if isolate:
+                placement = args.pop("placement", "local")
+                if placement == "remote":
+                    # stage runs on another host: publish its config via
+                    # the master server and wait for a remote_stage
+                    # worker to claim + handshake (reference
+                    # OmniMasterServer, stage_engine_startup.py:102)
+                    from vllm_omni_tpu.engine.stage_proc import \
+                        RemoteStageClient
+                    from vllm_omni_tpu.platforms import current_platform
+
+                    engine = RemoteStageClient(
+                        args, self.master, stage.stage_id,
+                        platform="cpu" if current_platform().is_cpu
+                        else None,
+                        startup_timeout_s=float(
+                            args.pop("startup_timeout_s", 600.0)),
+                        defer_wait=True)
+                    remote_clients.append(engine)
+                    handle = _StageHandle(stage, engine, "llm")
+                elif isolate:
                     # subprocess engine + ZMQ control/data plane
                     # (reference StageEngineCoreProc)
                     from vllm_omni_tpu.engine.stage_proc import \
@@ -200,6 +231,8 @@ class PipelineRunner:
             self.handles[stage.stage_id] = handle
             proc = stage.resolve_input_processor()
             self.processors[stage.stage_id] = proc or default_process_input
+        for rc in remote_clients:  # all registered → workers connect in
+            rc.wait_handshake()    # parallel; now block for readiness
         from vllm_omni_tpu.metrics import OrchestratorAggregator
 
         self.stats = OrchestratorAggregator()

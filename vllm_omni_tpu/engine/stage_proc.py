@@ -37,7 +37,7 @@ logger = init_logger(__name__)
 
 def _stage_proc_main(engine_kwargs: dict, ctrl_addr: str, out_addr: str,
                      platform: Optional[str], visible_devices:
-                     Optional[str]) -> None:
+                     Optional[str], on_ready=None) -> None:
     import os
 
     if visible_devices is not None:
@@ -61,6 +61,8 @@ def _stage_proc_main(engine_kwargs: dict, ctrl_addr: str, out_addr: str,
 
     engine = EngineCore(EngineConfig.from_kwargs(**engine_kwargs))
     out.send(encode_payload({"type": "ready"}))
+    if on_ready is not None:
+        on_ready()
 
     running = True
     while running:
@@ -226,5 +228,63 @@ class StageProcClient:
         if self.proc.is_alive():
             self.proc.terminate()
             self.proc.join(timeout=2)
+        self.ctrl.close(0)
+        self.out.close(0)
+
+
+class RemoteStageClient(StageProcClient):
+    """Stage engine on ANOTHER host (reference multi-node startup,
+    stage_engine_startup.py:102-599): instead of spawning a subprocess,
+    pre-bind the control/output endpoints on a routable interface,
+    publish them through the OmniMasterServer, and wait for a
+    `remote_stage` worker to claim the stage and send READY. The wire
+    protocol afterwards is identical to a local stage proc."""
+
+    def __init__(self, engine_kwargs: dict, master, stage_id: int,
+                 platform: Optional[str] = None,
+                 startup_timeout_s: float = 600.0,
+                 defer_wait: bool = False) -> None:
+        from vllm_omni_tpu.engine.master import routable_host_ip
+
+        self.ctx = zmq.Context.instance()
+        self.ctrl = self.ctx.socket(zmq.PUSH)
+        cport = self.ctrl.bind_to_random_port("tcp://0.0.0.0")
+        self.out = self.ctx.socket(zmq.PULL)
+        oport = self.out.bind_to_random_port("tcp://0.0.0.0")
+        self._inflight = set()
+        self._lock = threading.Lock()
+        self.proc = None  # lives on another host
+        self.stage_id = stage_id
+        self._master = master
+        self._timeout_s = startup_timeout_s
+        host = routable_host_ip()
+        master.register_stage(stage_id, {
+            "engine_kwargs": engine_kwargs,
+            "ctrl_addr": f"tcp://{host}:{cport}",
+            "out_addr": f"tcp://{host}:{oport}",
+            "platform": platform,
+        })
+        if not defer_wait:
+            self.wait_handshake()
+
+    def wait_handshake(self) -> None:
+        """Block until a remote_stage worker claims this stage and sends
+        READY (all remote stages register first so workers bring up in
+        parallel — reference connect_remote_engine_cores)."""
+        if not self.out.poll(int(self._timeout_s * 1000)):
+            raise TimeoutError(
+                f"remote stage {self.stage_id} did not connect/handshake "
+                f"within {self._timeout_s}s (master status: "
+                f"{self._master.status(self.stage_id)})")
+        ready = decode_payload(self.out.recv())
+        assert ready.get("type") == "ready"
+        logger.info("remote stage %d connected and ready", self.stage_id)
+
+    def shutdown(self) -> None:
+        try:
+            self.ctrl.send(encode_payload({"type": "shutdown"}),
+                           flags=zmq.NOBLOCK)
+        except Exception:
+            pass
         self.ctrl.close(0)
         self.out.close(0)
