@@ -109,9 +109,18 @@ def main() -> None:
 
     results = {}
     for name in VARIANTS:
-        p = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), name],
-            capture_output=True, text=True)
+        for attempt in range(2):
+            try:
+                p = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), name],
+                    capture_output=True, text=True, timeout=900)
+                break
+            except subprocess.TimeoutExpired:
+                sys.stderr.write(f"[{name}] attempt {attempt} timed out "
+                                 "(wedged compile tunnel?) — retrying\n")
+                p = None
+        if p is None:
+            continue
         line = [ln for ln in p.stdout.splitlines()
                 if ln.startswith("RESULT ")]
         if not line:

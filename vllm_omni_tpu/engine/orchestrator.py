@@ -177,9 +177,21 @@ class PipelineRunner:
 
                 if args.get("model") is None:
                     args.pop("model", None)
-                dconf = DiffusionConfig(**args)
-                handle = _StageHandle(stage, DiffusionEngine(dconf),
-                                      "diffusion")
+                if args.pop("process_isolation", False):
+                    # subprocess diffusion engine (reference
+                    # StageDiffusionProc, stage_diffusion_proc.py:42)
+                    from vllm_omni_tpu.engine.diffusion_proc import \
+                        DiffusionProcClient
+                    from vllm_omni_tpu.platforms import current_platform
+
+                    engine = DiffusionProcClient(
+                        args, platform="cpu"
+                        if current_platform().is_cpu else None)
+                    handle = _StageHandle(stage, engine, "diffusion")
+                else:
+                    dconf = DiffusionConfig(**args)
+                    handle = _StageHandle(stage, DiffusionEngine(dconf),
+                                          "diffusion")
             else:
                 args.setdefault("model", default_model)
                 if args.get("model") is None:

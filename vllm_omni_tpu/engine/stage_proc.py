@@ -205,7 +205,10 @@ class StageProcClient:
 
     def step(self) -> list[RequestOutput]:
         """Drain whatever outputs the stage proc has pushed (the proc
-        steps itself — this never blocks)."""
+        steps itself — this never blocks). A dead proc converts every
+        in-flight request into an error output instead of hanging the
+        pipeline (reference cleanup_failed_stage_initialization,
+        engine/stage_init_utils.py)."""
         outs: list[RequestOutput] = []
         while self.out.poll(0):
             msg = decode_payload(self.out.recv())
@@ -216,6 +219,21 @@ class StageProcClient:
                 with self._lock:
                     self._inflight.discard(o.request_id)
             outs.append(o)
+        if (not getattr(self, "_dead", False) and self._inflight and
+                self.proc is not None and not self.proc.is_alive()):
+            self._dead = True
+            code = self.proc.exitcode
+            logger.error("stage proc died (exit %s) with %d requests "
+                         "in flight", code, len(self._inflight))
+            with self._lock:
+                dead = list(self._inflight)
+                self._inflight.clear()
+            for rid in dead:
+                outs.append(RequestOutput(
+                    request_id=rid, outputs=[CompletionOutput(
+                        index=0, text="", token_ids=[])],
+                    finished=True,
+                    error=f"stage process died (exit {code})"))
         return outs
 
     def shutdown(self) -> None:
