@@ -88,3 +88,48 @@ def test_pinned_pages_survive_finish_and_release():
     eng.extract_request_kv(rid)  # pages still live
     eng.release_transfer(rid)
     assert eng.scheduler.block_manager.num_free_pages > free_before
+
+
+def test_pd_hetero_tp_parity():
+    """Hetero-TP disaggregation: prefill at TP=2 → decode at TP=1 and
+    the reverse (reference _slice_transfer_data_for_target,
+    kv_transfer_manager.py:498). TPU-first: extract_kv gathers the
+    GLOBAL [L, 2, Hkv, P, ps, D] view out of the sharded cache under
+    SPMD and inject re-scatters under the target's own sharding, so no
+    per-rank slicing layer exists to get wrong — this pins token-exact
+    parity in both directions."""
+    from vllm_omni_tpu.parallel import make_mesh
+
+    prompt = list(range(1, 40))
+    ref = drain_one(make_engine(), prompt, max_tokens=12)
+
+    for pre_tp, dec_tp in ((2, 1), (1, 2)):
+        def build(tp):
+            if tp == 1:
+                return make_engine()
+            mesh = make_mesh((1, tp), ("dp", "tp"))
+            return EngineCore(EngineConfig.from_kwargs(
+                model="dummy", hf_overrides=TINY_HF, dtype="float32",
+                max_model_len=256, num_pages=64, page_size=16,
+                max_num_seqs=4, max_num_batched_tokens=128,
+                tensor_parallel_size=tp), mesh=mesh)
+
+        pre = build(pre_tp)
+        sp_pre = SamplingParams(max_tokens=1, temperature=0.0,
+                                ignore_eos=True, pin_kv=True)
+        rid = pre.add_request(list(prompt), sp_pre)
+        finals = drain(pre)
+        assert finals[rid].finished
+        payload = pre.extract_request_kv(rid)
+        pre.release_transfer(rid)
+
+        tm = TransferManager(SharedMemoryConnector())
+        received = tm.receive(0, 1, rid,
+                              tm.send(0, 1, rid, payload))
+
+        dec = build(dec_tp)
+        rid2 = dec.inject_request_kv(
+            received, SamplingParams(max_tokens=12, temperature=0.0,
+                                     ignore_eos=True))
+        toks = drain(dec)[rid2].outputs[0].token_ids
+        assert toks == ref, (pre_tp, dec_tp, toks, ref)
