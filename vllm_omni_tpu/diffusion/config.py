@@ -26,6 +26,10 @@ class DiTConfig:
     text_dim: int = 1024  # incoming text-embedding width
     axes_dims_rope: tuple[int, ...] = (8, 28, 28)  # (t, h, w) freq split
     guidance_embeds: bool = False
+    # "auto" = flash/XLA by hardware; "int8" = SageAttention-role
+    # quantized attention (per-token int8 Q/K, s8×s8 QK^T on the MXU
+    # int path — reference diffusion/attention/backends/sage_attn.py:27)
+    attention_backend: str = "auto"
 
     @property
     def patch_dim(self) -> int:

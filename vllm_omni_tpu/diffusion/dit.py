@@ -158,11 +158,17 @@ def _dit_block(layer: Params, cfg: DiTConfig, x: jnp.ndarray,
         attn = ring_attention(q, k, v, scale=cfg.head_dim ** -0.5,
                               mesh=mesh)
     elif mesh is None:
-        # single-device: Pallas flash attention (VMEM-blocked online
-        # softmax — no [T, S] score materialization)
-        from vllm_omni_tpu.ops.flash_attention import flash_attention
+        if cfg.attention_backend == "int8":
+            # SageAttention role: int8 Q/K on the MXU int path
+            from vllm_omni_tpu.ops.flash_attention import int8_attention
 
-        attn = flash_attention(q, k, v, scale=cfg.head_dim ** -0.5)
+            attn = int8_attention(q, k, v, scale=cfg.head_dim ** -0.5)
+        else:
+            # Pallas flash attention (VMEM-blocked online softmax — no
+            # [T, S] score materialization)
+            from vllm_omni_tpu.ops.flash_attention import flash_attention
+
+            attn = flash_attention(q, k, v, scale=cfg.head_dim ** -0.5)
     else:
         # Ulysses: seq-shard → head-shard for the attention body
         head_spec = P("cfg", None, ("ulysses", "tp"), None)

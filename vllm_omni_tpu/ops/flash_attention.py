@@ -119,6 +119,45 @@ def flash_attention_pallas(q: jnp.ndarray, k: jnp.ndarray,
     return jnp.swapaxes(out, 1, 2)
 
 
+def int8_attention(q: "jnp.ndarray", k: "jnp.ndarray", v: "jnp.ndarray",
+                   scale: float) -> "jnp.ndarray":
+    """Quantized dense attention — the SageAttention role (reference
+    diffusion/attention/backends/sage_attn.py:27): per-token per-head
+    symmetric int8 quant of Q and K, QK^T as a native s8×s8→s32 MXU dot
+    (the int MXU path doubles the bf16 rate on v5e), f32 softmax, PV in
+    bf16. K is mean-centered first (SageAttention's smoothing — softmax
+    is shift-invariant along the key axis, so subtracting the per-head
+    key mean costs nothing in exactness and absorbs the outlier channel
+    energy that otherwise eats the int8 range).
+
+    q/k/v: [B, T, H, D] (non-causal, DiT full-sequence)."""
+    import jax.numpy as jnp
+
+    kf = k.astype(jnp.float32)
+    kf = kf - jnp.mean(kf, axis=1, keepdims=True)
+    qf = q.astype(jnp.float32)
+
+    def quant(x):
+        s = jnp.maximum(jnp.max(jnp.abs(x), axis=-1) / 127.0, 1e-8)
+        xi = jnp.clip(jnp.round(x / s[..., None]), -127, 127).astype(
+            jnp.int8)
+        return xi, s
+
+    qi, qs = quant(qf)
+    ki, ks = quant(kf)
+    s = jax.lax.dot_general(
+        qi.transpose(0, 2, 1, 3), ki.transpose(0, 2, 1, 3),
+        (((3,), (3,)), ((0, 1), (0, 1))),
+        preferred_element_type=jnp.int32)  # [B, H, T, S]
+    s = s.astype(jnp.float32) * (qs.transpose(0, 2, 1)[..., None] *
+                                 ks.transpose(0, 2, 1)[:, :, None, :] *
+                                 scale)
+    p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bhts,bshd->bthd", p, v,
+                     preferred_element_type=jnp.float32)
+    return out.astype(q.dtype)
+
+
 def flash_attention(q, k, v, scale: float, causal: bool = False):
     """Dispatch: Pallas on TPU for H==Hkv and 128-aligned head_dim, XLA
     reference otherwise."""
