@@ -162,3 +162,40 @@ def test_layerwise_offload_parity():
         [DiffusionRequest("b", "x", p2)])[0]
     np.testing.assert_allclose(b2.images, a2.images, rtol=1e-5,
                                atol=1e-5)
+
+
+def test_taylor_seer_backend():
+    """Second cache backend (cache-dit/TaylorSeer role): first-order
+    velocity extrapolation on skipped steps. Same skip criterion as
+    tea_cache; prediction differs. With skips forced, the extrapolated
+    trajectory stays closer to (or as close as) the no-cache baseline
+    than plain reuse on a trending velocity field."""
+    import numpy as np
+
+    from vllm_omni_tpu.diffusion.pipeline import DiffusionPipeline
+
+    p = params(num_inference_steps=6, output_type="latent", seed=2)
+    base = DiffusionEngine(make_config()).generate(
+        [DiffusionRequest("a", "x", p)])[0]
+
+    def run(backend, thresh):
+        pipe = DiffusionPipeline(make_config(cache={
+            "backend": backend, "rel_l1_thresh": thresh}))
+        st = pipe.prepare(DiffusionRequest("b", "x", p))
+        while not st.done:
+            pipe.denoise_step(st)
+        return pipe.post_decode(st, "latent"), int(st.cache_skips)
+
+    ts_lat, ts_skips = run("taylor_seer", 1e9)
+    assert ts_skips == 4  # same criterion as tea_cache
+    tea_lat, _ = run("tea_cache", 1e9)
+    ref = np.asarray(base.images, np.float32)
+    ts_err = float(np.mean(np.abs(np.asarray(ts_lat) - ref)))
+    tea_err = float(np.mean(np.abs(np.asarray(tea_lat) - ref)))
+    # extrapolation beats (or at least matches) plain reuse
+    assert ts_err <= tea_err * 1.05, (ts_err, tea_err)
+    # tight threshold → zero skips → exact parity
+    exact_lat, n = run("taylor_seer", 0.0)
+    assert n == 0
+    np.testing.assert_allclose(np.asarray(exact_lat), ref,
+                               rtol=1e-4, atol=1e-5)

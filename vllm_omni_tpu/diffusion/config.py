@@ -47,19 +47,24 @@ class CacheAccelConfig:
     rides as device arrays between steps.
     """
 
-    backend: str = "none"  # "none" | "tea_cache"
+    # "tea_cache": reuse the last computed velocity on skipped steps.
+    # "taylor_seer": first-order Taylor extrapolation of the velocity
+    # across skipped steps (reference cache-dit/TaylorSeer backend,
+    # cache/cache_dit_backend.py:25) — same on-device rel-L1 skip
+    # criterion, better prediction on trending velocities.
+    backend: str = "none"  # "none" | "tea_cache" | "taylor_seer"
     rel_l1_thresh: float = 0.25
     # polynomial rescale of the raw rel-L1 (reference per-model
     # coefficient_estimator); highest degree first
     coefficients: tuple[float, ...] = (1.0, 0.0)
 
     def __post_init__(self) -> None:
-        if self.backend not in ("none", "tea_cache"):
+        if self.backend not in ("none", "tea_cache", "taylor_seer"):
             raise ValueError(f"unknown cache backend {self.backend!r}")
 
     @property
     def enabled(self) -> bool:
-        return self.backend == "tea_cache"
+        return self.backend in ("tea_cache", "taylor_seer")
 
 
 @dataclass

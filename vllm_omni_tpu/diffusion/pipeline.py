@@ -47,11 +47,14 @@ class DenoiseState:
     use_cfg: bool = False
     guidance_scale: float = 1.0
     t_start: float = field(default_factory=time.monotonic)
-    # tea_cache device state (stays on device; no per-step host sync)
+    # tea_cache / taylor_seer device state (stays on device; no per-step
+    # host sync)
     cache_mod: Any = None  # previous modulated input
     cache_v: Any = None  # previous (combined) velocity
     cache_accum: Any = None  # accumulated rescaled rel-L1 [scalar]
     cache_skips: Any = None  # device counter of skipped steps
+    cache_dv: Any = None  # velocity finite difference (taylor_seer)
+    cache_gap: Any = None  # steps since last full compute
 
     @property
     def num_steps(self) -> int:
@@ -205,15 +208,21 @@ class DiffusionPipeline:
                 state.cache_v = jnp.zeros(state.latents.shape, jnp.float32)
                 state.cache_accum = jnp.float32(0.0)
                 state.cache_skips = jnp.int32(0)
+                state.cache_dv = jnp.zeros(state.latents.shape,
+                                           jnp.float32)
+                # -1 sentinel: no anchor velocity yet, first full
+                # compute must leave dv at zero
+                state.cache_gap = jnp.int32(-1)
             force = jnp.bool_(i == 0 or i == state.num_steps - 1)
             (state.latents, state.cache_mod, state.cache_v,
-             state.cache_accum, state.cache_skips) = fn(
+             state.cache_accum, state.cache_skips, state.cache_dv,
+             state.cache_gap) = fn(
                 self.dit_params, state.latents, state.text_states,
                 jnp.float32(t), jnp.float32(sigma),
                 jnp.float32(sigma_next),
                 jnp.float32(state.guidance_scale), state.cache_mod,
                 state.cache_v, state.cache_accum, state.cache_skips,
-                force)
+                state.cache_dv, state.cache_gap, force)
         else:
             state.latents = fn(self.dit_params, state.latents,
                                state.text_states,
@@ -312,12 +321,16 @@ class DiffusionPipeline:
 
     def _cached_step_body(self, params, latents, text_states, t, sigma,
                           sigma_next, guidance, prev_mod, prev_v, accum,
-                          skips, force, *, use_cfg: bool):
-        """tea_cache step: lax.cond picks full transformer forward vs
-        cached-velocity reuse — decision entirely on device."""
+                          skips, prev_dv, gap, force, *, use_cfg: bool):
+        """tea_cache / taylor_seer step: lax.cond picks full transformer
+        forward vs cached-velocity prediction — decision entirely on
+        device. tea_cache reuses the last velocity; taylor_seer
+        extrapolates it first-order along the (uniform) step index
+        (reference cache-dit/TaylorSeer, cache/cache_dit_backend.py:25)."""
         from vllm_omni_tpu.diffusion.dit import modulated_input
 
         cc = self.config.cache
+        taylor = cc.backend == "taylor_seer"
         tt = jnp.full((latents.shape[0],), t, jnp.float32)
         mod = modulated_input(params, self.config.dit, latents,
                               tt).astype(jnp.float32)
@@ -329,17 +342,29 @@ class DiffusionPipeline:
         skip = (acc_new < cc.rel_l1_thresh) & jnp.logical_not(force)
 
         def reuse(_):
-            return prev_v
+            if taylor:
+                v = prev_v + prev_dv * (gap + 1).astype(jnp.float32)
+            else:
+                v = prev_v
+            # on skip the anchor velocity/difference stay those of the
+            # last full compute; only the gap counter advances
+            return v, prev_v, prev_dv, gap + 1
 
         def full(_):
-            return self._predict_velocity(params, latents, text_states,
-                                          t, guidance, use_cfg)
+            v = self._predict_velocity(params, latents, text_states,
+                                       t, guidance, use_cfg)
+            n = jnp.maximum(gap + 1, 1).astype(jnp.float32)
+            # gap == -1 sentinel: no previous anchor → dv stays zero
+            dv = jnp.where(gap >= 0, (v - prev_v) / n, 0.0)
+            return v, v, dv, jnp.int32(0)
 
-        v = jax.lax.cond(skip, reuse, full, None)
+        v_used, v_anchor, dv_out, gap_out = jax.lax.cond(
+            skip, reuse, full, None)
         accum_out = jnp.where(skip, acc_new, 0.0)
         new_lat = (latents.astype(jnp.float32) +
-                   (sigma_next - sigma) * v).astype(latents.dtype)
-        return new_lat, mod, v, accum_out, skips + skip.astype(jnp.int32)
+                   (sigma_next - sigma) * v_used).astype(latents.dtype)
+        return (new_lat, mod, v_anchor, accum_out,
+                skips + skip.astype(jnp.int32), dv_out, gap_out)
 
     def _step_body(self, params, latents, text_states, t, sigma,
                    sigma_next, guidance, *, use_cfg: bool):
