@@ -147,6 +147,28 @@ class DiffusionPipeline:
         latents = jax.random.normal(key, shape, jnp.float32).astype(
             self.dtype)
         text_states = self._resolve_text_states(req)
+        # UAA-equivalent: make the joint (text+image) token stream
+        # divisible by the SP extent by padding the text bucket, so
+        # sequence sharding never silently falls back to replication
+        # (reference UAA uneven-shard mode,
+        # docs/design/feature/sequence_parallel.md:52-76 — on TPU a
+        # static pad beats variable all-to-all splits: one compiled
+        # program, full-width collectives)
+        par = cfgd.parallel
+        sp = (getattr(par, "ulysses_degree", 1) or 1) * \
+            (getattr(par, "ring_degree", 1) or 1)
+        if sp > 1:
+            npt = (h_lat // cfgd.dit.patch_size) * \
+                (w_lat // cfgd.dit.patch_size)
+            if p.num_frames > 1:
+                npt *= p.num_frames
+            extra = (-(text_states.shape[1] + npt)) % sp
+            if extra:
+                logger.info("padding text bucket %d→%d so the joint "
+                            "stream divides sp=%d", text_states.shape[1],
+                            text_states.shape[1] + extra, sp)
+                text_states = jnp.pad(
+                    text_states, ((0, 0), (0, extra), (0, 0)))
         use_cfg = p.use_cfg and text_states.shape[0] == 2
         sigmas = self.scheduler.sigmas_for(
             p.num_inference_steps,
