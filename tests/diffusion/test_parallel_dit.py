@@ -37,3 +37,35 @@ def test_sp_uneven_seq_pads_instead_of_replicating():
     np.testing.assert_allclose(
         np.asarray(sharded.images, np.float32),
         np.asarray(base.images, np.float32), rtol=5e-2, atol=2e-2)
+
+
+def test_pipeline_parallel_dit_parity():
+    """pp=2: transformer layer groups on two "pp" ranks with ppermute
+    activation handoff (GPipe over the CFG batch rows) — exact parity
+    with the single-device denoise (reference PipeFusion-style PP,
+    group_coordinator.py:549)."""
+    import numpy as np
+
+    from vllm_omni_tpu.core.request import DiffusionRequest
+    from vllm_omni_tpu.core.sampling_params import DiffusionSamplingParams
+    from vllm_omni_tpu.diffusion import DiffusionConfig, DiffusionEngine
+
+    def run(parallel):
+        eng = DiffusionEngine(DiffusionConfig(
+            dit=dict(hidden_size=32, num_layers=2, num_heads=2,
+                     head_dim=16, latent_channels=4, patch_size=2,
+                     text_dim=16, axes_dims_rope=(4, 6, 6)),
+            dtype="float32", vae_latent_channels=4, flow_shift=1.0,
+            resolution_buckets=((16, 16),), parallel=parallel or {}))
+        return eng.generate([DiffusionRequest(
+            "r", "x", DiffusionSamplingParams(
+                num_inference_steps=2, height=16, width=16,
+                guidance_scale=4.0, seed=0, output_type="latent"))])[0]
+
+    base = run(None)
+    assert base.error is None
+    pp = run({"pipeline_parallel_size": 2})
+    assert pp.error is None, pp.error
+    np.testing.assert_allclose(np.asarray(pp.images, np.float32),
+                               np.asarray(base.images, np.float32),
+                               rtol=2e-4, atol=2e-5)

@@ -142,6 +142,11 @@ class ParallelConfig:
     cfg_parallel_size: int = 1  # 1 | 2 | 3 (reference data.py:99-101)
     ulysses_degree: int = 1
     ring_degree: int = 1
+    # DiT pipeline parallelism: transformer layer groups spread over a
+    # "pp" mesh axis, activations hand off via ppermute in a GPipe
+    # schedule over batch rows (reference PipeFusion-style PP,
+    # group_coordinator.py:549)
+    pipeline_parallel_size: int = 1
     expert_parallel: bool = False
 
     @property
@@ -151,7 +156,8 @@ class ParallelConfig:
     @property
     def world_size(self) -> int:
         return (self.data_parallel_size * self.cfg_parallel_size *
-                self.sequence_parallel_size * self.tensor_parallel_size)
+                self.sequence_parallel_size * self.tensor_parallel_size *
+                self.pipeline_parallel_size)
 
     def mesh_shape(self) -> dict[str, int]:
         """Ordered axis name → size. Order puts TP innermost so its
@@ -159,6 +165,7 @@ class ParallelConfig:
         return {
             "dp": self.data_parallel_size,
             "cfg": self.cfg_parallel_size,
+            "pp": self.pipeline_parallel_size,
             "ring": self.ring_degree,
             "ulysses": self.ulysses_degree,
             "tp": self.tensor_parallel_size,

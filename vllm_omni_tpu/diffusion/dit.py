@@ -323,10 +323,87 @@ def dit_forward(params: Params, cfg: DiTConfig, latents: jnp.ndarray,
     x, temb = dit_prolog(params, cfg, latents, text_states, timesteps,
                          mesh=mesh)
     cos, sin = dit_rope(cfg, latents.shape, text_states.shape[1])
-    for layer in params["layers"]:
-        x = dit_block_apply(layer, cfg, x, temb, cos, sin, mesh=mesh)
+    if mesh is not None and mesh.shape.get("pp", 1) > 1:
+        x = _dit_blocks_pp(params, cfg, x, temb, cos, sin, mesh)
+    else:
+        for layer in params["layers"]:
+            x = dit_block_apply(layer, cfg, x, temb, cos, sin, mesh=mesh)
     return dit_epilog(params, cfg, x, temb, text_states.shape[1],
                       latents.shape)
+
+
+def stack_layers(layers: list) -> Params:
+    """Per-layer param dicts → one pytree with a leading [L] axis (the
+    unit PP shards over "pp")."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+
+
+def _dit_blocks_pp(params: Params, cfg: DiTConfig, x: jnp.ndarray,
+                   temb: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray,
+                   mesh) -> jnp.ndarray:
+    """Pipeline-parallel transformer body: layer groups live on "pp"
+    ranks, activations hand off rank→rank via ppermute in a GPipe
+    schedule over batch rows (microbatch = one row; exact numerics —
+    attention sees the full sequence of its own row).
+
+    Replaces the reference's PipeFusion-style P2P latent-segment
+    pipeline (diffusion/distributed/group_coordinator.py:549
+    pipeline_send/recv + shape negotiation): on TPU the handoff is one
+    `ppermute` over ICI inside the jitted step, no host P2P plane.
+    Composes with the outer cfg/dp axes only (sp/tp stay 1 under pp).
+    """
+
+    pp = mesh.shape["pp"]
+    stacked = params.get("layers_stacked")
+    if stacked is None:
+        stacked = stack_layers(params["layers"])
+    n_layers = jax.tree.leaves(stacked)[0].shape[0]
+    assert n_layers % pp == 0, (n_layers, pp)
+    grouped = jax.tree.map(
+        lambda a: a.reshape(pp, n_layers // pp, *a.shape[1:]), stacked)
+    m = x.shape[0]  # microbatches = batch rows
+    t_total = m + pp - 1
+
+    def rank_fn(groups, x_all, temb_all, cos_, sin_):
+        g = jax.lax.axis_index("pp")
+        local = jax.tree.map(lambda a: a[0], groups)  # [L/pp, ...]
+        state = jnp.zeros_like(x_all[:1])
+        out = jnp.zeros_like(x_all)
+
+        def apply_group(feed, mb_idx):
+            trow = jax.lax.dynamic_index_in_dim(
+                temb_all, jnp.clip(mb_idx, 0, m - 1), keepdims=True)
+
+            def one(carry, layer):
+                return dit_block_apply(layer, cfg, carry, trow, cos_,
+                                       sin_, mesh=None), None
+
+            y, _ = jax.lax.scan(one, feed, local)
+            return y
+
+        perm = [(i, (i + 1) % pp) for i in range(pp)]
+        for t in range(t_total):
+            incoming = jax.lax.ppermute(state, "pp", perm)
+            mb_in = t - g  # microbatch this rank works on this tick
+            first = jax.lax.dynamic_index_in_dim(
+                x_all, jnp.clip(t, 0, m - 1), keepdims=True)
+            feed = jnp.where(g == 0, first, incoming)
+            state = apply_group(feed, mb_in)
+            m_out = t - (pp - 1)
+            valid = (g == pp - 1) & (m_out >= 0)
+            idx = jnp.clip(m_out, 0, m - 1)
+            cur = jax.lax.dynamic_index_in_dim(out, idx, keepdims=True)
+            out = jax.lax.dynamic_update_index_in_dim(
+                out, jnp.where(valid, state, cur), idx, 0)
+        # only the last rank holds real outputs → broadcast over "pp"
+        out = jnp.where(g == pp - 1, out, jnp.zeros_like(out))
+        return jax.lax.psum(out, "pp")
+
+    fn = jax.shard_map(
+        rank_fn, mesh=mesh,
+        in_specs=(P("pp"), P(), P(), P(), P()),
+        out_specs=P())
+    return fn(grouped, x, temb, cos, sin)
 
 
 # ---------------------------------------------------------------------------
@@ -382,6 +459,10 @@ def dit_param_shardings(params: Params) -> Params:
 
     def walk(path: tuple, leaf: Any) -> P:
         names = [q.key for q in path if hasattr(q, "key")]
+        if "layers_stacked" in names:
+            # PP: stacked [L, ...] leaves shard their layer axis over
+            # "pp" (layer groups per rank; see _dit_blocks_pp)
+            return P("pp")
         leaf_name = names[-1] if names else ""
         parent = names[-2] if len(names) >= 2 else ""
         if parent in col:

@@ -109,6 +109,14 @@ class DiffusionPipeline:
         from vllm_omni_tpu.parallel import stage_mesh
 
         self.mesh = stage_mesh(config.parallel)
+        if self.mesh is not None and self.mesh.shape.get("pp", 1) > 1:
+            # PP: layer groups shard over "pp"; the per-layer list is
+            # replaced by one stacked pytree (dit._dit_blocks_pp)
+            from vllm_omni_tpu.diffusion.dit import stack_layers
+
+            self.dit_params["layers_stacked"] = stack_layers(
+                self.dit_params.pop("layers"))
+            self.dit_params["layers"] = []
         if self.mesh is not None:
             from jax.sharding import NamedSharding
 
