@@ -173,6 +173,33 @@ def test_write_kv_pages_roundtrip():
     assert float(jnp.abs(kp[:, 3]).sum()) == 0.0
 
 
+def test_write_kv_pages_pallas_matches_xla_interpret():
+    """In-place Pallas KV writer (page-granularity RMW, interpret mode)
+    vs the XLA scatter oracle, across KV dtypes. On TPU this kernel
+    aliases the cache buffers (input_output_aliases) so a decode scan
+    step writes 2 pages/token instead of copying the whole cache."""
+    from vllm_omni_tpu.ops.attention import (write_kv_pages_pallas,
+                                             write_kv_pages_xla)
+    for dt in (jnp.float32, jnp.bfloat16, jnp.int8):
+        hkv, n_pages, ps, d = 2, 8, 16, 128
+        kp = (jax.random.normal(jax.random.PRNGKey(0),
+                                (hkv, n_pages, ps, d)) * 10).astype(dt)
+        vp = (jax.random.normal(jax.random.PRNGKey(9),
+                                (hkv, n_pages, ps, d)) * 10).astype(dt)
+        t = 4
+        k_new = (jax.random.normal(jax.random.PRNGKey(1),
+                                   (t, hkv, d)) * 10).astype(dt)
+        v_new = (k_new.astype(jnp.float32) * 2).astype(dt)
+        slots = jnp.asarray([3, 17, 64, 100], jnp.int32)
+        want_k, want_v = write_kv_pages_xla(kp, vp, k_new, v_new, slots)
+        got_k, got_v = write_kv_pages_pallas(kp, vp, k_new, v_new, slots,
+                                             interpret=True)
+        np.testing.assert_array_equal(np.asarray(got_k),
+                                      np.asarray(want_k))
+        np.testing.assert_array_equal(np.asarray(got_v),
+                                      np.asarray(want_v))
+
+
 def test_mha_gqa_matches_naive():
     key = jax.random.split(jax.random.PRNGKey(5), 3)
     q = jax.random.normal(key[0], (2, 10, 8, 32))

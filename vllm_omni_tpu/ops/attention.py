@@ -46,18 +46,20 @@ def make_kv_pages(num_layers: int, num_kv_heads: int, num_pages: int,
 # ---------------------------------------------------------------------------
 
 
-def write_kv_pages(k_pages: jnp.ndarray, v_pages: jnp.ndarray,
-                   k_new: jnp.ndarray, v_new: jnp.ndarray,
-                   slot_ids: jnp.ndarray
-                   ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Scatter new KV rows into pages.
+def write_kv_pages_xla(k_pages: jnp.ndarray, v_pages: jnp.ndarray,
+                       k_new: jnp.ndarray, v_new: jnp.ndarray,
+                       slot_ids: jnp.ndarray
+                       ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """XLA scatter of new KV rows into pages (CPU tier / TP-sharded
+    caches / large prefill writes).
 
     k_new/v_new: [T, Hkv, D]; slot_ids: [T] flat slot index
     (= page_id * page_size + offset). Padding rows must target page 0.
-    Under jit with donated cache buffers this lowers to an in-place
-    scatter. Scatter on the 4D layout directly — reshaping the cache
-    around the scatter breaks XLA's in-place aliasing inside lax.scan
-    decode chains (measured ~30% slower per step).
+    Scatter on the 4D layout directly — reshaping the cache around the
+    scatter breaks XLA's in-place aliasing inside lax.scan decode chains
+    (measured ~30% slower per step). NOTE: on TPU even this scatter
+    copies the whole page buffer per step inside a scan (see
+    write_kv_pages_pallas) — it is the fallback, not the hot path.
     """
     _, _, page_size, _ = k_pages.shape
     pg = slot_ids // page_size
@@ -67,6 +69,118 @@ def write_kv_pages(k_pages: jnp.ndarray, v_pages: jnp.ndarray,
     vf = v_pages.at[:, pg, off].set(
         jnp.swapaxes(v_new, 0, 1).astype(v_pages.dtype))
     return kf, vf
+
+
+def write_kv_pages(k_pages: jnp.ndarray, v_pages: jnp.ndarray,
+                   k_new: jnp.ndarray, v_new: jnp.ndarray,
+                   slot_ids: jnp.ndarray, pallas_ok: bool = False
+                   ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """KV row write dispatcher: in-place Pallas DMA writer on TPU for
+    decode-sized updates (the XLA scatter copies the whole cache per
+    scan step — benchmarks/decode_ablation.py 'fixed' residual), XLA
+    scatter otherwise. pallas_ok: caller confirms single-device
+    unsharded cache (a pallas_call under SPMD would force a gather)."""
+    from vllm_omni_tpu.ops import use_pallas
+
+    if pallas_ok and use_pallas() and k_pages.shape[-1] % 128 == 0 \
+            and k_new.shape[0] <= 64:
+        return write_kv_pages_pallas(k_pages, v_pages, k_new, v_new,
+                                     slot_ids)
+    return write_kv_pages_xla(k_pages, v_pages, k_new, v_new, slot_ids)
+
+
+def _write_kv_kernel(slots_ref, knew_ref, vnew_ref, kp_in, vp_in,
+                     kp_out, vp_out, kbuf, vbuf, k_sems, v_sems,
+                     *, page_size: int, t: int):
+    """In-place KV row writes via page-granularity read-modify-write:
+    fetch each target page to VMEM, vector-select the new row in, write
+    the page back. kp_out/vp_out alias kp_in/vp_in
+    (input_output_aliases) — the cache buffer is never copied; traffic
+    is 2 pages per token instead of the whole cache. Page-sized DMAs
+    keep every slice sublane-tile-aligned for bf16/fp8/int8 (a single
+    [.., 1, d] row slice is not). Decode rows touch distinct pages
+    (pages are per-request), so the RMW has no cross-token hazard."""
+    del kp_in, vp_in
+
+    def page_copy(src, dst, sem):
+        pltpu.make_async_copy(src, dst, sem).start()
+
+    for i in range(t):
+        pg = slots_ref[i] // page_size
+        page_copy(kp_out.at[:, pl.ds(pg, 1)], kbuf.at[i], k_sems.at[i])
+        page_copy(vp_out.at[:, pl.ds(pg, 1)], vbuf.at[i], v_sems.at[i])
+    for i in range(t):
+        pg = slots_ref[i] // page_size
+        pltpu.make_async_copy(kp_out.at[:, pl.ds(pg, 1)], kbuf.at[i],
+                              k_sems.at[i]).wait()
+        pltpu.make_async_copy(vp_out.at[:, pl.ds(pg, 1)], vbuf.at[i],
+                              v_sems.at[i]).wait()
+    ps = page_size
+    for i in range(t):
+        off = slots_ref[i] % ps
+        sel = jax.lax.broadcasted_iota(jnp.int32, (1, ps, 1), 1) == off
+        kbuf[i] = jnp.where(sel, knew_ref[i], kbuf[i])
+        vbuf[i] = jnp.where(sel, vnew_ref[i], vbuf[i])
+    for i in range(t):
+        pg = slots_ref[i] // page_size
+        page_copy(kbuf.at[i], kp_out.at[:, pl.ds(pg, 1)], k_sems.at[i])
+        page_copy(vbuf.at[i], vp_out.at[:, pl.ds(pg, 1)], v_sems.at[i])
+    for i in range(t):
+        pg = slots_ref[i] // page_size
+        pltpu.make_async_copy(kbuf.at[i], kp_out.at[:, pl.ds(pg, 1)],
+                              k_sems.at[i]).wait()
+        pltpu.make_async_copy(vbuf.at[i], vp_out.at[:, pl.ds(pg, 1)],
+                              v_sems.at[i]).wait()
+
+
+def write_kv_pages_pallas(k_pages: jnp.ndarray, v_pages: jnp.ndarray,
+                          k_new: jnp.ndarray, v_new: jnp.ndarray,
+                          slot_ids: jnp.ndarray,
+                          interpret: bool = False
+                          ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """In-place scatter of new KV rows via Pallas input_output_aliases.
+
+    XLA's scatter inside a lax.scan decode chain copies the WHOLE page
+    buffer every step (measured: the 10.9 ms/pass 'fixed' residual of
+    benchmarks/decode_ablation.py — ~33% of decode time at a 2.25 GB
+    cache; HLO shows bf16[Hkv,P,ps,D] copies under while/body/scatter).
+    A single-program kernel that DMAs each [hkv, d] row into its slot
+    writes ~T·hkv·d bytes instead of re-writing the cache."""
+    hkv, n_pages, page_size, d = k_pages.shape
+    t = k_new.shape[0]
+    # [T, hkv, 1, 1, d] so each row DMA matches the dst slice rank
+    k_rows = k_new.astype(k_pages.dtype).reshape(t, hkv, 1, 1, d)
+    v_rows = v_new.astype(v_pages.dtype).reshape(t, hkv, 1, 1, d)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # k_new rows (small)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # v_new rows (small)
+            pl.BlockSpec(memory_space=pltpu.ANY),   # k_pages (aliased)
+            pl.BlockSpec(memory_space=pltpu.ANY),   # v_pages (aliased)
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((t, hkv, 1, page_size, d), k_pages.dtype),
+            pltpu.VMEM((t, hkv, 1, page_size, d), v_pages.dtype),
+            pltpu.SemaphoreType.DMA((t,)),
+            pltpu.SemaphoreType.DMA((t,)),
+        ],
+    )
+    kernel = functools.partial(_write_kv_kernel, page_size=page_size,
+                               t=t)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct(k_pages.shape, k_pages.dtype),
+                   jax.ShapeDtypeStruct(v_pages.shape, v_pages.dtype)],
+        input_output_aliases={3: 0, 4: 1},  # (after scalar prefetch)
+        interpret=interpret,
+    )(slot_ids.astype(jnp.int32), k_rows, v_rows, k_pages, v_pages)
 
 
 def quantize_kv(k: jnp.ndarray, v: jnp.ndarray, dtype: str):

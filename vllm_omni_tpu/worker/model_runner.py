@@ -169,7 +169,8 @@ class ModelRunner:
             v_flat = v.reshape(b * t, self.cfg.num_kv_heads,
                                self.cfg.head_dim)
             kq, vq = quantize_kv(k_flat, v_flat, self.kv_quant)
-            kp, vp = write_kv_pages(kp, vp, kq, vq, slot_ids.reshape(-1))
+            kp, vp = write_kv_pages(kp, vp, kq, vq, slot_ids.reshape(-1),
+                                    pallas_ok=self.mesh is None)
             kv_list[i] = (kp, vp)
             if decode:
                 q2 = q.reshape(b, self.cfg.num_heads, self.cfg.head_dim)
