@@ -1,0 +1,178 @@
+"""Diffusers-format pipeline checkpoint loader.
+
+Reference parity: diffusion/model_loader/diffusers_loader.py
+(DiffusersPipelineLoader — model_index.json component discovery,
+per-subfolder config.json + safetensors shards with
+diffusion_pytorch_model.safetensors.index.json, natural shard sort
+:43). TPU-side: tensors land straight in jnp arrays (no torch), names
+map through each family's `assign_*_tensor` into the param pytree.
+
+Local directories only — the environment has no hub egress; pass a
+downloaded/mounted pipeline dir (the reference falls back the same way
+for local paths)."""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import re
+from typing import Any, Iterator, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+MODEL_INDEX = "model_index.json"
+WEIGHTS_INDEX = "diffusion_pytorch_model.safetensors.index.json"
+
+
+def _natural_key(path: str) -> list:
+    """model-00002-of-00005.safetensors sorts numerically (reference
+    _natural_sort_key)."""
+    return [int(s) if s.isdigit() else s
+            for s in re.split(r"(\d+)", os.path.basename(path))]
+
+
+def is_diffusers_pipeline(path: str) -> bool:
+    return os.path.isdir(path) and \
+        os.path.isfile(os.path.join(path, MODEL_INDEX))
+
+
+def read_model_index(path: str) -> dict[str, Any]:
+    """model_index.json → {component: (library, class_name)} plus
+    scalar pipeline fields (`_class_name` etc.)."""
+    with open(os.path.join(path, MODEL_INDEX)) as f:
+        return json.load(f)
+
+
+def component_config(path: str, subfolder: str) -> dict[str, Any]:
+    """<pipeline>/<subfolder>/config.json (diffusers components) or
+    scheduler_config.json (schedulers)."""
+    for name in ("config.json", "scheduler_config.json"):
+        p = os.path.join(path, subfolder, name)
+        if os.path.isfile(p):
+            with open(p) as f:
+                return json.load(f)
+    raise FileNotFoundError(f"no config under {path}/{subfolder}")
+
+
+def _shard_files(comp_dir: str) -> list[str]:
+    """Resolve the component's safetensors shards: honor the weights
+    index when present (filters stray consolidated files, reference
+    filter_duplicate_safetensors_files), else glob + natural sort."""
+    idx = os.path.join(comp_dir, WEIGHTS_INDEX)
+    if os.path.isfile(idx):
+        with open(idx) as f:
+            weight_map = json.load(f)["weight_map"]
+        files = sorted({os.path.join(comp_dir, v)
+                        for v in weight_map.values()}, key=_natural_key)
+        return files
+    files = sorted((os.path.join(comp_dir, f)
+                    for f in os.listdir(comp_dir)
+                    if f.endswith(".safetensors")), key=_natural_key)
+    if not files:
+        raise FileNotFoundError(f"no .safetensors under {comp_dir}")
+    return files
+
+
+def iter_component_tensors(path: str, subfolder: str
+                           ) -> Iterator[tuple[str, np.ndarray]]:
+    """Yield (name, np array) over all shards of one component. bf16
+    tensors arrive as jnp-viewable uint16 and are converted here."""
+    from safetensors import safe_open
+
+    for f in _shard_files(os.path.join(path, subfolder)):
+        with safe_open(f, framework="numpy") as st:
+            for name in st.keys():
+                arr = st.get_tensor(name)
+                if arr.dtype == np.uint16:
+                    arr = np.asarray(
+                        jnp.asarray(arr).view(jnp.bfloat16))
+                yield name, arr
+
+
+# ---------------------------------------------------------------------------
+# Component loaders
+# ---------------------------------------------------------------------------
+
+
+def load_transformer(path: str, dtype=jnp.bfloat16,
+                     subfolder: str = "transformer"):
+    """→ (family: str, family_cfg, params pytree). Family dispatch by
+    the component's diffusers `_class_name`."""
+    cfg_json = component_config(path, subfolder)
+    cls = cfg_json.get("_class_name", "")
+    if cls in ("QwenImageTransformer2DModel",):
+        from vllm_omni_tpu.diffusion.qwen_image import (
+            QwenImageConfig, assign_qwen_image_tensor,
+            init_qwen_image_params)
+        import jax
+
+        cfg = QwenImageConfig.from_json(cfg_json)
+        params = init_qwen_image_params(cfg, jax.random.PRNGKey(0),
+                                        dtype)
+        unmapped, loaded = [], 0
+        for name, arr in iter_component_tensors(path, subfolder):
+            if assign_qwen_image_tensor(params, name, arr, dtype):
+                loaded += 1
+            else:
+                unmapped.append(name)
+        if unmapped:
+            logger.warning("qwen_image: %d unmapped tensors, e.g. %s",
+                           len(unmapped), unmapped[:8])
+        if loaded == 0:
+            raise ValueError(f"no tensors mapped from {path}/{subfolder}")
+        logger.info("qwen_image transformer: %d tensors loaded", loaded)
+        return "qwen_image", cfg, params
+    raise ValueError(
+        f"unsupported transformer class {cls!r} (diffusers-format "
+        "families land one by one; qwen_image first)")
+
+
+def load_scheduler_config(path: str) -> dict[str, Any]:
+    """FlowMatch scheduler knobs the denoise loop needs."""
+    cfg = component_config(path, "scheduler")
+    return {
+        "num_train_timesteps": cfg.get("num_train_timesteps", 1000),
+        "flow_shift": cfg.get("shift", 3.0),
+        "use_dynamic_shifting": cfg.get("use_dynamic_shifting", False),
+    }
+
+
+def load_vae_config(path: str) -> dict[str, Any]:
+    cfg = component_config(path, "vae")
+    # qwen-image VAE (autoencoder_kl_qwenimage): z_dim 16, 8x spatial
+    down = cfg.get("temperal_downsample") or cfg.get("block_out_channels")
+    scale = 2 ** (len(cfg["block_out_channels"]) - 1) \
+        if "block_out_channels" in cfg else 8
+    del down
+    return {
+        "latent_channels": cfg.get("z_dim", cfg.get("latent_channels", 16)),
+        "scale_factor": scale,
+        "latents_mean": cfg.get("latents_mean"),
+        "latents_std": cfg.get("latents_std"),
+    }
+
+
+def load_diffusers_pipeline(path: str, dtype=jnp.bfloat16) -> dict:
+    """Load every component this framework consumes from a diffusers
+    pipeline dir. → {"family", "transformer_cfg", "params",
+    "scheduler", "vae"}. The text encoder is served by the AR stage
+    (stage configs route a Qwen2.5-VL tower there), so it is listed but
+    not loaded here."""
+    if not is_diffusers_pipeline(path):
+        raise FileNotFoundError(f"{path}: no {MODEL_INDEX}")
+    index = read_model_index(path)
+    out: dict[str, Any] = {"class_name": index.get("_class_name")}
+    family, cfg, params = load_transformer(path, dtype)
+    out.update(family=family, transformer_cfg=cfg, params=params)
+    if "scheduler" in index:
+        out["scheduler"] = load_scheduler_config(path)
+    if "vae" in index:
+        try:
+            out["vae"] = load_vae_config(path)
+        except FileNotFoundError:
+            out["vae"] = None
+    return out

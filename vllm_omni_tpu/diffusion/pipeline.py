@@ -76,9 +76,47 @@ class DiffusionPipeline:
             else jnp.dtype(config.dtype)
         key = jax.random.PRNGKey(config.seed)
         k1, k2 = jax.random.split(key)
-        # dummy = random init (tiny-model tier); diffusers checkpoint
-        # loading lands with the weight-mapping milestone
-        self.dit_params = init_dit_params(config.dit, k1, self.dtype)
+        # family dispatch: a diffusers pipeline dir loads real weights
+        # (loader.py); "dummy" random-inits the generic MMDiT tier
+        self.family = "generic"
+        self.family_cfg = None
+        from vllm_omni_tpu.diffusion.loader import is_diffusers_pipeline
+
+        if is_diffusers_pipeline(config.model):
+            from vllm_omni_tpu.diffusion.loader import (
+                load_diffusers_pipeline)
+
+            loaded = load_diffusers_pipeline(config.model, self.dtype)
+            self.family = loaded["family"]
+            self.family_cfg = loaded["transformer_cfg"]
+            self.dit_params = loaded["params"]
+            sched = loaded.get("scheduler") or {}
+            if sched:
+                config.num_train_timesteps = sched["num_train_timesteps"]
+                config.flow_shift = sched["flow_shift"]
+                config.use_dynamic_shifting = sched["use_dynamic_shifting"]
+            vae_meta = loaded.get("vae") or {}
+            if vae_meta.get("latent_channels"):
+                config.vae_latent_channels = vae_meta["latent_channels"]
+                config.vae_scale_factor = vae_meta.get(
+                    "scale_factor", config.vae_scale_factor)
+            # keep derived knobs in sync for bucketing / text padding
+            config.dit.patch_size = self.family_cfg.patch_size
+            config.dit.hidden_size = self.family_cfg.inner_dim
+            config.dit.text_dim = self.family_cfg.joint_attention_dim
+            config.dit.latent_channels = config.vae_latent_channels
+            config.dit.num_layers = self.family_cfg.num_layers
+            config.dit.num_heads = self.family_cfg.num_attention_heads
+            config.dit.head_dim = self.family_cfg.attention_head_dim
+            if config.cache.enabled:
+                logger.warning("cache accel not wired for family %s yet; "
+                               "disabling", self.family)
+                config.cache.backend = "none"
+            if config.offload == "layerwise":
+                raise ValueError("layerwise offload not wired for "
+                                 "diffusers-loaded families yet")
+        else:
+            self.dit_params = init_dit_params(config.dit, k1, self.dtype)
         self.vae_params = init_vae_params(
             k2, config.vae_latent_channels, dtype=self.dtype)
         self._vae_host = None
@@ -109,6 +147,10 @@ class DiffusionPipeline:
         from vllm_omni_tpu.parallel import stage_mesh
 
         self.mesh = stage_mesh(config.parallel)
+        if self.mesh is not None and self.mesh.shape.get("pp", 1) > 1 \
+                and self.family != "generic":
+            raise ValueError("pp not wired for diffusers-loaded "
+                             "families yet")
         if self.mesh is not None and self.mesh.shape.get("pp", 1) > 1:
             # PP: layer groups shard over "pp"; the per-layer list is
             # replaced by one stacked pytree (dit._dit_blocks_pp)
@@ -120,9 +162,13 @@ class DiffusionPipeline:
         if self.mesh is not None:
             from jax.sharding import NamedSharding
 
-            from vllm_omni_tpu.diffusion.dit import dit_param_shardings
-
-            specs = dit_param_shardings(self.dit_params)
+            if self.family == "qwen_image":
+                from vllm_omni_tpu.diffusion.qwen_image import (
+                    qwen_image_param_shardings as _shardings)
+            else:
+                from vllm_omni_tpu.diffusion.dit import (
+                    dit_param_shardings as _shardings)
+            specs = _shardings(self.dit_params)
             self.dit_params = jax.tree.map(
                 lambda x, s: jax.device_put(x, NamedSharding(self.mesh,
                                                              s)),
@@ -336,18 +382,27 @@ class DiffusionPipeline:
                 return v_uncond + guidance * (v_cond - v_uncond)
             return self._predict_velocity_layerwise(
                 latents, text_states[:1], tt0)
+        if self.family == "qwen_image":
+            from vllm_omni_tpu.diffusion.qwen_image import (
+                qwen_image_forward)
+
+            def fwd(pp, lat, txt, tt):
+                return qwen_image_forward(pp, self.family_cfg, lat, txt,
+                                          tt, mesh=self.mesh)
+        else:
+            def fwd(pp, lat, txt, tt):
+                return dit_forward(pp, self.config.dit, lat, txt, tt,
+                                   mesh=self.mesh)
         if use_cfg:
             lat2 = jnp.concatenate([latents, latents], axis=0)
             tt = jnp.full((2,), t, jnp.float32)
-            v = dit_forward(params, self.config.dit, lat2, text_states,
-                            tt, mesh=self.mesh)
+            v = fwd(params, lat2, text_states, tt)
             v_cond, v_uncond = v[:1], v[1:]
             return (v_uncond + guidance * (v_cond - v_uncond)).astype(
                 jnp.float32)
         tt = jnp.full((latents.shape[0],), t, jnp.float32)
-        return dit_forward(params, self.config.dit, latents,
-                           text_states[:1], tt,
-                           mesh=self.mesh).astype(jnp.float32)
+        return fwd(params, latents, text_states[:1], tt).astype(
+            jnp.float32)
 
     def _cached_step_body(self, params, latents, text_states, t, sigma,
                           sigma_next, guidance, prev_mod, prev_v, accum,
