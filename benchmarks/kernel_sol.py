@@ -165,8 +165,8 @@ def bench_paged_attention(b=32, ctx=248, layers=1):
     pages_per = (ctx + ps - 1) // ps
     npages = b * pages_per + 1
     key = jax.random.PRNGKey(0)
-    kp = jax.random.normal(key, (hkv, npages, ps, d), jnp.bfloat16)
-    vp = jax.random.normal(key, (hkv, npages, ps, d), jnp.bfloat16)
+    kp = jax.random.normal(key, (npages, hkv, ps, d), jnp.bfloat16)
+    vp = jax.random.normal(key, (npages, hkv, ps, d), jnp.bfloat16)
     bt = np.zeros((b, 32), np.int32)
     for i in range(b):
         bt[i, :pages_per] = np.arange(i * pages_per, (i + 1) * pages_per) + 1

@@ -45,8 +45,8 @@ class PagedCase:
         self.v_dense = jax.random.normal(ks[1], (b, s_max, hkv, d))
         p_max = -(-s_max // page_size)
         self.p_max = p_max
-        kp = jnp.zeros((hkv, n_pages, page_size, d))
-        vp = jnp.zeros((hkv, n_pages, page_size, d))
+        kp = jnp.zeros((n_pages, hkv, page_size, d))
+        vp = jnp.zeros((n_pages, hkv, page_size, d))
         bt = np.zeros((b, p_max), np.int32)
         next_page = 1
         for bi in range(b):
@@ -55,9 +55,9 @@ class PagedCase:
                 bt[bi, pi] = next_page
                 lo, hi = pi * page_size, min((pi + 1) * page_size,
                                              int(self.ctx[bi]))
-                kp = kp.at[:, next_page, :hi - lo].set(
+                kp = kp.at[next_page, :, :hi - lo].set(
                     jnp.swapaxes(self.k_dense[bi, lo:hi], 0, 1))
-                vp = vp.at[:, next_page, :hi - lo].set(
+                vp = vp.at[next_page, :, :hi - lo].set(
                     jnp.swapaxes(self.v_dense[bi, lo:hi], 0, 1))
                 next_page += 1
         if kv_dtype:
@@ -154,8 +154,8 @@ def test_prefill_chunked_matches_full():
 
 def test_write_kv_pages_roundtrip():
     hkv, n_pages, ps, d = 2, 8, 4, 16
-    kp = jnp.zeros((hkv, n_pages, ps, d))
-    vp = jnp.zeros((hkv, n_pages, ps, d))
+    kp = jnp.zeros((n_pages, hkv, ps, d))
+    vp = jnp.zeros((n_pages, hkv, ps, d))
     t = 5
     k_new = jnp.arange(t * hkv * d, dtype=jnp.float32).reshape(t, hkv, d)
     v_new = -k_new
@@ -163,14 +163,14 @@ def test_write_kv_pages_roundtrip():
     slots = jnp.asarray([2 * ps + 1, 2 * ps + 2, 2 * ps + 3, 5 * ps + 0,
                          5 * ps + 1])
     kp, vp = write_kv_pages(kp, vp, k_new, v_new, slots)
-    np.testing.assert_array_equal(np.asarray(kp[:, 2, 1]),
+    np.testing.assert_array_equal(np.asarray(kp[2, :, 1]),
                                   np.asarray(k_new[0]))
-    np.testing.assert_array_equal(np.asarray(kp[:, 5, 0]),
+    np.testing.assert_array_equal(np.asarray(kp[5, :, 0]),
                                   np.asarray(k_new[3]))
-    np.testing.assert_array_equal(np.asarray(vp[:, 5, 1]),
+    np.testing.assert_array_equal(np.asarray(vp[5, :, 1]),
                                   np.asarray(v_new[4]))
     # untouched slots stay zero
-    assert float(jnp.abs(kp[:, 3]).sum()) == 0.0
+    assert float(jnp.abs(kp[3]).sum()) == 0.0
 
 
 def test_write_kv_pages_pallas_matches_xla_interpret():
@@ -183,9 +183,9 @@ def test_write_kv_pages_pallas_matches_xla_interpret():
     for dt in (jnp.float32, jnp.bfloat16, jnp.int8):
         hkv, n_pages, ps, d = 2, 8, 16, 128
         kp = (jax.random.normal(jax.random.PRNGKey(0),
-                                (hkv, n_pages, ps, d)) * 10).astype(dt)
+                                (n_pages, hkv, ps, d)) * 10).astype(dt)
         vp = (jax.random.normal(jax.random.PRNGKey(9),
-                                (hkv, n_pages, ps, d)) * 10).astype(dt)
+                                (n_pages, hkv, ps, d)) * 10).astype(dt)
         t = 4
         k_new = (jax.random.normal(jax.random.PRNGKey(1),
                                    (t, hkv, d)) * 10).astype(dt)
@@ -226,9 +226,9 @@ def test_prefill_pallas_matches_xla_interpret():
     hkv, pages, ps, d = 2, 16, 16, 128
     hq, b, t = 4, 2, 32
     key = jax.random.PRNGKey(0)
-    kp = jax.random.normal(key, (hkv, pages, ps, d), jnp.float32)
+    kp = jax.random.normal(key, (pages, hkv, ps, d), jnp.float32)
     vp = jax.random.normal(jax.random.fold_in(key, 1),
-                           (hkv, pages, ps, d), jnp.float32)
+                           (pages, hkv, ps, d), jnp.float32)
     q = jax.random.normal(jax.random.fold_in(key, 2), (b, t, hq, d),
                           jnp.float32)
     bt = jnp.asarray([[1, 2, 3, 4, 0, 0, 0, 0],
@@ -290,5 +290,130 @@ def test_prefill_pallas_geometry_matrix(d, kv_dtype):
                                          case.block_tables, q_start,
                                          jnp.asarray(case.ctx), scale,
                                          pages_per_blk=2, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# Lane-packed small-head layout (d < 128) — kv_physical_shape
+# ---------------------------------------------------------------------------
+
+
+def _pack_pages(pages, d):
+    """Logical [np, hkv, ps, d] → physical packed [np, hkv, ps*d/128, 128]."""
+    n_pages, hkv = pages.shape[:2]
+    return pages.reshape(n_pages, hkv, -1, 128)
+
+
+def test_kv_physical_shape_packs_small_heads():
+    from vllm_omni_tpu.ops.attention import (kv_physical_shape, lane_pack,
+                                             min_page_size_for_pallas)
+
+    assert lane_pack(128) == 1 and lane_pack(64) == 2 and lane_pack(32) == 4
+    assert kv_physical_shape(8, 100, 16, 128, jnp.bfloat16) == \
+        (100, 8, 16, 128)
+    # bf16 d=64: pack 2, ps 32 → 16 sublane rows/page (tile-aligned)
+    assert kv_physical_shape(8, 100, 32, 64, jnp.bfloat16) == \
+        (100, 8, 16, 128)
+    # misaligned page size → stays unpacked (XLA fallback)
+    assert kv_physical_shape(8, 100, 16, 64, jnp.bfloat16) == \
+        (100, 8, 16, 64)
+    # int8 needs 32-sublane pages → ps 64 at d=64
+    assert kv_physical_shape(8, 100, 64, 64, jnp.int8) == (100, 8, 32, 128)
+    assert min_page_size_for_pallas(64, jnp.bfloat16) == 32
+    assert min_page_size_for_pallas(64, jnp.int8) == 64
+    assert min_page_size_for_pallas(128, jnp.bfloat16) == 16
+
+
+def test_write_kv_xla_packed_matches_unpacked():
+    """Packed XLA scatter == unpacked scatter, including adjacent
+    prefill slots sharing one packed row (the collision case)."""
+    from vllm_omni_tpu.ops.attention import write_kv_pages_xla
+
+    hkv, n_pages, ps, d = 2, 8, 32, 64
+    key = jax.random.PRNGKey(0)
+    kp = jax.random.normal(key, (n_pages, hkv, ps, d))
+    vp = jax.random.normal(jax.random.PRNGKey(1), (n_pages, hkv, ps, d))
+    t = 9  # odd count → last packed row half-written
+    k_new = jax.random.normal(jax.random.PRNGKey(2), (t, hkv, d))
+    v_new = jax.random.normal(jax.random.PRNGKey(3), (t, hkv, d))
+    # adjacent slots within one page (prefill write pattern)
+    slots = jnp.asarray(np.arange(t, dtype=np.int32) + 3 * ps + 5)
+
+    ref_k, ref_v = write_kv_pages_xla(kp, vp, k_new, v_new, slots)
+    got_k, got_v = write_kv_pages_xla(_pack_pages(kp, d),
+                                      _pack_pages(vp, d),
+                                      k_new, v_new, slots)
+    np.testing.assert_allclose(
+        np.asarray(got_k).reshape(np.asarray(ref_k).shape),
+        np.asarray(ref_k), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(got_v).reshape(np.asarray(ref_v).shape),
+        np.asarray(ref_v), rtol=1e-6)
+
+
+def test_write_kv_pallas_packed_interpret_matches_xla():
+    from vllm_omni_tpu.ops.attention import write_kv_pages_pallas
+
+    hkv, n_pages, ps, d = 2, 8, 32, 64
+    kp = jax.random.normal(jax.random.PRNGKey(0), (n_pages, hkv, ps, d))
+    vp = jax.random.normal(jax.random.PRNGKey(1), (n_pages, hkv, ps, d))
+    t = 4
+    k_new = jax.random.normal(jax.random.PRNGKey(2), (t, hkv, d))
+    v_new = jax.random.normal(jax.random.PRNGKey(3), (t, hkv, d))
+    # decode pattern: distinct pages, arbitrary offsets (odd + even)
+    slots = jnp.asarray([1 * ps + 0, 2 * ps + 7, 4 * ps + 30, 6 * ps + 13],
+                        jnp.int32)
+    from vllm_omni_tpu.ops.attention import write_kv_pages_xla
+
+    ref_k, ref_v = write_kv_pages_xla(kp, vp, k_new, v_new, slots)
+    got_k, got_v = write_kv_pages_pallas(_pack_pages(kp, d),
+                                         _pack_pages(vp, d),
+                                         k_new, v_new, slots,
+                                         interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got_k).reshape(np.asarray(ref_k).shape),
+        np.asarray(ref_k), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(got_v).reshape(np.asarray(ref_v).shape),
+        np.asarray(ref_v), rtol=1e-6)
+
+
+@pytest.mark.parametrize("kv_dtype", [None, "int8"])
+def test_decode_pallas_packed_interpret(kv_dtype):
+    """Packed-layout decode kernel == unpacked XLA oracle at d=64."""
+    case = PagedCase(11, b=3, hkv=2, g=4, d=64, page_size=32, n_pages=16,
+                     ctx_lens=(40, 17, 5), kv_dtype=kv_dtype)
+    scale = case.d ** -0.5
+    ref = paged_attention_decode_xla(case.q, case.k_pages, case.v_pages,
+                                     case.block_tables,
+                                     jnp.asarray(case.ctx), scale)
+    out = paged_attention_decode_pallas(
+        case.q, _pack_pages(case.k_pages, 64),
+        _pack_pages(case.v_pages, 64), case.block_tables,
+        jnp.asarray(case.ctx), scale=scale, pages_per_blk=2,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("kv_dtype", [None, "int8"])
+def test_prefill_pallas_packed_interpret(kv_dtype):
+    from vllm_omni_tpu.ops.attention import paged_attention_prefill_pallas
+
+    b, t, d, ps = 2, 8, 64, 32
+    ctx = (40, 13)
+    case = PagedCase(12, b=b, hkv=2, g=2, d=d, page_size=ps, n_pages=16,
+                     ctx_lens=ctx, kv_dtype=kv_dtype)
+    q = jax.random.normal(jax.random.PRNGKey(5), (b, t, case.h, d))
+    q_start = jnp.asarray([int(c) - t for c in ctx], jnp.int32)
+    scale = d ** -0.5
+    ref = paged_attention_prefill_xla(q, case.k_pages, case.v_pages,
+                                      case.block_tables, q_start,
+                                      jnp.asarray(case.ctx), scale)
+    out = paged_attention_prefill_pallas(
+        q, _pack_pages(case.k_pages, d), _pack_pages(case.v_pages, d),
+        case.block_tables, q_start, jnp.asarray(case.ctx), scale,
+        pages_per_blk=2, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)

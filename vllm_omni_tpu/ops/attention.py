@@ -4,8 +4,12 @@ Replaces upstream vLLM's CUDA paged-attention + flash-attn prefill
 (SURVEY.md §2.9 rows 1-2) with a TPU-native design.
 
 KV layout: per layer, K and V each live in HBM as
-    [num_kv_heads, num_pages, page_size, head_dim]
-(head-major so one attention program's pages are contiguous per head).
+    [num_pages, num_kv_heads, page_size, head_dim]
+(page-major: one DMA moves a page across ALL kv heads. The round-1
+head-major layout needed one DMA per (seq, head, page) — ~8k DMA issues
+per decode layer-step at bs=32/ctx≈250, ≈8.5 ms/pass of issue cost
+measured by ablating the kernel (benchmarks/decode_ablation.py).
+Page-major cuts decode DMA count by num_kv_heads×.)
 Page 0 is the reserved null page — padding slots of block tables point at
 it. All shapes are static; per-request raggedness is expressed through
 int32 block tables + context lengths, never through dynamic shapes.
@@ -22,6 +26,7 @@ memory.
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -33,10 +38,57 @@ from vllm_omni_tpu.utils import cdiv
 NEG_INF = -1e30
 
 
+def lane_pack(head_dim: int) -> int:
+    """Tokens packed per 128-lane row for small heads (d ∈ {32, 64}):
+    Mosaic requires HBM DMA slices 128-aligned on the lane axis, so a
+    d<128 cache stores `pack` consecutive tokens per physical row."""
+    if head_dim < 128 and 128 % head_dim == 0:
+        return 128 // head_dim
+    return 1
+
+
+def _sublane_tile(dtype) -> int:
+    itemsize = jnp.dtype(dtype).itemsize
+    return {4: 8, 2: 16, 1: 32}.get(itemsize, 8)
+
+
+def kv_physical_shape(num_kv_heads: int, num_pages: int, page_size: int,
+                      head_dim: int, dtype) -> tuple[int, ...]:
+    """Physical page-array shape (page-major). d % 128 == 0 stores rows
+    directly; d ∈ {32, 64} lane-packs `pack` tokens per 128-lane row —
+    (n_pages, hkv, ps // pack, 128) — iff every page stays
+    sublane-tile-aligned for the dtype (else the unpacked layout +
+    XLA fallback path applies). Element order is identical to the
+    logical (n_pages, hkv, ps, d) layout, so reshape is a bitcast."""
+    pack = lane_pack(head_dim)
+    if pack > 1 and page_size % pack == 0 and \
+            (page_size // pack) % _sublane_tile(dtype) == 0:
+        return (num_pages, num_kv_heads, page_size // pack, 128)
+    return (num_pages, num_kv_heads, page_size, head_dim)
+
+
+def min_page_size_for_pallas(head_dim: int, dtype) -> int:
+    """Smallest page_size whose physical layout takes the Pallas
+    kernels: d%128==0 needs only the dtype's sublane tile; packed small
+    heads need pack x that."""
+    return _sublane_tile(dtype) * lane_pack(head_dim)
+
+
+def logical_kv_view(pages: jnp.ndarray, head_dim: int) -> jnp.ndarray:
+    """Physical (possibly lane-packed) pages → logical
+    [n_pages, hkv, ps, d] view (element-order-preserving reshape)."""
+    if pages.shape[-1] == head_dim:
+        return pages
+    n_pages, hkv = pages.shape[:2]
+    return pages.reshape(n_pages, hkv, -1, head_dim)
+
+
 def make_kv_pages(num_layers: int, num_kv_heads: int, num_pages: int,
                   page_size: int, head_dim: int, dtype) -> list:
-    """Allocate the paged KV cache: per layer a (K, V) pair."""
-    shape = (num_kv_heads, num_pages, page_size, head_dim)
+    """Allocate the paged KV cache: per layer a (K, V) pair (physical
+    layout — lane-packed for d<128, see kv_physical_shape)."""
+    shape = kv_physical_shape(num_kv_heads, num_pages, page_size,
+                              head_dim, dtype)
     return [(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
             for _ in range(num_layers)]
 
@@ -60,14 +112,43 @@ def write_kv_pages_xla(k_pages: jnp.ndarray, v_pages: jnp.ndarray,
     (measured ~30% slower per step). NOTE: on TPU even this scatter
     copies the whole page buffer per step inside a scan (see
     write_kv_pages_pallas) — it is the fallback, not the hot path.
+
+    Lane-packed caches (kv_physical_shape, d<128): scatter packed rows
+    of `pack` tokens — [T, Hkv, D] rows land at (page, off // pack) with
+    a lane-section update via gather+dynamic_update; done as a
+    read-modify-write on the packed row.
     """
+    d = k_new.shape[-1]
+    if k_pages.shape[-1] != d:
+        pack = k_pages.shape[-1] // d
+        n_pages = k_pages.shape[0]
+        page_size = k_pages.shape[2] * pack
+        pg = slot_ids // page_size
+        row = (slot_ids % page_size) // pack
+        sec = (slot_ids % page_size) % pack
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 128), 2)
+        tiled_k = jnp.tile(k_new, (1, 1, pack)).astype(k_pages.dtype)
+        tiled_v = jnp.tile(v_new, (1, 1, pack)).astype(v_pages.dtype)
+        # one RMW scatter per lane section: tokens of other sections
+        # redirect out of bounds (mode="drop"), so a packed row shared
+        # by two tokens (adjacent prefill slots) is never written twice
+        # in one scatter with conflicting values — each section sees
+        # the previous section's update when it re-reads the row
+        for s in range(pack):
+            pg_s = jnp.where(sec == s, pg, n_pages)
+            sel = (lane // d) == s
+            old_k = k_pages[pg, :, row]  # [T, Hkv, 128]
+            old_v = v_pages[pg, :, row]
+            k_pages = k_pages.at[pg_s, :, row].set(
+                jnp.where(sel, tiled_k, old_k), mode="drop")
+            v_pages = v_pages.at[pg_s, :, row].set(
+                jnp.where(sel, tiled_v, old_v), mode="drop")
+        return k_pages, v_pages
     _, _, page_size, _ = k_pages.shape
     pg = slot_ids // page_size
     off = slot_ids % page_size
-    kf = k_pages.at[:, pg, off].set(
-        jnp.swapaxes(k_new, 0, 1).astype(k_pages.dtype))
-    vf = v_pages.at[:, pg, off].set(
-        jnp.swapaxes(v_new, 0, 1).astype(v_pages.dtype))
+    kf = k_pages.at[pg, :, off].set(k_new.astype(k_pages.dtype))
+    vf = v_pages.at[pg, :, off].set(v_new.astype(v_pages.dtype))
     return kf, vf
 
 
@@ -91,7 +172,8 @@ def write_kv_pages(k_pages: jnp.ndarray, v_pages: jnp.ndarray,
 
 def _write_kv_kernel(slots_ref, knew_ref, vnew_ref, kp_in, vp_in,
                      kp_out, vp_out, kbuf, vbuf, k_sems, v_sems,
-                     *, page_size: int, t: int):
+                     *, page_size: int, t: int, pack: int = 1,
+                     d: int = 0):
     """In-place KV row writes via page-granularity read-modify-write:
     fetch each target page to VMEM, vector-select the new row in, write
     the page back. kp_out/vp_out alias kp_in/vp_in
@@ -107,29 +189,34 @@ def _write_kv_kernel(slots_ref, knew_ref, vnew_ref, kp_in, vp_in,
 
     for i in range(t):
         pg = slots_ref[i] // page_size
-        page_copy(kp_out.at[:, pl.ds(pg, 1)], kbuf.at[i], k_sems.at[i])
-        page_copy(vp_out.at[:, pl.ds(pg, 1)], vbuf.at[i], v_sems.at[i])
+        page_copy(kp_out.at[pl.ds(pg, 1)], kbuf.at[i], k_sems.at[i])
+        page_copy(vp_out.at[pl.ds(pg, 1)], vbuf.at[i], v_sems.at[i])
     for i in range(t):
         pg = slots_ref[i] // page_size
-        pltpu.make_async_copy(kp_out.at[:, pl.ds(pg, 1)], kbuf.at[i],
+        pltpu.make_async_copy(kp_out.at[pl.ds(pg, 1)], kbuf.at[i],
                               k_sems.at[i]).wait()
-        pltpu.make_async_copy(vp_out.at[:, pl.ds(pg, 1)], vbuf.at[i],
+        pltpu.make_async_copy(vp_out.at[pl.ds(pg, 1)], vbuf.at[i],
                               v_sems.at[i]).wait()
     ps = page_size
+    ps_rows = ps // pack  # physical rows per page (lane-packed d<128)
     for i in range(t):
         off = slots_ref[i] % ps
-        sel = jax.lax.broadcasted_iota(jnp.int32, (1, ps, 1), 1) == off
+        sel = jax.lax.broadcasted_iota(jnp.int32, (1, 1, ps_rows, 1),
+                                       2) == off // pack
+        if pack > 1:
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, 128), 3)
+            sel = sel & ((lane // d) == off % pack)
         kbuf[i] = jnp.where(sel, knew_ref[i], kbuf[i])
         vbuf[i] = jnp.where(sel, vnew_ref[i], vbuf[i])
     for i in range(t):
         pg = slots_ref[i] // page_size
-        page_copy(kbuf.at[i], kp_out.at[:, pl.ds(pg, 1)], k_sems.at[i])
-        page_copy(vbuf.at[i], vp_out.at[:, pl.ds(pg, 1)], v_sems.at[i])
+        page_copy(kbuf.at[i], kp_out.at[pl.ds(pg, 1)], k_sems.at[i])
+        page_copy(vbuf.at[i], vp_out.at[pl.ds(pg, 1)], v_sems.at[i])
     for i in range(t):
         pg = slots_ref[i] // page_size
-        pltpu.make_async_copy(kbuf.at[i], kp_out.at[:, pl.ds(pg, 1)],
+        pltpu.make_async_copy(kbuf.at[i], kp_out.at[pl.ds(pg, 1)],
                               k_sems.at[i]).wait()
-        pltpu.make_async_copy(vbuf.at[i], vp_out.at[:, pl.ds(pg, 1)],
+        pltpu.make_async_copy(vbuf.at[i], vp_out.at[pl.ds(pg, 1)],
                               v_sems.at[i]).wait()
 
 
@@ -145,12 +232,24 @@ def write_kv_pages_pallas(k_pages: jnp.ndarray, v_pages: jnp.ndarray,
     benchmarks/decode_ablation.py — ~33% of decode time at a 2.25 GB
     cache; HLO shows bf16[Hkv,P,ps,D] copies under while/body/scatter).
     A single-program kernel that DMAs each [hkv, d] row into its slot
-    writes ~T·hkv·d bytes instead of re-writing the cache."""
-    hkv, n_pages, page_size, d = k_pages.shape
+    writes ~T·hkv·d bytes instead of re-writing the cache.
+
+    Lane-packed caches (d<128, kv_physical_shape): the page fetch moves
+    [1, hkv, ps//pack, 128] and the row select masks both the packed
+    row and the d-wide lane section."""
+    n_pages, hkv, rows_per_page, d_phys = k_pages.shape
+    d = k_new.shape[-1]
+    pack = d_phys // d
+    page_size = rows_per_page * pack
     t = k_new.shape[0]
-    # [T, hkv, 1, 1, d] so each row DMA matches the dst slice rank
-    k_rows = k_new.astype(k_pages.dtype).reshape(t, hkv, 1, 1, d)
-    v_rows = v_new.astype(v_pages.dtype).reshape(t, hkv, 1, 1, d)
+    # [T, 1, hkv, 1, d_phys] so each row broadcast matches the fetched
+    # page block [1, hkv, rows, d_phys]; packed layouts tile the d-wide
+    # row across all lane sections (the kernel's select keeps only the
+    # right one)
+    k_rows = jnp.tile(k_new.astype(k_pages.dtype)
+                      .reshape(t, 1, hkv, 1, d), (1, 1, 1, 1, pack))
+    v_rows = jnp.tile(v_new.astype(v_pages.dtype)
+                      .reshape(t, 1, hkv, 1, d), (1, 1, 1, 1, pack))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(),
@@ -165,14 +264,14 @@ def write_kv_pages_pallas(k_pages: jnp.ndarray, v_pages: jnp.ndarray,
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         scratch_shapes=[
-            pltpu.VMEM((t, hkv, 1, page_size, d), k_pages.dtype),
-            pltpu.VMEM((t, hkv, 1, page_size, d), v_pages.dtype),
+            pltpu.VMEM((t, 1, hkv, rows_per_page, d_phys), k_pages.dtype),
+            pltpu.VMEM((t, 1, hkv, rows_per_page, d_phys), v_pages.dtype),
             pltpu.SemaphoreType.DMA((t,)),
             pltpu.SemaphoreType.DMA((t,)),
         ],
     )
     kernel = functools.partial(_write_kv_kernel, page_size=page_size,
-                               t=t)
+                               t=t, pack=pack, d=d)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -212,14 +311,21 @@ def dequantize_kv(k: jnp.ndarray, v: jnp.ndarray, compute_dtype=jnp.float32):
 
 
 def gather_kv_for_seqs(k_pages: jnp.ndarray, v_pages: jnp.ndarray,
-                       block_tables: jnp.ndarray
+                       block_tables: jnp.ndarray,
+                       head_dim: Optional[int] = None
                        ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """[B, P] page ids → [Hkv, B, P*page_size, D] (head-major kept)."""
+    """[B, P] page ids → [Hkv, B, P*page_size, D] (head-major output for
+    the einsum paths; cache itself is page-major). head_dim unpacks
+    lane-packed caches (kv_physical_shape) — the packed row order is
+    token-major, so the reshape is free."""
     b, p = block_tables.shape
-    hkv, _, ps, d = k_pages.shape
-    k = k_pages[:, block_tables]  # [Hkv, B, P, ps, D]
-    v = v_pages[:, block_tables]
-    return (k.reshape(hkv, b, p * ps, d), v.reshape(hkv, b, p * ps, d))
+    _, hkv, ps, d = k_pages.shape
+    if head_dim is not None:
+        d = head_dim
+    k = jnp.swapaxes(k_pages[block_tables], 1, 2)  # [B, Hkv, P, ps, D]
+    v = jnp.swapaxes(v_pages[block_tables], 1, 2)
+    return (jnp.swapaxes(k.reshape(b, hkv, -1, d), 0, 1),
+            jnp.swapaxes(v.reshape(b, hkv, -1, d), 0, 1))
 
 
 def paged_attention_decode_xla(q: jnp.ndarray, k_pages: jnp.ndarray,
@@ -230,7 +336,8 @@ def paged_attention_decode_xla(q: jnp.ndarray, k_pages: jnp.ndarray,
     """q: [B, H, D] → [B, H, D]. context_lens counts tokens INCLUDING the
     one being decoded (its KV is already written)."""
     b, h, d = q.shape
-    k, v = gather_kv_for_seqs(k_pages, v_pages, block_tables)
+    k, v = gather_kv_for_seqs(k_pages, v_pages, block_tables,
+                              head_dim=d)
     k, v = dequantize_kv(k, v)
     hkv, _, s_max, _ = k.shape
     g = h // hkv
@@ -257,7 +364,8 @@ def paged_attention_prefill_xla(q: jnp.ndarray, k_pages: jnp.ndarray,
     Padding rows produce garbage the caller never reads.
     """
     b, t, h, d = q.shape
-    k, v = gather_kv_for_seqs(k_pages, v_pages, block_tables)
+    k, v = gather_kv_for_seqs(k_pages, v_pages, block_tables,
+                              head_dim=d)
     k, v = dequantize_kv(k, v)
     hkv, _, s_max, _ = k.shape
     g = h // hkv
@@ -295,21 +403,27 @@ def mha_xla(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float,
 # ---------------------------------------------------------------------------
 # Pallas decode kernel — THE hot loop (one token per running request).
 #
-# Grid: (B, num_kv_heads). Each program streams its sequence's pages from
-# HBM through a double-buffered VMEM scratch with online-softmax
-# accumulation. Block tables arrive via scalar prefetch so DMA addresses
-# are known before the body runs. Total HBM traffic per step =
-# sum(context_lens) * 2 * D * itemsize — decode speed-of-light.
+# Grid: (B,). Each program streams its sequence's pages from HBM through
+# a double-buffered VMEM scratch with online-softmax accumulation. One
+# DMA per page moves ALL kv heads ([hkv, rows, d] — the page-major
+# layout), so DMA issue count is 2·pages per sequence, independent of
+# head count. Per block the scores for every head come from a single
+# [H, D] × [D, hkv·blk] matmul; a block-diagonal head mask (row's kv
+# head == column's kv head) folded into the position mask zeroes the
+# cross-head terms, so p @ v accumulates only own-head contributions.
+# The hkv× extra MXU work is noise — decode is DMA/bandwidth-bound and
+# the MXU is otherwise idle. Block tables arrive via scalar prefetch so
+# DMA addresses are known before the body runs. Total HBM traffic per
+# step = sum(context_lens) * 2 * D * itemsize — decode speed-of-light.
 # ---------------------------------------------------------------------------
 
 
 def _decode_kernel(block_tables_ref, num_blocks_ref, context_lens_ref,
                    q_ref, k_hbm, v_hbm, o_ref,
                    k_buf, v_buf, k_sem, v_sem,
-                   *, pages_per_blk: int, page_size: int, scale: float,
-                   kv_scale: float = 1.0):
+                   *, pages_per_blk: int, page_size: int, hkv: int,
+                   g: int, scale: float, kv_scale: float = 1.0):
     b = pl.program_id(0)
-    h = pl.program_id(1)
     n_blocks = num_blocks_ref[b]
     ctx = context_lens_ref[b]
     p_max = block_tables_ref.shape[1]
@@ -318,25 +432,36 @@ def _decode_kernel(block_tables_ref, num_blocks_ref, context_lens_ref,
         for i in range(pages_per_blk):
             page_idx = jnp.minimum(blk * pages_per_blk + i, p_max - 1)
             pid = block_tables_ref[b, page_idx]
-            pltpu.make_async_copy(k_hbm.at[h, pid], k_buf.at[slot, i],
+            pltpu.make_async_copy(k_hbm.at[pid], k_buf.at[slot, i],
                                   k_sem.at[slot, i]).start()
-            pltpu.make_async_copy(v_hbm.at[h, pid], v_buf.at[slot, i],
+            pltpu.make_async_copy(v_hbm.at[pid], v_buf.at[slot, i],
                                   v_sem.at[slot, i]).start()
 
     def wait_fetch(slot):
         for i in range(pages_per_blk):
-            pltpu.make_async_copy(k_hbm.at[0, 0], k_buf.at[slot, i],
+            pltpu.make_async_copy(k_hbm.at[0], k_buf.at[slot, i],
                                   k_sem.at[slot, i]).wait()
-            pltpu.make_async_copy(v_hbm.at[0, 0], v_buf.at[slot, i],
+            pltpu.make_async_copy(v_hbm.at[0], v_buf.at[slot, i],
                                   v_sem.at[slot, i]).wait()
 
     @pl.when(n_blocks > 0)
     def _():
         start_fetch(0, 0)
 
-    blk_tokens = pages_per_blk * page_size
-    q = q_ref[0, 0].astype(jnp.float32)  # [G, D]
-    g, d = q.shape
+    blk_tokens = pages_per_blk * page_size  # logical tokens per head
+    q = q_ref[0].astype(jnp.float32)        # [H, D] (H = hkv·g, hkv-major)
+    h, d = q.shape
+    pack = 128 // d if d < 128 else 1       # lane-packed physical rows
+    rows = page_size // pack                # physical rows per page
+    n_cols = pages_per_blk * hkv * rows     # packed columns per block
+    # packed column c → (page-slot c // (hkv·rows), head (c // rows) %
+    # hkv, physical row c % rows holding tokens row·pack + sec);
+    # score row r → kv head r // g
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, n_cols), 1)
+    col_page = col // (hkv * rows)
+    col_rowtok = (col % rows) * pack
+    head_ok = ((col // rows) % hkv ==
+               jax.lax.broadcasted_iota(jnp.int32, (h, 1), 0) // g)
 
     def body(blk, carry):
         acc, m, l = carry
@@ -349,28 +474,53 @@ def _decode_kernel(block_tables_ref, num_blocks_ref, context_lens_ref,
         wait_fetch(slot)
         # int8 KV: dequant in-register right after the DMA lands (the
         # 1/16 write-scale from quantize_kv); fp8/bf16: kv_scale == 1
-        k = k_buf[slot].reshape(blk_tokens, d).astype(jnp.float32)
-        v = v_buf[slot].reshape(blk_tokens, d).astype(jnp.float32)
+        k = k_buf[slot].reshape(n_cols, 128 if pack > 1 else d)
+        v = v_buf[slot].reshape(n_cols, 128 if pack > 1 else d)
+        k = k.astype(jnp.float32)
+        v = v.astype(jnp.float32)
         if kv_scale != 1.0:
             k = k * kv_scale
             v = v * kv_scale
-        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
-        pos = blk * blk_tokens + jax.lax.broadcasted_iota(
-            jnp.int32, (1, blk_tokens), 1)
-        s = jnp.where(pos < ctx, s, NEG_INF)  # [G, blk_tokens]
-        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-        p = jnp.exp(s - m_new)
+        # small heads (d < 128): each packed 128-lane row holds `pack`
+        # tokens. Mosaic cannot shape-cast the lane dim, so extract
+        # section `sec` with a selection matmul k_s = k @ E_sec
+        # (E_sec[i, j] = [i == sec·d + j]) and treat sections as extra
+        # online-softmax blocks — MXU-only, no relayouts.
+        per_sec = []
+        for sec in range(pack):
+            if pack == 1:
+                k_s, v_s = k, v
+            else:
+                e_sel = (jax.lax.broadcasted_iota(
+                    jnp.int32, (128, d), 0) == sec * d +
+                    jax.lax.broadcasted_iota(jnp.int32, (128, d), 1)
+                ).astype(jnp.float32)
+                k_s = jnp.dot(k, e_sel, preferred_element_type=jnp.float32)
+                v_s = jnp.dot(v, e_sel, preferred_element_type=jnp.float32)
+            s = jnp.dot(q, k_s.T,
+                        preferred_element_type=jnp.float32) * scale
+            pos = (blk * blk_tokens + col_page * page_size +
+                   col_rowtok + sec)
+            s = jnp.where(head_ok & (pos < ctx), s, NEG_INF)
+            per_sec.append((s, v_s))
+        m_new = m
+        for s, _ in per_sec:
+            m_new = jnp.maximum(m_new, jnp.max(s, axis=-1, keepdims=True))
         alpha = jnp.exp(m - m_new)
-        l_new = alpha * l + jnp.sum(p, -1, keepdims=True)
-        acc_new = acc * alpha + jnp.dot(p, v,
+        l_new = alpha * l
+        acc_new = acc * alpha
+        for s, v_s in per_sec:
+            p = jnp.exp(s - m_new)
+            l_new = l_new + jnp.sum(p, -1, keepdims=True)
+            acc_new = acc_new + jnp.dot(p, v_s,
                                         preferred_element_type=jnp.float32)
         return acc_new, m_new, l_new
 
-    init = (jnp.zeros((g, d), jnp.float32),
-            jnp.full((g, 1), NEG_INF, jnp.float32),
-            jnp.zeros((g, 1), jnp.float32))
+    init = (jnp.zeros((h, d), jnp.float32),
+            jnp.full((h, 1), NEG_INF, jnp.float32),
+            jnp.zeros((h, 1), jnp.float32))
     acc, m, l = jax.lax.fori_loop(0, n_blocks, body, init)
-    o_ref[0, 0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
 @functools.partial(
@@ -383,44 +533,46 @@ def paged_attention_decode_pallas(q: jnp.ndarray, k_pages: jnp.ndarray,
                                   pages_per_blk: int = 8,
                                   interpret: bool = False) -> jnp.ndarray:
     b, h, d = q.shape
-    hkv, n_pages, page_size, _ = k_pages.shape
+    n_pages, hkv, rows_per_page, d_phys = k_pages.shape
+    page_size = rows_per_page * (d_phys // d)  # logical tokens/page
     g = h // hkv
     p_max = block_tables.shape[1]
     pages_per_blk = min(pages_per_blk, p_max)
     num_blocks = (cdiv_arr(context_lens, page_size) + pages_per_blk -
                   1) // pages_per_blk
-    q_r = q.reshape(b, hkv, g, d)
 
     kv_scale = 1.0 / 16.0 if k_pages.dtype == jnp.int8 else 1.0
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(b, hkv),
+        grid=(b,),
         in_specs=[
-            pl.BlockSpec((1, 1, g, d), lambda i, j, *_: (i, j, 0, 0),
+            pl.BlockSpec((1, h, d), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),  #K pages stay in HBM
             pl.BlockSpec(memory_space=pl.ANY),  #V pages stay in HBM
         ],
-        out_specs=pl.BlockSpec((1, 1, g, d), lambda i, j, *_: (i, j, 0, 0),
+        out_specs=pl.BlockSpec((1, h, d), lambda i, *_: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, pages_per_blk, page_size, d), k_pages.dtype),
-            pltpu.VMEM((2, pages_per_blk, page_size, d), v_pages.dtype),
+            pltpu.VMEM((2, pages_per_blk, hkv, rows_per_page, d_phys),
+                       k_pages.dtype),
+            pltpu.VMEM((2, pages_per_blk, hkv, rows_per_page, d_phys),
+                       v_pages.dtype),
             pltpu.SemaphoreType.DMA((2, pages_per_blk)),
             pltpu.SemaphoreType.DMA((2, pages_per_blk)),
         ],
     )
     kernel = functools.partial(_decode_kernel, pages_per_blk=pages_per_blk,
-                               page_size=page_size, scale=scale,
-                               kv_scale=kv_scale)
+                               page_size=page_size, hkv=hkv, g=g,
+                               scale=scale, kv_scale=kv_scale)
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, hkv, g, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, h, d), q.dtype),
         interpret=interpret,
-    )(block_tables, num_blocks, context_lens, q_r, k_pages, v_pages)
-    return out.reshape(b, h, d)
+    )(block_tables, num_blocks, context_lens, q, k_pages, v_pages)
+    return out
 
 
 def cdiv_arr(a: jnp.ndarray, b: int) -> jnp.ndarray:
@@ -455,9 +607,9 @@ def _prefill_kernel(block_tables_ref, num_blocks_ref, q_start_ref,
         for i in range(pages_per_blk):
             page_idx = jnp.minimum(blk * pages_per_blk + i, p_max - 1)
             pid = block_tables_ref[b, page_idx]
-            pltpu.make_async_copy(k_hbm.at[h, pid], k_buf.at[slot, i],
+            pltpu.make_async_copy(k_hbm.at[pid, h], k_buf.at[slot, i],
                                   k_sem.at[slot, i]).start()
-            pltpu.make_async_copy(v_hbm.at[h, pid], v_buf.at[slot, i],
+            pltpu.make_async_copy(v_hbm.at[pid, h], v_buf.at[slot, i],
                                   v_sem.at[slot, i]).start()
 
     def wait_fetch(slot):
@@ -473,11 +625,16 @@ def _prefill_kernel(block_tables_ref, num_blocks_ref, q_start_ref,
 
     blk_tokens = pages_per_blk * page_size
     t, g, d = q_ref.shape[2], q_ref.shape[3], q_ref.shape[4]
+    pack = 128 // d if d < 128 else 1       # lane-packed physical rows
+    rows = page_size // pack                # physical rows per page
+    n_cols = pages_per_blk * rows
     q = q_ref[0, 0].reshape(t * g, d).astype(jnp.float32)
     # absolute position of each query row (row r of t·g = query token
     # r // g)
     q_pos = q0 + jax.lax.broadcasted_iota(jnp.int32, (t * g, 1),
                                           0) // g
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, n_cols), 1)
+    col_base = (col // rows) * page_size + (col % rows) * pack
 
     def body(blk, carry):
         acc, m, l = carry
@@ -488,23 +645,44 @@ def _prefill_kernel(block_tables_ref, num_blocks_ref, q_start_ref,
             start_fetch(blk + 1, (blk + 1) % 2)
 
         wait_fetch(slot)
-        k = k_buf[slot].reshape(blk_tokens, d).astype(jnp.float32)
-        v = v_buf[slot].reshape(blk_tokens, d).astype(jnp.float32)
+        k = k_buf[slot].reshape(n_cols, 128 if pack > 1 else d)
+        v = v_buf[slot].reshape(n_cols, 128 if pack > 1 else d)
+        k = k.astype(jnp.float32)
+        v = v.astype(jnp.float32)
         if kv_scale != 1.0:
             k = k * kv_scale
             v = v * kv_scale
-        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
-        kv_pos = blk * blk_tokens + jax.lax.broadcasted_iota(
-            jnp.int32, (1, blk_tokens), 1)
-        mask = kv_pos < kv_len
-        if causal:
-            mask = mask & (kv_pos <= q_pos)
-        s = jnp.where(mask, s, NEG_INF)
-        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-        p = jnp.exp(s - m_new)
+        # lane-packed small heads: per-section selection matmuls (see
+        # _decode_kernel) — sections act as extra online-softmax blocks
+        per_sec = []
+        for sec in range(pack):
+            if pack == 1:
+                k_s, v_s = k, v
+            else:
+                e_sel = (jax.lax.broadcasted_iota(
+                    jnp.int32, (128, d), 0) == sec * d +
+                    jax.lax.broadcasted_iota(jnp.int32, (128, d), 1)
+                ).astype(jnp.float32)
+                k_s = jnp.dot(k, e_sel, preferred_element_type=jnp.float32)
+                v_s = jnp.dot(v, e_sel, preferred_element_type=jnp.float32)
+            s = jnp.dot(q, k_s.T,
+                        preferred_element_type=jnp.float32) * scale
+            kv_pos = blk * blk_tokens + col_base + sec
+            mask = kv_pos < kv_len
+            if causal:
+                mask = mask & (kv_pos <= q_pos)
+            s = jnp.where(mask, s, NEG_INF)
+            per_sec.append((s, v_s))
+        m_new = m
+        for s, _ in per_sec:
+            m_new = jnp.maximum(m_new, jnp.max(s, axis=-1, keepdims=True))
         alpha = jnp.exp(m - m_new)
-        l_new = alpha * l + jnp.sum(p, -1, keepdims=True)
-        acc_new = acc * alpha + jnp.dot(p, v,
+        l_new = alpha * l
+        acc_new = acc * alpha
+        for s, v_s in per_sec:
+            p = jnp.exp(s - m_new)
+            l_new = l_new + jnp.sum(p, -1, keepdims=True)
+            acc_new = acc_new + jnp.dot(p, v_s,
                                         preferred_element_type=jnp.float32)
         return acc_new, m_new, l_new
 
@@ -530,7 +708,8 @@ def paged_attention_prefill_pallas(q: jnp.ndarray, k_pages: jnp.ndarray,
     """q [B, T, H, D] chunk rows → [B, T, H, D]; context read from pages
     (which already include the chunk's own freshly written KV)."""
     b, t, h, d = q.shape
-    hkv, n_pages, page_size, _ = k_pages.shape
+    n_pages, hkv, rows_per_page, d_phys = k_pages.shape
+    page_size = rows_per_page * (d_phys // d)  # logical tokens/page
     g = h // hkv
     p_max = block_tables.shape[1]
     pages_per_blk = min(pages_per_blk, p_max)
@@ -554,8 +733,10 @@ def paged_attention_prefill_pallas(q: jnp.ndarray, k_pages: jnp.ndarray,
                                lambda i, j, *_: (i, j, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, pages_per_blk, page_size, d), k_pages.dtype),
-            pltpu.VMEM((2, pages_per_blk, page_size, d), v_pages.dtype),
+            pltpu.VMEM((2, pages_per_blk, rows_per_page, d_phys),
+                       k_pages.dtype),
+            pltpu.VMEM((2, pages_per_blk, rows_per_page, d_phys),
+                       v_pages.dtype),
             pltpu.SemaphoreType.DMA((2, pages_per_blk)),
             pltpu.SemaphoreType.DMA((2, pages_per_blk)),
         ],

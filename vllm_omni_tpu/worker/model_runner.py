@@ -125,13 +125,17 @@ class ModelRunner:
         return int(min(n, 65536))
 
     def _alloc_kv(self) -> list:
-        shape = (self.cfg.num_kv_heads, self.num_pages, self.page_size,
-                 self.cfg.head_dim)
+        from vllm_omni_tpu.ops.attention import kv_physical_shape
+
+        shape = kv_physical_shape(self.cfg.num_kv_heads, self.num_pages,
+                                  self.page_size, self.cfg.head_dim,
+                                  self.kv_dtype)
         sharding = None
         if self.mesh is not None:
             if self.mesh.shape.get("tp", 1) > self.cfg.num_kv_heads:
                 raise ValueError("tp > num_kv_heads unsupported")
-            sharding = NamedSharding(self.mesh, P("tp", None, None, None))
+            # page-major cache: heads (the TP axis) are dim 1
+            sharding = NamedSharding(self.mesh, P(None, "tp", None, None))
 
         def zeros():
             z = jnp.zeros(shape, self.kv_dtype)
@@ -149,10 +153,12 @@ class ModelRunner:
     def _use_pallas_decode(self) -> bool:
         if self.mesh is not None and self.mesh.shape.get("tp", 1) > 1:
             return False  # shard_map-wrapped pallas decode lands later
-        # int8 KV dequants in-kernel; head_dim needs 128-alignment
-        # (ops/attention.py pallas_supported_geometry)
+        # int8 KV dequants in-kernel; the physical page layout must be
+        # 128-lane aligned — d % 128 == 0 directly, d ∈ {32, 64} via the
+        # lane-packed layout (kv_physical_shape; needs a page_size of
+        # at least min_page_size_for_pallas)
         return self.platform.supports_pallas and \
-            self.cfg.head_dim % 128 == 0
+            self.kv_pages[0][0].shape[-1] % 128 == 0
 
     def _forward(self, params, kv_pages, token_ids, positions, block_tables,
                  q_start, kv_lens, slot_ids, *, decode: bool,
@@ -373,8 +379,12 @@ class ModelRunner:
         fn = self._fn_cache.get(key)
         if fn is None:
             def gather(kv_pages, pids):
-                per_layer = [jnp.stack([kp[:, pids], vp[:, pids]])
-                             for kp, vp in kv_pages]
+                # page-major cache → head-major wire format (the hetero-
+                # TP slicing axis stays Hkv at wire dim 2)
+                per_layer = [jnp.stack([
+                    jnp.swapaxes(kp[pids], 0, 1),
+                    jnp.swapaxes(vp[pids], 0, 1)])
+                    for kp, vp in kv_pages]
                 return jnp.stack(per_layer)  # [L,2,Hkv,P,ps,D]
 
             fn = jax.jit(gather)
@@ -400,8 +410,10 @@ class ModelRunner:
             def scatter(kv_pages, pids, blob):
                 out = []
                 for i, (kp, vp) in enumerate(kv_pages):
-                    kp = kp.at[:, pids].set(blob[i, 0].astype(kp.dtype))
-                    vp = vp.at[:, pids].set(blob[i, 1].astype(vp.dtype))
+                    kp = kp.at[pids].set(
+                        jnp.swapaxes(blob[i, 0], 0, 1).astype(kp.dtype))
+                    vp = vp.at[pids].set(
+                        jnp.swapaxes(blob[i, 1], 0, 1).astype(vp.dtype))
                     out.append((kp, vp))
                 return out
 
