@@ -170,3 +170,32 @@ def test_min_p_and_logit_bias():
         max_tokens=8, temperature=0.9, min_p=0.2, seed=3,
         ignore_eos=True)])[0]
     assert len(out.outputs[0].token_ids) == 8
+
+
+def test_async_chains_parity_and_engagement():
+    """Pipelined decode chains (async_chains) must produce token-exact
+    parity with sync chains, engage the in-flight path in steady state,
+    and handle mid-chain finishes (staggered max_tokens)."""
+    prompts = [list(range(1, 20 + 4 * i)) for i in range(3)]
+    params = [SamplingParams(max_tokens=24 + 8 * i, temperature=0.0,
+                             ignore_eos=True) for i in range(3)]
+    sync = make_engine(multi_step=4, async_chains=False)
+    a = run_all(sync, prompts, params)
+    pipe = make_engine(multi_step=4, async_chains=True)
+    b = run_all(pipe, prompts, params)
+    for x, y in zip(a, b):
+        assert x.outputs[0].token_ids == y.outputs[0].token_ids
+    assert pipe.async_chain_launches > 0, "pipelining never engaged"
+    assert pipe._inflight is None
+
+
+def test_async_chains_sampled_parity():
+    """Seeded stochastic sampling is identical under pipelining (the
+    device carry, not host tokens, feeds the next chain)."""
+    sp = [SamplingParams(max_tokens=20, temperature=0.8, top_p=0.9,
+                         seed=7, ignore_eos=True)]
+    a = run_all(make_engine(multi_step=4, async_chains=False),
+                [list(range(1, 30))], sp)
+    b = run_all(make_engine(multi_step=4, async_chains=True),
+                [list(range(1, 30))], sp)
+    assert a[0].outputs[0].token_ids == b[0].outputs[0].token_ids

@@ -101,6 +101,13 @@ class SchedulerConfig:
     # (docs/design/performance.md). 0 disables. Greedy requests only.
     spec_gamma: int = 0
     spec_ngram: int = 2
+    # async chain pipelining: launch decode chain N+1 (from the
+    # device-resident carry) BEFORE pulling chain N's sampled ids, so
+    # the host round-trip + scheduling overlap device compute (the
+    # reference gets this from vLLM v1 async scheduling; on a
+    # high-latency dispatch path it is worth one RTT per chain). Output
+    # delivery lags one chain; overshoot past a stop is discarded.
+    async_chains: bool = True
     # static compilation buckets
     multi_step_buckets: tuple[int, ...] = (1, 2, 4, 8, 16)
     decode_bs_buckets: tuple[int, ...] = (1, 2, 4, 8, 16, 32, 64)

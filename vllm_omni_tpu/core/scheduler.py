@@ -222,6 +222,21 @@ class Scheduler:
             out.decodes = decodes
         return out
 
+    def extend_for_async(self, reqs: list[Request],
+                         total_ahead: int) -> bool:
+        """Pre-allocate pages covering num_tokens + total_ahead for an
+        async (pipelined) decode chain. All-or-nothing and NEVER
+        preempts — speculative work must not evict committed requests.
+        Returns False (leaving any partial extensions in place — they
+        are reused or freed with the request) when pages run out."""
+        try:
+            for req in reqs:
+                self.block_manager.extend(req.page_ids, req.num_tokens,
+                                          req.num_tokens + total_ahead)
+        except MemoryError:
+            return False
+        return True
+
     def complete_prefill(self, sched: ScheduledPrefill) -> None:
         """Engine callback after a prefill chunk executes."""
         req = sched.request

@@ -70,6 +70,10 @@ class EngineCore:
         self.scheduler = Scheduler(config.scheduler, config.cache,
                                    num_pages=self.runner.num_pages)
         self.eos_token_ids = self._resolve_eos()
+        # async chain pipelining: (decodes, k, runner handle) of the
+        # chain currently in flight (step() collects it next call)
+        self._inflight = None
+        self.async_chain_launches = 0
         self.mm_processor = None
         if config.model.mm_encoders:
             from vllm_omni_tpu.models.multimodal import MMProcessor
@@ -236,6 +240,7 @@ class EngineCore:
 
     # -- sleep mode ----------------------------------------------------------
     def sleep(self, level: int = 1) -> None:
+        self._drain_inflight()
         if self.has_unfinished():
             raise RuntimeError("cannot sleep with requests in flight")
         self.runner.sleep(level)
@@ -420,9 +425,84 @@ class EngineCore:
             outputs.append(out)
         return outputs
 
+    # -- async chain pipelining ----------------------------------------------
+    def _maybe_pipeline(self, decodes: list[Request], k: int) -> None:
+        """Launch the NEXT decode chain from the device-resident carry
+        before the current chain's ids are pulled — the host round-trip
+        and scheduling overlap device compute (reference role: vLLM v1
+        async scheduling). Only in unchanged-batch steady state: any
+        waiting work, finish, or cache miss falls back to sync chains.
+        Chain overshoot past a stop is discarded like any multi-step
+        overshoot; KV written past a freed request's final token lands
+        in slots no later owner ever reads before writing."""
+        sc = self.config.scheduler
+        if not sc.async_chains or sc.multi_step <= 1 or sc.spec_gamma > 0:
+            return
+        if self.scheduler.waiting or \
+                list(self.scheduler.running) != decodes:
+            return
+        if any(r.sampling_params.return_hidden_states for r in decodes):
+            return
+        if all(r.sampling_params.max_tokens - r.num_output_tokens <= k
+               for r in decodes):
+            return  # every request finishes inside the current chain
+        k2 = sc.multi_step
+        for r in decodes:
+            k2 = min(k2, self.config.model.max_model_len -
+                     (r.num_tokens + k))
+        buckets = [b for b in sc.multi_step_buckets if b <= k2]
+        if not buckets:
+            return
+        k2 = buckets[-1]
+        if not self.scheduler.extend_for_async(decodes, k + k2):
+            return  # page pressure: never preempt for speculative work
+        handle = self.runner.launch_decode_multi(decodes, k2,
+                                                 assumed_extra=k)
+        if handle is not None:
+            self._inflight = (decodes, k2, handle)
+            self.async_chain_launches += 1
+
+    def _collect_inflight(self) -> list[RequestOutput]:
+        decodes, k, handle = self._inflight
+        self._inflight = None
+        # keep the pipeline full: launch chain N+2 before blocking on
+        # N+1 (valid only if N's processing finished nothing)
+        self._maybe_pipeline(decodes, k)
+        results = self.runner.collect_decode_multi(handle)
+        return self._process_decode_results(decodes, results)
+
+    def _drain_inflight(self) -> None:
+        if self._inflight is not None:
+            decodes, _, handle = self._inflight
+            self._inflight = None
+            results = self.runner.collect_decode_multi(handle)
+            self._process_decode_results(decodes, results)
+
+    def _process_decode_results(self, decodes, results
+                                ) -> list[RequestOutput]:
+        outputs: list[RequestOutput] = []
+        for i, req in enumerate(decodes):
+            if req not in self.scheduler.running:
+                continue  # finished/aborted while the chain was in flight
+            fin = False
+            for step_res in results:
+                if fin:
+                    break  # discard chain overshoot past a stop
+                token = step_res.token_ids[i]
+                req.append_output_token(token)
+                h = step_res.hidden_states.get(req.request_id)
+                if h is not None:
+                    req.additional_information.setdefault(
+                        "hidden_states", []).append(h)
+                fin = self._check_stop(req, token)
+            outputs.append(self._make_output(req, finished=fin))
+        return outputs
+
     def step(self) -> list[RequestOutput]:
         if "code2wav" in self.aux:
             return self._step_code2wav()
+        if self._inflight is not None:
+            return self._collect_inflight()
         if self._spec_applicable():
             out = self._step_speculative()
             if out is not None:
@@ -467,21 +547,13 @@ class EngineCore:
         elif sched.decodes:
             want_hidden = any(r.sampling_params.return_hidden_states
                               for r in sched.decodes)
-            results = self.runner.execute_decode_multi(
+            handle = self.runner.launch_decode_multi(
                 sched.decodes, sched.lookahead, return_hidden=want_hidden)
-            for i, req in enumerate(sched.decodes):
-                fin = False
-                for step_res in results:
-                    if fin:
-                        break  # discard chain overshoot past a stop
-                    token = step_res.token_ids[i]
-                    req.append_output_token(token)
-                    h = step_res.hidden_states.get(req.request_id)
-                    if h is not None:
-                        req.additional_information.setdefault(
-                            "hidden_states", []).append(h)
-                    fin = self._check_stop(req, token)
-                outputs.append(self._make_output(req, finished=fin))
+            if not want_hidden:
+                self._maybe_pipeline(sched.decodes, sched.lookahead)
+            results = self.runner.collect_decode_multi(handle)
+            outputs.extend(
+                self._process_decode_results(sched.decodes, results))
         return outputs
 
     def run_to_completion(self) -> list[RequestOutput]:

@@ -699,12 +699,13 @@ class ModelRunner:
             logprobs=[float(x) for x in lp_np],
             hidden_states=hs)
 
-    def execute_decode_multi(self, reqs: list[Request], k: int,
-                             return_hidden: bool = False
-                             ) -> list[StepResult]:
-        """K chained decode steps, one device round-trip. Caller must have
-        pre-allocated KV pages covering num_tokens + k per request and
-        ensured every request can take k more tokens.
+    def launch_decode_multi(self, reqs: list[Request], k: int,
+                            return_hidden: bool = False,
+                            assumed_extra: int = 0):
+        """Dispatch K chained decode steps; returns a handle for
+        collect_decode_multi (the device round-trip happens there).
+        Caller must have pre-allocated KV pages covering
+        num_tokens + assumed_extra + k per request.
 
         Steady-state fast path: when the batch composition is unchanged
         since the previous chain, ALL device inputs (state, sampling,
@@ -712,11 +713,17 @@ class ModelRunner:
         traffic per chain is the sampled-ids pull. This is what makes
         decode survive a high-latency dispatch path (and shaves host work
         on any hardware).
+
+        assumed_extra > 0 is the pipelined (async-chain) launch: a chain
+        of that many steps is still in flight, so each request's true
+        token count is num_tokens + assumed_extra, and the device inputs
+        MUST come from the decode cache (the in-flight chain's
+        device-resident carry) — returns None on a cache miss.
         """
         n = len(reqs)
         b = pick_bucket(n, self.config.scheduler.decode_bs_buckets)
-        max_pages = max(cdiv(r.num_tokens + k, self.page_size)
-                        for r in reqs)
+        virtual = [r.num_tokens + assumed_extra for r in reqs]
+        max_pages = max(cdiv(v + k, self.page_size) for v in virtual)
         pw = self._page_bucket(max_pages)
         use_penalties = any(
             r.sampling_params.repetition_penalty != 1.0
@@ -734,7 +741,9 @@ class ModelRunner:
         c = self._decode_cache
         reuse = (not use_penalties and not use_bias and c is not None
                  and c["key"] == key
-                 and c["expect_tokens"] == [r.num_tokens for r in reqs])
+                 and c["expect_tokens"] == virtual)
+        if assumed_extra and not reuse:
+            return None  # pipelined launch needs the device-resident carry
         if reuse:
             self.decode_cache_hits += 1
         else:
@@ -789,10 +798,9 @@ class ModelRunner:
                  out_tokens, bias, prompt_buf)
         if return_hidden:
             ids, lps, self.kv_pages, next_state, hid = out
-            hid_np = np.asarray(hid)
         else:
             ids, lps, self.kv_pages, next_state = out
-            hid_np = None
+            hid = None
         if not use_penalties and not use_bias:
             # stash device-resident inputs for the next chain
             if not reuse:
@@ -803,12 +811,21 @@ class ModelRunner:
             self._decode_cache = {
                 "key": key, "state": next_state, "f": f_s, "i": i_s,
                 "o": out_tokens, "bt": bt_dev, "bt_np": bt,
-                "expect_tokens": [r.num_tokens + k for r in reqs],
+                "expect_tokens": [v + k for v in virtual],
             }
         else:
             self._decode_cache = None
-        ids_np = np.asarray(ids)  # [K, B]
-        lps_np = np.asarray(lps) if want_lps else None
+        return {"ids": ids, "lps": lps, "hid": hid, "k": k, "n": n,
+                "reqs": reqs, "want_lps": want_lps}
+
+    def collect_decode_multi(self, handle) -> list[StepResult]:
+        """Block on a launch_decode_multi handle and unpack per-step
+        results (the only host↔device wire traffic of a cached chain)."""
+        reqs, k, n = handle["reqs"], handle["k"], handle["n"]
+        ids_np = np.asarray(handle["ids"])  # [K, B]
+        lps_np = np.asarray(handle["lps"]) if handle["want_lps"] else None
+        hid_np = np.asarray(handle["hid"]) \
+            if handle["hid"] is not None else None
         results = []
         for step in range(k):
             hs = {}
@@ -823,6 +840,14 @@ class ModelRunner:
                 if lps_np is not None else [0.0] * n,
                 hidden_states=hs))
         return results
+
+    def execute_decode_multi(self, reqs: list[Request], k: int,
+                             return_hidden: bool = False
+                             ) -> list[StepResult]:
+        """K chained decode steps, one device round-trip
+        (launch + collect)."""
+        return self.collect_decode_multi(
+            self.launch_decode_multi(reqs, k, return_hidden))
 
     def execute_decode(self, reqs: list[Request],
                        return_hidden: bool = False) -> StepResult:
