@@ -41,41 +41,61 @@ SHAPES = [
 ]
 
 
-def timed_loop(build_body, iters: int = 32, warmup: int = 2) -> float:
+def timed_loop(build_body, iters: int = 128, warmup: int = 2) -> float:
     """build_body() -> (init_carry, body_fn(carry)->carry). Returns
-    seconds per iteration, measured inside one jit program."""
+    seconds per iteration, measured inside one jit program.
+
+    Difference method: time N and 2N iterations of the SAME compiled
+    program (dynamic trip count) and divide the delta — the per-execute
+    dispatch cost cancels exactly. On this rig that cost is a ~30 ms
+    axon-tunnel round trip per execute, which at iters=32 used to
+    swamp sub-ms kernels (the round-1 table measured mostly RTT).
+    Bodies must carry a live data dependence on their op's output
+    (chain it into the carry) or XLA hoists the op out of the loop."""
     init, body = build_body()
 
     @jax.jit
-    def run(c):
-        return jax.lax.fori_loop(0, iters, lambda i, c: body(c), c)
+    def run(c, n):
+        return jax.lax.fori_loop(0, n, lambda i, c: body(c), c,
+                                 unroll=False)
 
-    c = run(init)
-    jax.block_until_ready(c)
-    t0 = time.perf_counter()
-    c = run(c)
-    jax.block_until_ready(c)
-    return (time.perf_counter() - t0) / iters
+    jax.block_until_ready(run(init, iters))  # compile + warm
+    t1 = time.perf_counter()
+    jax.block_until_ready(run(init, iters))
+    t1 = time.perf_counter() - t1
+    t2 = time.perf_counter()
+    jax.block_until_ready(run(init, 2 * iters))
+    t2 = time.perf_counter() - t2
+    return max((t2 - t1) / iters, 1e-9)
 
 
 def bench_hbm_read(gb: float = 4.0) -> float:
-    """Pure HBM read bandwidth: sum a big random bf16 array (random so
-    XLA cannot constant-fold the reduction; array rides the loop carry
-    with a data dependence on the evolving scalar)."""
+    """HBM stream bandwidth (STREAM scale: x' = x * a). The scale factor
+    depends on the previous iteration's output, so every iteration
+    re-reads and re-writes the full array — 2·n·2 bytes of traffic."""
     n = int(gb * (1 << 30) / 2)
     a = jax.random.normal(jax.random.PRNGKey(0), (n,), jnp.bfloat16)
 
     def build():
         def body(c):
             s, x = c
-            x = jax.lax.optimization_barrier(x)
-            s2 = s + jnp.sum(x.astype(jnp.float32))
-            return (s2, x)
+            x2 = x * (1.0 + s * 1e-30).astype(jnp.bfloat16)
+            return (x2[0].astype(jnp.float32), x2)
 
         return (jnp.float32(0), a), body
 
     t = timed_loop(build, iters=4)
-    return (n * 2) / t  # one read of the array per iteration
+    return (n * 2 * 2) / t  # read + write per iteration
+
+
+def _chain(xx, o, k):
+    """Feed the op output back into the next iteration's input — a live
+    data dependence XLA cannot hoist or CSE away. The tiny perturbation
+    keeps xx numerically sane across iterations."""
+    n = o.shape[-1]
+    reps = -(-k // n)
+    fold = jnp.tile(o.astype(jnp.float32), (1, reps))[:, :k]
+    return (xx.astype(jnp.float32) + fold * 1e-6).astype(xx.dtype)
 
 
 def _mk_matmul(m, k, n, kind, seed=0):
@@ -85,35 +105,29 @@ def _mk_matmul(m, k, n, kind, seed=0):
     if kind == "bf16":
         wa = w.astype(jnp.bfloat16)
 
-        def body(c):
-            xx, acc = c
+        def body(xx):
             o = jnp.dot(xx, wa, preferred_element_type=jnp.float32)
-            return (jax.lax.optimization_barrier((xx, o))[0], acc)
+            return _chain(xx, o, k)
 
-        return (x, jnp.float32(0)), body
+        return x, body
     from vllm_omni_tpu.ops.quant import (int8_matmul_pallas, int8_matmul_xla,
                                          quantize_int8)
 
     wq, scale = quantize_int8(w)
     wq, scale = jax.device_put((wq, scale))
     if kind == "int8_xla":
-        def body(c):
-            xx, acc = c
-            o = int8_matmul_xla(xx, wq, scale)
-            return (jax.lax.optimization_barrier((xx, o))[0], acc)
+        def body(xx):
+            return _chain(xx, int8_matmul_xla(xx, wq, scale), k)
 
-        return (x, jnp.float32(0)), body
+        return x, body
     if kind == "int8_pallas":
-        def body(c):
-            xx, acc = c
-            o = int8_matmul_pallas(xx, wq, scale)
-            return (jax.lax.optimization_barrier((xx, o))[0], acc)
+        def body(xx):
+            return _chain(xx, int8_matmul_pallas(xx, wq, scale), k)
 
-        return (x, jnp.float32(0)), body
+        return x, body
     if kind == "int8_native":
         # w8a8: dynamic per-token act quant + s8xs8 -> s32 MXU dot
-        def body(c):
-            xx, acc = c
+        def body(xx):
             amax = jnp.max(jnp.abs(xx.astype(jnp.float32)), axis=-1)
             xs = jnp.maximum(amax / 127.0, 1e-8)
             xq = jnp.clip(jnp.round(xx.astype(jnp.float32) / xs[:, None]),
@@ -123,9 +137,9 @@ def _mk_matmul(m, k, n, kind, seed=0):
                 preferred_element_type=jnp.int32)
             o = (o32.astype(jnp.float32) * xs[:, None] *
                  scale[None, :]).astype(jnp.bfloat16)
-            return (jax.lax.optimization_barrier((xx, o))[0], acc)
+            return _chain(xx, o, k)
 
-        return (x, jnp.float32(0)), body
+        return x, body
     raise ValueError(kind)
 
 
@@ -175,15 +189,15 @@ def bench_paged_attention(b=32, ctx=248, layers=1):
     q = jax.random.normal(key, (b, hq, d), jnp.bfloat16)
 
     def build():
-        def body(c):
-            qq, acc = c
-            o = paged_attention_decode_pallas(qq, kp, vp, bt, kv_lens,
-                                              scale=d ** -0.5)
-            return (jax.lax.optimization_barrier((qq, o))[0], acc)
+        def body(qq):
+            # output has q's shape: chain it directly (convex combos of
+            # N(0,1) v stay bounded across iterations)
+            return paged_attention_decode_pallas(qq, kp, vp, bt, kv_lens,
+                                                 scale=d ** -0.5)
 
-        return (q, jnp.float32(0)), body
+        return q, body
 
-    t = timed_loop(build, iters=32)
+    t = timed_loop(build, iters=256)
     kv_bytes = b * ctx * 2 * hkv * d * 2
     t_sol = kv_bytes / HBM_BW
     print(f"paged_attn_decode b={b} ctx={ctx}: {t*1e3:.3f} ms "
@@ -198,16 +212,15 @@ def bench_sampler(b=32, v=128256):
     logits = jax.random.normal(key, (b, v), jnp.float32)
 
     def build_greedy():
-        def body(c):
-            lg, acc = c
+        def body(lg):
             ids = jnp.argmax(lg, axis=-1)
             lp = jnp.take_along_axis(jax.nn.log_softmax(lg, axis=-1),
                                      ids[:, None], axis=-1)
-            return (jax.lax.optimization_barrier((lg, ids, lp))[0], acc)
+            return lg + lp * 1e-6 + ids[:, None].astype(jnp.float32) * 1e-30
 
-        return (logits, jnp.float32(0)), body
+        return logits, body
 
-    t = timed_loop(build_greedy, iters=32)
+    t = timed_loop(build_greedy, iters=64)
     print(f"sampler greedy+lp b={b} V={v}: {t*1e3:.3f} ms", flush=True)
     return t
 

@@ -79,6 +79,124 @@ def make_pipeline(kind: str):
     raise ValueError(kind)
 
 
+def bench_http(args) -> None:
+    """Spawn the real aiohttp server as a subprocess and drive streaming
+    /v1/completions with a closed-loop concurrent client — TTFT / ITL /
+    TPOT / E2E measured from the wire (reference `vllm bench serve`)."""
+    import asyncio
+    import signal
+    import socket
+    import subprocess
+    import tempfile
+
+    import aiohttp
+
+    sock = socket.socket()
+    sock.bind(("127.0.0.1", 0))
+    port = sock.getsockname()[1]
+    sock.close()
+    llm_cfg = make_pipeline("llm")
+    llm_cfg["stage_args"][0]["engine_args"]["max_model_len"] = (
+        args.prompt_len + args.max_tokens + 64)
+    with tempfile.NamedTemporaryFile("w", suffix=".json",
+                                     delete=False) as f:
+        json.dump(llm_cfg, f)
+        cfg_path = f.name
+    srv = subprocess.Popen(
+        [sys.executable, "-m", "vllm_omni_tpu.entrypoints.cli", "serve",
+         "dummy", "--stage-configs-path", cfg_path, "--host", "127.0.0.1",
+         "--port", str(port)],
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    base = f"http://127.0.0.1:{port}"
+
+    rng = np.random.default_rng(0)
+    prompts = [[int(x) for x in rng.integers(1, 500, args.prompt_len)]
+               for _ in range(args.num_requests)]
+
+    async def one(session, prompt, rec):
+        t0 = time.perf_counter()
+        last = t0
+        itls = []
+        n_tok = 0
+        async with session.post(f"{base}/v1/completions", json={
+                "prompt": prompt, "max_tokens": args.max_tokens,
+                "temperature": 0.0, "ignore_eos": True,
+                "stream": True}) as r:
+            assert r.status == 200, await r.text()
+            async for raw in r.content:
+                line = raw.decode().strip()
+                if not line.startswith("data: ") or line == "data: [DONE]":
+                    continue
+                payload = json.loads(line[6:])
+                now = time.perf_counter()
+                new = len(payload["choices"][0].get("token_ids", []))
+                if new and n_tok == 0:
+                    rec["ttft"] = now - t0
+                elif new:
+                    itls.append((now - last) / new)
+                if new:
+                    n_tok += new
+                    last = now
+        rec["e2e"] = time.perf_counter() - t0
+        rec["n_tokens"] = n_tok
+        rec["tpot"] = (rec["e2e"] - rec.get("ttft", 0)) / max(n_tok - 1, 1)
+        rec["itl_mean"] = float(np.mean(itls)) if itls else 0.0
+
+    async def drive():
+        async with aiohttp.ClientSession() as session:
+            for _ in range(240):
+                try:
+                    async with session.get(f"{base}/health") as r:
+                        if r.status == 200:
+                            break
+                except aiohttp.ClientError:
+                    pass
+                await asyncio.sleep(1.0)
+            else:
+                raise RuntimeError("server never became healthy")
+            # warmup (compiles)
+            w = {}
+            await one(session, prompts[0], w)
+            recs = [{} for _ in range(args.num_requests)]
+            t0 = time.perf_counter()
+            sem = asyncio.Semaphore(args.concurrency)
+
+            async def task(i):
+                async with sem:
+                    await one(session, prompts[i], recs[i])
+
+            await asyncio.gather(*(task(i)
+                                   for i in range(args.num_requests)))
+            wall = time.perf_counter() - t0
+            return recs, wall
+
+    try:
+        recs, wall = asyncio.run(drive())
+    finally:
+        srv.send_signal(signal.SIGTERM)
+        try:
+            srv.wait(timeout=10)
+        except subprocess.TimeoutExpired:
+            srv.kill()
+        os.unlink(cfg_path)
+    toks = sum(r["n_tokens"] for r in recs)
+    summary = {
+        "mode": "http", "pipeline": "llm",
+        "concurrency": args.concurrency,
+        "num_requests": args.num_requests,
+        "prompt_len": args.prompt_len, "max_tokens": args.max_tokens,
+        "ttft_mean_s": float(np.mean([r["ttft"] for r in recs])),
+        "ttft_p99_s": float(np.percentile([r["ttft"] for r in recs], 99)),
+        "tpot_mean_s": float(np.mean([r["tpot"] for r in recs])),
+        "itl_mean_s": float(np.mean([r["itl_mean"] for r in recs])),
+        "e2e_mean_s": float(np.mean([r["e2e"] for r in recs])),
+        "wall_s": wall, "output_tok_per_s": toks / wall,
+    }
+    with open(f"{args.out}.http.json", "w") as f:
+        json.dump(summary, f, indent=2)
+    print(json.dumps(summary, indent=2))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--pipeline", default="tts",
@@ -88,8 +206,13 @@ def main() -> None:
     ap.add_argument("--concurrency", type=int, default=4)
     ap.add_argument("--prompt-len", type=int, default=64)
     ap.add_argument("--max-tokens", type=int, default=100)
+    ap.add_argument("--http", action="store_true",
+                    help="spawn the aiohttp server and bench over HTTP")
     ap.add_argument("--out", default="/tmp/omni_bench")
     args = ap.parse_args()
+    if args.http:
+        bench_http(args)
+        return
 
     from vllm_omni_tpu.config.stage_config import load_stage_configs
     from vllm_omni_tpu.core.sampling_params import (

@@ -158,10 +158,13 @@ def load_stage_configs(path_or_dict: Any,
     if isinstance(path_or_dict, dict):
         raw = path_or_dict
     else:
+        import os as _os
+
         text = str(path_or_dict)
-        if "\n" not in text and text.endswith((".yaml", ".yml")):
+        if "\n" not in text and (text.endswith((".yaml", ".yml", ".json"))
+                                 or _os.path.isfile(text)):
             with open(text) as f:
-                raw = yaml.safe_load(f)
+                raw = yaml.safe_load(f)  # YAML is a JSON superset
         else:
             raw = yaml.safe_load(text)
     if not isinstance(raw, dict) or "stage_args" not in raw:

@@ -154,6 +154,49 @@ async def completions(request: web.Request) -> web.Response:
         return web.json_response({"error": {"message": str(e)}}, status=400)
     sp = req.to_sampling_params()
     rid = random_uuid()
+    model = req.model or request.app[NAME_KEY]
+
+    if req.stream:
+        # SSE per new token batch; token_ids deltas always present so
+        # tokenizer-less deployments can still stream (reference
+        # serving_completion streaming path)
+        resp = web.StreamResponse(headers={
+            "Content-Type": "text/event-stream",
+            "Cache-Control": "no-cache"})
+        await resp.prepare(request)
+        sent_toks = 0
+        sent_chars = 0
+        try:
+            async for out in omni.generate(req.prompt, sp,
+                                           request_id=rid):
+                comp = out.outputs[0] if out.outputs else None
+                if comp is None:
+                    continue
+                new = comp.token_ids[sent_toks:]
+                delta = ""
+                if omni.tokenizer is not None:
+                    text = omni.tokenizer.decode(
+                        comp.token_ids, skip_special_tokens=True)
+                    delta, sent_chars = text[sent_chars:], len(text)
+                if new or out.finished:
+                    sent_toks = len(comp.token_ids)
+                    chunk = {
+                        "id": f"cmpl-{rid}",
+                        "object": "text_completion", "model": model,
+                        "choices": [{
+                            "index": 0, "text": delta,
+                            "token_ids": list(new),
+                            "finish_reason": comp.finish_reason
+                            if out.finished else None}],
+                    }
+                    await resp.write(
+                        f"data: {json.dumps(chunk)}\n\n".encode())
+            await resp.write(b"data: [DONE]\n\n")
+        except EngineDeadError as e:
+            await resp.write(f"data: {json.dumps({'error': str(e)})}\n\n"
+                             .encode())
+        return resp
+
     final = None
     async for out in omni.generate(req.prompt, sp, request_id=rid):
         if out.finished:
