@@ -1,0 +1,295 @@
+"""Model-family registry: pipeline recipes for every reference family.
+
+Reference parity: `model_executor/models/registry.py:7` (`_OMNI_MODELS`,
+14 AR families) + `diffusion/registry.py:19` (34 diffusion archs) +
+`model_executor/stage_configs/` (37 pipeline YAMLs).
+
+TPU-first design: the reference ships ~112k LoC of per-family torch
+modules; here every family is a *composition recipe* over a small set of
+structure-parameterized JAX towers —
+
+- AR text/codec towers      → models/decoder.py  (dense/MoE, GQA,
+                              qk-norm, M-RoPE, shared-expert — covers
+                              the qwen2/qwen3/llama-derived towers every
+                              reference family builds on)
+- audio/vision encoders     → models/encoders.py
+- conv vocoder (code2wav)   → models/vocoder.py
+- omni fine structure       → models/qwen3_omni.py (talker MTP code
+                              predictor, thinker→talker projections)
+- image/video/audio DiT     → diffusion/dit.py, diffusion/qwen_image.py
+- VAE                       → diffusion/vae.py
+
+A family = stage graph (stage_configs/*.yaml) + per-edge input
+processors (models/stage_input_processors.py) + HF arch flags
+(models/weights.py) or diffusers class mapping (diffusion/loader.py).
+The registry is the single place that ties those together and is what
+`Omni(model=..., family=...)` / stage-config resolution consults.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Optional
+
+_CFG_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "stage_configs")
+
+
+@dataclass(frozen=True)
+class FamilySpec:
+    """One reference model family and how this framework realizes it."""
+
+    name: str
+    # reference anchor (file under /root/reference cited for parity)
+    reference: str
+    # pipeline stage kinds in order, e.g. ("llm", "llm", "generation")
+    stages: tuple[str, ...]
+    # output modality of the final stage
+    modality: str
+    # stage-config YAML (structure-true tiny/dummy geometry; swap model
+    # paths for real checkpoints)
+    stage_config: str
+    # stage input processors used on the edges (dotted names)
+    processors: tuple[str, ...] = ()
+    # HF `architectures` entries this family's AR towers load through
+    hf_archs: tuple[str, ...] = ()
+    # diffusers transformer `_class_name`s (diffusion stages)
+    diffusers_archs: tuple[str, ...] = ()
+    notes: str = ""
+
+
+def _cfg(name: str) -> str:
+    return os.path.join(_CFG_DIR, name)
+
+
+_P = "vllm_omni_tpu.models.stage_input_processors"
+
+AR_FAMILIES: dict[str, FamilySpec] = {f.name: f for f in [
+    FamilySpec(
+        name="qwen3_omni",
+        reference="vllm_omni/model_executor/models/qwen3_omni/ (4,011 LoC)",
+        stages=("llm", "llm", "generation"),
+        modality="audio",
+        stage_config=_cfg("qwen3_omni_tpu.yaml"),
+        processors=(f"{_P}.thinker2talker", f"{_P}.talker2code2wav"),
+        hf_archs=("Qwen3OmniMoeForConditionalGeneration",
+                  "Qwen3MoeForCausalLM"),
+        notes="MoE thinker + talker with MTP code predictor "
+              "(models/qwen3_omni.py) + conv code2wav; audio/vision "
+              "encoders with placeholder fusion."),
+    FamilySpec(
+        name="qwen2_5_omni",
+        reference="vllm_omni/model_executor/models/qwen2_5_omni/ "
+                  "(4,414 LoC; thinker/talker/token2wav)",
+        stages=("llm", "llm", "generation"),
+        modality="audio",
+        stage_config=_cfg("qwen2_5_omni_tpu.yaml"),
+        processors=(f"{_P}.thinker2talker", f"{_P}.talker2code2wav"),
+        hf_archs=("Qwen2_5OmniForConditionalGeneration",
+                  "Qwen2ForCausalLM"),
+        notes="Dense thinker (qwen2 block: attention_bias) — same "
+              "3-stage graph as qwen3_omni without MoE/MTP."),
+    FamilySpec(
+        name="qwen3_tts",
+        reference="vllm_omni/model_executor/models/qwen3_tts/ (7,668 LoC "
+                  "incl. 12hz tokenizer)",
+        stages=("llm", "generation"),
+        modality="audio",
+        stage_config=_cfg("qwen3_tts_tpu.yaml"),
+        processors=(f"{_P}.talker2code2wav",),
+        hf_archs=("Qwen3ForCausalLM",),
+        notes="AR talker → streamed (async_chunk) code2wav."),
+    FamilySpec(
+        name="mimo_audio",
+        reference="vllm_omni/model_executor/models/mimo_audio/ (5,564)",
+        stages=("llm", "generation"),
+        modality="audio",
+        stage_config=_cfg("mimo_audio_tpu.yaml"),
+        processors=(f"{_P}.llm2code2wav",),
+        hf_archs=("Qwen2ForCausalLM",),
+        notes="Fused thinker/talker (one AR stage emits interleaved "
+              "text+codec ids; llm2code2wav strips text ids)."),
+    FamilySpec(
+        name="cosyvoice3",
+        reference="vllm_omni/model_executor/models/cosyvoice3/ (3,429)",
+        stages=("llm", "generation"),
+        modality="audio",
+        stage_config=_cfg("cosyvoice3_tpu.yaml"),
+        processors=(f"{_P}.text2flow",),
+        hf_archs=("Qwen2ForCausalLM",),
+        notes="Talker → flow-decoder code2wav (text2flow packs hidden "
+              "states as flow conditioning)."),
+    FamilySpec(
+        name="voxtral_tts",
+        reference="vllm_omni/model_executor/models/voxtral_tts/ (2,967)",
+        stages=("llm", "generation"),
+        modality="audio",
+        stage_config=_cfg("voxtral_tts_tpu.yaml"),
+        processors=(f"{_P}.generator2tokenizer",),
+        hf_archs=("LlamaForCausalLM",),
+        notes="audio_generation → audio_tokenizer, async_chunk edge "
+              "(reference generator2tokenizer_async_chunk)."),
+    FamilySpec(
+        name="fish_speech",
+        reference="vllm_omni/model_executor/models/fish_speech/ (2,248)",
+        stages=("llm", "generation"),
+        modality="audio",
+        stage_config=_cfg("fish_speech_tpu.yaml"),
+        processors=(f"{_P}.slow_ar2dac",),
+        hf_archs=("LlamaForCausalLM",),
+        notes="Slow-AR semantic tokens → DAC decoder (async_chunk)."),
+    FamilySpec(
+        name="voxcpm",
+        reference="vllm_omni/model_executor/models/voxcpm/ (1,372)",
+        stages=("llm", "generation"),
+        modality="audio",
+        stage_config=_cfg("voxcpm_tpu.yaml"),
+        processors=(f"{_P}.latent2vae",),
+        hf_archs=("LlamaForCausalLM",),
+        notes="Latent-generator AR → one-shot VAE decode stage "
+              "(latent2vae forwards hidden states as the latent)."),
+    FamilySpec(
+        name="voxcpm2",
+        reference="vllm_omni/model_executor/models/voxcpm2/ (1,899)",
+        stages=("llm", "generation"),
+        modality="audio",
+        stage_config=_cfg("voxcpm2_tpu.yaml"),
+        processors=(f"{_P}.latent2vae",),
+        hf_archs=("Qwen3ForCausalLM",),
+        notes="voxcpm graph on the qwen3 tower (qk-norm)."),
+    FamilySpec(
+        name="omnivoice",
+        reference="vllm_omni/model_executor/models/omnivoice/ (1,670)",
+        stages=("diffusion",),
+        modality="audio",
+        stage_config=_cfg("omnivoice_tpu.yaml"),
+        diffusers_archs=("OmniVoiceDiT",),
+        notes="Single audio-DiT stage (1D latent over the dit.py MMDiT "
+              "with frames=1)."),
+    FamilySpec(
+        name="dynin_omni",
+        reference="vllm_omni/model_executor/models/dynin_omni/ (4,048)",
+        stages=("llm", "llm", "llm"),
+        modality="audio",
+        stage_config=_cfg("dynin_omni_tpu.yaml"),
+        processors=(f"{_P}.token_chain", f"{_P}.token_chain"),
+        hf_archs=("Qwen3ForCausalLM",),
+        notes="token2text → token2image → token2audio AR chain; each "
+              "edge forwards tokens + hidden states (token_chain)."),
+    FamilySpec(
+        name="bagel",
+        reference="vllm_omni/model_executor/models/bagel/ (1,110) + "
+                  "diffusion/models/bagel (3,748)",
+        stages=("llm", "diffusion"),
+        modality="image",
+        stage_config=_cfg("bagel_tpu.yaml"),
+        hf_archs=("Qwen2ForCausalLM",),
+        diffusers_archs=("BagelTransformer2DModel",),
+        notes="Thinker AR → image DiT; thinker hidden states become "
+              "text_states conditioning (orchestrator default edge)."),
+    FamilySpec(
+        name="glm_image",
+        reference="vllm_omni/model_executor/models/glm_image/ (3,083) + "
+                  "diffusion side (2,108)",
+        stages=("llm", "diffusion"),
+        modality="image",
+        stage_config=_cfg("glm_image_tpu.yaml"),
+        processors=(f"{_P}.ar2diffusion",),
+        hf_archs=("LlamaForCausalLM",),
+        diffusers_archs=("GlmImageTransformer2DModel",),
+        notes="AR stage plans the image; ar2diffusion packs its tokens "
+              "+ hidden states into DiT conditioning."),
+    FamilySpec(
+        name="mammoth_moda2",
+        reference="vllm_omni/model_executor/models/mammoth_moda2/ (858) "
+                  "+ diffusion side (1,496)",
+        stages=("llm", "diffusion"),
+        modality="image",
+        stage_config=_cfg("mammoth_moda2_tpu.yaml"),
+        processors=(f"{_P}.ar2diffusion",),
+        hf_archs=("Qwen2ForCausalLM",),
+        diffusers_archs=("MammothModa2Transformer2DModel",),
+        notes="ar2dit edge (reference mammoth_moda2.ar2dit) is the "
+              "shared ar2diffusion processor here."),
+    FamilySpec(
+        name="hunyuan_image3",
+        reference="vllm_omni/model_executor/models/hunyuan_image3/ "
+                  "(3,382 AR) + diffusion MoE DiT (6,310)",
+        stages=("llm", "diffusion"),
+        modality="image",
+        stage_config=_cfg("hunyuan_image3_tpu.yaml"),
+        processors=(f"{_P}.ar2diffusion",),
+        hf_archs=("Qwen2MoeForCausalLM",),
+        diffusers_archs=("HunyuanImage3Transformer2DModel",),
+        notes="t2i graph of the reference's t2t/t2i/i2t/it2i variants; "
+              "MoE AR tower + DiT. i2t runs stage 0 alone (text final)."),
+]}
+
+
+DIFFUSION_FAMILIES: dict[str, FamilySpec] = {f.name: f for f in [
+    FamilySpec(
+        name="qwen_image",
+        reference="vllm_omni/diffusion/models/qwen_image/ (5,914; "
+                  "pipeline_qwen_image.py:247)",
+        stages=("llm", "diffusion"),
+        modality="image",
+        stage_config=_cfg("qwen_image_tpu.yaml"),
+        diffusers_archs=("QwenImageTransformer2DModel",),
+        notes="Real transformer geometry + diffusers-format checkpoint "
+              "loader (diffusion/qwen_image.py, diffusion/loader.py)."),
+    FamilySpec(
+        name="wan2_2",
+        reference="vllm_omni/diffusion/models/wan2_2/ (4,656; T2V)",
+        stages=("diffusion",),
+        modality="video",
+        stage_config=_cfg("wan2_2_tpu.yaml"),
+        diffusers_archs=("WanTransformer3DModel",),
+        notes="Video DiT: 3D rope + frame-batched VAE decode + RIFE-"
+              "role frame interpolation (diffusion/postprocess.py)."),
+]}
+
+# diffusers `_class_name` → (family tag, structural notes). Every image
+# arch maps onto the joint-stream MMDiT parameterization (dit.py /
+# qwen_image.py); video archs onto the 3D-rope variant; audio archs onto
+# frames=1 1D latents. Reference: diffusion/registry.py:19 (34 archs).
+DIFFUSERS_ARCH_MAP: dict[str, str] = {
+    "QwenImageTransformer2DModel": "qwen_image",
+    "FluxTransformer2DModel": "mmdit_image",
+    "Flux2Transformer2DModel": "mmdit_image",
+    "SD3Transformer2DModel": "mmdit_image",
+    "OmniGen2Transformer2DModel": "mmdit_image",
+    "ZImageTransformer2DModel": "mmdit_image",
+    "LongcatImageTransformer2DModel": "mmdit_image",
+    "NextStepTransformer2DModel": "mmdit_image",
+    "OvisImageTransformer2DModel": "mmdit_image",
+    "HeliosTransformer2DModel": "mmdit_image",
+    "DreamIdOmniTransformer2DModel": "mmdit_image",
+    "WanTransformer3DModel": "mmdit_video",
+    "HunyuanVideoTransformer3DModel": "mmdit_video",
+    "LTX2VideoTransformer3DModel": "mmdit_video",
+    "MagiHumanTransformer3DModel": "mmdit_video",
+    "StableAudioDiTModel": "mmdit_audio",
+    "CosyVoice3AudioDiT": "mmdit_audio",
+}
+
+
+def list_families() -> list[str]:
+    return sorted({**AR_FAMILIES, **DIFFUSION_FAMILIES})
+
+
+def get_family(name: str) -> FamilySpec:
+    fam = AR_FAMILIES.get(name) or DIFFUSION_FAMILIES.get(name)
+    if fam is None:
+        raise ValueError(
+            f"unknown family {name!r}; known: {list_families()}")
+    return fam
+
+
+def resolve_stage_config(name: str) -> str:
+    """Family name → stage-config YAML path (raises if the YAML is
+    missing — a registry entry must always ship its pipeline)."""
+    fam = get_family(name)
+    if not os.path.isfile(fam.stage_config):
+        raise FileNotFoundError(fam.stage_config)
+    return fam.stage_config

@@ -57,3 +57,108 @@ def talker2code2wav(prev_outputs: dict[int, RequestOutput],
         # full RVQ code matrix from the talker's MTP code predictor
         payload["additional_information"] = {"codec_codes": codes}
     return payload
+
+def llm2code2wav(prev_outputs: dict[int, RequestOutput],
+                 stage: StageConfig, ctx: dict[str, Any]
+                 ) -> dict[str, Any]:
+    """Fused thinker/talker → code2wav (reference
+    mimo_audio.llm2code2wav): the AR stage emits interleaved text +
+    codec ids; only ids inside the codec codebook feed the vocoder.
+    The codec range is the consumer stage's vocab (its hf_overrides
+    vocab_size), optionally offset by `codec_offset` in
+    additional_information."""
+    src = stage.engine_input_source[0]
+    prev = prev_outputs[src]
+    comp = prev.outputs[0]
+    vocab = int(stage.engine_args.get("hf_overrides", {})
+                .get("vocab_size", 1 << 30))
+    off = int(prev.additional_information.get("codec_offset", 0))
+    codec = [t - off for t in comp.token_ids if 0 <= t - off < vocab]
+    return {"prompt_token_ids": codec or [0]}
+
+
+def text2flow(prev_outputs: dict[int, RequestOutput],
+              stage: StageConfig, ctx: dict[str, Any]) -> dict[str, Any]:
+    """Talker → flow decoder (reference cosyvoice3.text2flow): codec
+    ids are the prompt; the talker's last hidden states ride along as
+    the flow model's utterance conditioning."""
+    src = stage.engine_input_source[0]
+    prev = prev_outputs[src]
+    comp = prev.outputs[0]
+    payload: dict[str, Any] = {"prompt_token_ids": list(comp.token_ids)}
+    if comp.hidden_states is not None:
+        payload["additional_information"] = {
+            "flow_conditioning": np.asarray(comp.hidden_states,
+                                            np.float32)}
+    return payload
+
+
+def generator2tokenizer(prev_outputs: dict[int, RequestOutput],
+                        stage: StageConfig, ctx: dict[str, Any]
+                        ) -> dict[str, Any]:
+    """audio_generation → audio_tokenizer (reference
+    voxtral_tts.generator2tokenizer; the async-chunk variant streams
+    the same ids through orchestrator._forward_chunks)."""
+    src = stage.engine_input_source[0]
+    comp = prev_outputs[src].outputs[0]
+    return {"prompt_token_ids": list(comp.token_ids) or [0]}
+
+
+def slow_ar2dac(prev_outputs: dict[int, RequestOutput],
+                stage: StageConfig, ctx: dict[str, Any]) -> dict[str, Any]:
+    """Slow-AR semantic tokens → DAC decoder (reference
+    fish_speech.slow_ar_to_dac_decoder)."""
+    src = stage.engine_input_source[0]
+    comp = prev_outputs[src].outputs[0]
+    return {"prompt_token_ids": list(comp.token_ids) or [0]}
+
+
+def latent2vae(prev_outputs: dict[int, RequestOutput],
+               stage: StageConfig, ctx: dict[str, Any]) -> dict[str, Any]:
+    """Latent-generator AR → one-shot VAE decode stage (reference
+    voxcpm.latent2vae): the AR stage's hidden states ARE the latent —
+    they become the embeddings prompt of the generation stage."""
+    src = stage.engine_input_source[0]
+    comp = prev_outputs[src].outputs[0]
+    if comp.hidden_states is None:
+        raise ValueError("latent2vae needs hidden states "
+                         "(set return_hidden_states on the AR stage)")
+    return {
+        "prompt_token_ids": [],
+        "prompt_embeds": np.asarray(comp.hidden_states, np.float32),
+    }
+
+
+def token_chain(prev_outputs: dict[int, RequestOutput],
+                stage: StageConfig, ctx: dict[str, Any]) -> dict[str, Any]:
+    """Generic AR→AR edge (reference dynin_omni
+    token2text_to_token2image / token2image_to_token2audio): sampled
+    ids become the next stage's prompt; hidden states ride along."""
+    src = stage.engine_input_source[0]
+    prev = prev_outputs[src]
+    comp = prev.outputs[0]
+    payload: dict[str, Any] = {"prompt_token_ids": list(comp.token_ids)
+                               or [0]}
+    if comp.hidden_states is not None:
+        payload["additional_information"] = {
+            "source_hidden": np.asarray(comp.hidden_states, np.float32)}
+    return payload
+
+
+def ar2diffusion(prev_outputs: dict[int, RequestOutput],
+                 stage: StageConfig, ctx: dict[str, Any]) -> dict[str, Any]:
+    """AR planner → DiT (reference glm_image.ar2diffusion /
+    mammoth_moda2.ar2dit): the AR stage's hidden states become the
+    DiT's text conditioning (text_states); its decoded text (token ids
+    as fallback) becomes the logged prompt."""
+    src = stage.engine_input_source[0]
+    prev = prev_outputs[src]
+    comp = prev.outputs[0]
+    if comp.hidden_states is None:
+        raise ValueError("ar2diffusion needs hidden states "
+                         "(set return_hidden_states on the AR stage)")
+    return {
+        "prompt": comp.text or " ".join(map(str, comp.token_ids)),
+        "additional_information": {
+            "text_states": np.asarray(comp.hidden_states, np.float32)},
+    }
