@@ -41,15 +41,19 @@ SHAPES = [
 ]
 
 
-def timed_loop(build_body, iters: int = 128, warmup: int = 2) -> float:
+def timed_loop(build_body, iters: int = 128, warmup: int = 2,
+               target_s: float = 0.3, reps: int = 3) -> float:
     """build_body() -> (init_carry, body_fn(carry)->carry). Returns
     seconds per iteration, measured inside one jit program.
 
     Difference method: time N and 2N iterations of the SAME compiled
     program (dynamic trip count) and divide the delta — the per-execute
-    dispatch cost cancels exactly. On this rig that cost is a ~30 ms
-    axon-tunnel round trip per execute, which at iters=32 used to
-    swamp sub-ms kernels (the round-1 table measured mostly RTT).
+    dispatch cost cancels in expectation. On this rig that cost is a
+    ~30 ms axon-tunnel round trip per execute whose VARIANCE (±several
+    ms) destroys the difference for sub-ms kernels, so (a) iters is
+    auto-scaled until the N-run takes >= target_s of in-loop time, and
+    (b) each leg is sampled `reps` times and the MIN taken (min-of-k
+    strips the RTT tail; mins of both legs share the same floor).
     Bodies must carry a live data dependence on their op's output
     (chain it into the carry) or XLA hoists the op out of the loop."""
     init, body = build_body()
@@ -60,13 +64,26 @@ def timed_loop(build_body, iters: int = 128, warmup: int = 2) -> float:
                                  unroll=False)
 
     jax.block_until_ready(run(init, iters))  # compile + warm
-    t1 = time.perf_counter()
+    # calibrate: scale iters so kernel time dominates dispatch jitter
+    t = time.perf_counter()
     jax.block_until_ready(run(init, iters))
-    t1 = time.perf_counter() - t1
-    t2 = time.perf_counter()
-    jax.block_until_ready(run(init, 2 * iters))
-    t2 = time.perf_counter() - t2
-    return max((t2 - t1) / iters, 1e-9)
+    t = time.perf_counter() - t
+    while t < target_s and iters < (1 << 20):
+        grow = min(max(int(target_s / max(t, 1e-4)) + 1, 2), 32)
+        iters *= grow
+        t = time.perf_counter()
+        jax.block_until_ready(run(init, iters))
+        t = time.perf_counter() - t
+
+    def leg(n):
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            jax.block_until_ready(run(init, n))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    return max((leg(2 * iters) - leg(iters)) / iters, 1e-9)
 
 
 def bench_hbm_read(gb: float = 4.0) -> float:
@@ -144,11 +161,17 @@ def _mk_matmul(m, k, n, kind, seed=0):
 
 
 def bench_matmuls(ms=(8, 32, 128), kinds=("bf16", "int8_xla",
-                                          "int8_pallas", "int8_native")):
+                                          "int8_pallas", "int8_native"),
+                  cells=None):
+    """cells: optional explicit list of (shape_name, m, kind) to run —
+    every compile costs ~30-60 s over the axon tunnel, so the default
+    full product (60 cells) is only for offline runs."""
     rows = []
     for name, k, n in SHAPES:
         for m in ms:
             for kind in kinds:
+                if cells is not None and (name, m, kind) not in cells:
+                    continue
                 try:
                     t = timed_loop(functools.partial(
                         lambda m, k, n, kind: _mk_matmul(m, k, n, kind),
@@ -228,14 +251,33 @@ def bench_sampler(b=32, v=128256):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--full", action="store_true",
+                    help="full 60-cell matmul product (slow: one compile "
+                         "per cell, ~30-60s each over the tunnel)")
+    ap.add_argument("--only", choices=["hbm", "matmul", "attn", "sampler"],
+                    default=None)
     args = ap.parse_args()
     print("devices:", jax.devices(), flush=True)
-    bw = bench_hbm_read(2.0 if args.quick else 4.0)
-    print(f"HBM read bandwidth (sum reduce): {bw/1e9:.1f} GB/s", flush=True)
-    ms = (32,) if args.quick else (8, 32, 128)
-    bench_matmuls(ms=ms)
-    bench_paged_attention()
-    bench_sampler()
+    if args.only in (None, "hbm"):
+        bw = bench_hbm_read(2.0 if args.quick else 4.0)
+        print(f"HBM stream bandwidth: {bw/1e9:.1f} GB/s", flush=True)
+    if args.only in (None, "matmul"):
+        if args.full:
+            bench_matmuls()
+        else:
+            # serving-relevant diagonal: all kinds at the serving batch
+            # (M=32) for every decode shape, plus an M sweep on gate_up
+            # (the biggest weight) for bf16 vs native-int8.
+            cells = {(nm, 32, kd) for nm, _, _ in SHAPES
+                     for kd in ("bf16", "int8_xla", "int8_pallas",
+                                "int8_native")}
+            cells |= {("gate_up", m, kd) for m in (8, 128)
+                      for kd in ("bf16", "int8_native")}
+            bench_matmuls(cells=cells)
+    if args.only in (None, "attn"):
+        bench_paged_attention()
+    if args.only in (None, "sampler"):
+        bench_sampler()
 
 
 if __name__ == "__main__":

@@ -176,6 +176,137 @@ async def test_realtime_ws(client):
     await ws.close()
 
 
+class _FakeTok:
+    """Whitespace tokenizer so string TTS prompts run on the dummy."""
+
+    chat_template = None
+
+    def encode(self, text):
+        return [1 + (ord(c) % 250) for c in text][:32] or [1]
+
+    def decode(self, ids, skip_special_tokens=True):
+        return " ".join(str(i) for i in ids)
+
+
+AUDIO_PIPE = {
+    "stage_args": [
+        {"stage_id": 0, "stage_type": "llm",
+         "engine_args": {"model": "dummy", "hf_overrides": TINY_HF,
+                         "dtype": "float32", "max_model_len": 128,
+                         "num_pages": 32, "page_size": 16,
+                         "max_num_seqs": 4,
+                         "max_num_batched_tokens": 64},
+         "default_sampling_params": {"max_tokens": 4,
+                                     "temperature": 0.0,
+                                     "ignore_eos": True}},
+        {"stage_id": 1, "stage_type": "llm",
+         "engine_args": {"model": "dummy", "hf_overrides": TINY_HF,
+                         "dtype": "float32", "max_model_len": 128,
+                         "num_pages": 32, "page_size": 16,
+                         "mode": "generation", "seed": 2,
+                         "max_num_seqs": 4,
+                         "max_num_batched_tokens": 128},
+         "engine_input_source": [0],
+         "final_output": True, "final_output_type": "audio",
+         "custom_process_output_func":
+             "vllm_omni_tpu.models.vocoder.code2wav_postprocess",
+         "default_sampling_params": {"max_tokens": 1,
+                                     "return_hidden_states": True}},
+    ],
+}
+
+
+@pytest.fixture(scope="module")
+def tts_client_factory():
+    o = AsyncOmni(model="dummy", stage_configs=AUDIO_PIPE)
+    o.runner.tokenizer = o.tokenizer = _FakeTok()
+    yield o
+    o.shutdown()
+
+
+@pytest.fixture
+async def tts_client(tts_client_factory, aiohttp_client):
+    return await aiohttp_client(
+        create_app(tts_client_factory, model_name="tts"))
+
+
+async def test_audio_speech_wav(tts_client):
+    r = await tts_client.post("/v1/audio/speech", json={
+        "input": "Hello there. This is a synthesized sentence."})
+    assert r.status == 200, await r.text()
+    body = await r.read()
+    assert body[:4] == b"RIFF" and body[8:12] == b"WAVE"
+
+
+async def test_audio_speech_long_input_chunks_and_caches(tts_client):
+    # long input exercises the text splitter; identical repeat hits the
+    # synthesis cache (same bytes back)
+    text = ("The quick brown fox jumps over the lazy dog. " * 12).strip()
+    r1 = await tts_client.post("/v1/audio/speech", json={
+        "input": text, "response_format": "pcm", "max_chunk_chars": 80})
+    assert r1.status == 200
+    b1 = await r1.read()
+    assert len(b1) > 0
+    r2 = await tts_client.post("/v1/audio/speech", json={
+        "input": text, "response_format": "pcm", "max_chunk_chars": 80})
+    assert await r2.read() == b1
+
+
+async def test_audio_speech_speed(tts_client):
+    text = "A sentence to stretch."
+    fast = await (await tts_client.post("/v1/audio/speech", json={
+        "input": text, "response_format": "pcm", "speed": 2.0,
+        "use_cache": False})).read()
+    slow = await (await tts_client.post("/v1/audio/speech", json={
+        "input": text, "response_format": "pcm", "speed": 0.5,
+        "use_cache": False})).read()
+    assert len(slow) > len(fast) * 2
+
+
+async def test_audio_speech_batch(tts_client):
+    r = await tts_client.post("/v1/audio/speech/batch", json={
+        "inputs": ["First utterance.", "Second one."]})
+    assert r.status == 200
+    data = (await r.json())["data"]
+    assert len(data) == 2
+    for item in data:
+        assert "audio" in item, item
+        wave = np.frombuffer(base64.b64decode(item["audio"]), np.float32)
+        assert wave.size > 0
+
+
+async def test_image_edits(aiohttp_client):
+    o = AsyncOmni(model="dummy", stage_configs={
+        "stage_args": [{
+            "stage_id": 0, "stage_type": "diffusion",
+            "engine_args": {"dit": TINY_DIT, "dtype": "float32",
+                            "vae_latent_channels": 4,
+                            "resolution_buckets": [[32, 32]]},
+            "final_output": True, "final_output_type": "image"}]})
+    try:
+        client = await aiohttp_client(create_app(o, model_name="i2i"))
+        import io
+
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.fromarray(
+            np.full((32, 32, 3), 128, np.uint8)).save(buf, format="PNG")
+        b64 = base64.b64encode(buf.getvalue()).decode()
+        r = await client.post("/v1/images/edits", json={
+            "image": b64, "prompt": "make it blue", "steps": 4,
+            "strength": 0.5, "guidance_scale": 1.0, "seed": 3})
+        assert r.status == 200, await r.text()
+        data = await r.json()
+        png = base64.b64decode(data["data"][0]["b64_json"])
+        assert png[:8] == b"\x89PNG\r\n\x1a\n"
+        r = await client.post("/v1/images/edits", json={
+            "image": "not-b64!!", "prompt": "x"})
+        assert r.status == 400
+    finally:
+        o.shutdown()
+
+
 async def test_voice_crud(client):
     r = await client.post("/v1/audio/voices", json={
         "name": "alice", "description": "warm"})

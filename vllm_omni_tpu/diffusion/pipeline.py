@@ -28,7 +28,8 @@ from vllm_omni_tpu.core.sampling_params import DiffusionSamplingParams
 from vllm_omni_tpu.diffusion.config import DiffusionConfig
 from vllm_omni_tpu.diffusion.dit import dit_forward, init_dit_params
 from vllm_omni_tpu.diffusion.scheduler_flow import FlowMatchEulerScheduler
-from vllm_omni_tpu.diffusion.vae import init_vae_params, vae_decode
+from vllm_omni_tpu.diffusion.vae import (init_vae_params, vae_decode,
+                                         vae_encode)
 from vllm_omni_tpu.logger import init_logger
 
 logger = init_logger(__name__)
@@ -228,6 +229,34 @@ class DiffusionPipeline:
             p.num_inference_steps,
             image_seq_len=(h_lat // cfgd.dit.patch_size) *
             (w_lat // cfgd.dit.patch_size))
+        init_image = (p.extra_args or {}).get("init_image")
+        if init_image is not None and p.num_frames <= 1:
+            # img2img (reference /v1/images/edits api_server.py:1405):
+            # VAE-encode the reference image, truncate the flow-match
+            # schedule by `strength`, and start from the partially-noised
+            # encoding: x_sigma = (1-sigma)·x0 + sigma·noise.
+            strength = float((p.extra_args or {}).get("strength", 0.6))
+            strength = min(max(strength, 1e-3), 1.0)
+            img = np.asarray(init_image, np.float32)
+            if img.ndim == 2:
+                img = img[..., None].repeat(3, axis=-1)
+            if img.max() > 2.0:  # uint8 range → [-1, 1]
+                img = img / 127.5 - 1.0
+            if img.shape[:2] != (p.height, p.width):
+                raise ValueError(
+                    f"init_image {img.shape[:2]} must match requested "
+                    f"{p.height}x{p.width}")
+            vae = (jax.device_put(self._vae_host)
+                   if self._vae_host is not None else self.vae_params)
+            x0 = vae_encode(vae, jnp.asarray(img, self.dtype)[None], key)
+            if self._vae_host is not None:
+                del vae
+            start = min(int(round(p.num_inference_steps * (1 - strength))),
+                        p.num_inference_steps - 1)
+            sigmas = sigmas[start:]
+            s0 = float(sigmas[0])
+            latents = ((1.0 - s0) * x0.astype(jnp.float32) +
+                       s0 * latents.astype(jnp.float32)).astype(self.dtype)
         return DenoiseState(
             latents=latents, text_states=text_states, sigmas=sigmas,
             timesteps=self.scheduler.timesteps_for(sigmas),

@@ -86,7 +86,7 @@ class AsyncOmni:
         sampling_params: Union[SamplingParams, DiffusionSamplingParams,
                                None] = None,
         request_id: Optional[str] = None, modality: str = "text",
-        resumable: bool = False,
+        resumable: bool = False, **submit_kwargs: Any,
     ) -> AsyncGenerator[RequestOutput, None]:
         """Async stream of RequestOutputs; the last one has
         finished=True. resumable=True opens a streaming-input request —
@@ -111,13 +111,15 @@ class AsyncOmni:
             with self._lock:
                 if src_is_diffusion:
                     self.runner.submit([], sp, rid, modality=modality,
-                                       diffusion_params=dp, prompt=prompt)
+                                       diffusion_params=dp, prompt=prompt,
+                                       **submit_kwargs)
                 else:
                     token_ids = self.runner._tokenize(prompt)
                     self.runner.submit(token_ids, sp, rid,
                                        modality=modality,
                                        diffusion_params=dp,
-                                       resumable=resumable)
+                                       resumable=resumable,
+                                       **submit_kwargs)
             while True:
                 out = await q.get()
                 if isinstance(out, BaseException):

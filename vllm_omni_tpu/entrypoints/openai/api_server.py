@@ -20,8 +20,9 @@ from aiohttp import web
 
 from vllm_omni_tpu.entrypoints.async_omni import AsyncOmni, EngineDeadError
 from vllm_omni_tpu.entrypoints.openai.protocol import (
-    ChatCompletionRequest, CompletionRequest, ImageGenerationRequest,
-    SpeechRequest, make_chat_chunk, make_chat_response)
+    ChatCompletionRequest, CompletionRequest, ImageEditRequest,
+    ImageGenerationRequest, SpeechBatchRequest, SpeechRequest,
+    make_chat_chunk, make_chat_response)
 from vllm_omni_tpu.logger import init_logger
 from vllm_omni_tpu.utils import random_uuid
 
@@ -252,16 +253,15 @@ async def image_generations(request: web.Request) -> web.Response:
     return web.json_response({"created": 0, "data": data})
 
 
-async def audio_speech(request: web.Request) -> web.Response:
-    """TTS: text → audio pipeline → WAV bytes (reference /v1/audio/speech
-    api_server.py:929)."""
-    omni = request.app[OMNI_KEY]
-    try:
-        req = SpeechRequest(**await request.json())
-    except Exception as e:
-        return web.json_response({"error": {"message": str(e)}}, status=400)
+async def _synthesize_one(omni: AsyncOmni, text: str,
+                          voice_cond: Optional[dict]) -> tuple[
+                              np.ndarray, int]:
+    """One pipeline pass: text → (waveform f32, sample_rate)."""
+    kwargs = {}
+    if voice_cond:
+        kwargs["additional_information"] = voice_cond
     final = None
-    async for out in omni.generate(req.input, None, modality="audio"):
+    async for out in omni.generate(text, None, modality="audio", **kwargs):
         if out.finished:
             final = out
     audio = final.multimodal_output.get("audio") if final else None
@@ -272,13 +272,146 @@ async def audio_speech(request: web.Request) -> web.Response:
             audio = {"data": np.asarray(comp.hidden_states).reshape(-1),
                      "sample_rate": 24000}
     if audio is None:
-        return web.json_response(
-            {"error": {"message": "pipeline produced no audio"}},
-            status=500)
-    data = np.asarray(audio["data"], np.float32)
-    return web.Response(body=_wav_bytes(data, audio.get("sample_rate",
-                                                        24000)),
+        raise RuntimeError(final.error if final and final.error
+                           else "pipeline produced no audio")
+    return (np.asarray(audio["data"], np.float32).reshape(-1),
+            int(audio.get("sample_rate", 24000)))
+
+
+async def _synthesize(request: web.Request, text: str, voice: str,
+                      speed: float, max_chunk_chars: int,
+                      use_cache: bool) -> tuple[np.ndarray, int]:
+    """Split → per-chunk synth (LRU-cached) → crossfade concat → speed.
+
+    Reference serving_speech.py flow: text_splitter chunks long inputs so
+    synthesis starts on the first sentence; the voice cache resolves
+    cloned-voice conditioning once."""
+    from vllm_omni_tpu.entrypoints.openai.serving_speech import (
+        chunk_cache_key, concat_audio, resample_speed, split_text)
+
+    omni = request.app[OMNI_KEY]
+    voices = request.app[VOICES_KEY]
+    synth_cache = request.app[SYNTH_KEY]
+    ent = voices.get(voice)
+    cond = ent.conditioning() if ent is not None else None
+    chunks = split_text(text, max_chars=max_chunk_chars) or [""]
+    waves: list[np.ndarray] = []
+    sr = 24000
+    for chunk in chunks:
+        key = chunk_cache_key(chunk, voice)
+        cached = synth_cache.get(key) if use_cache else None
+        if cached is not None:
+            waves.append(cached)
+            continue
+        wave, sr = await _synthesize_one(omni, chunk, cond)
+        if use_cache:
+            synth_cache.put(key, wave)
+        waves.append(wave)
+    return resample_speed(concat_audio(waves, sr), speed), sr
+
+
+def _speech_response(wave: np.ndarray, sr: int,
+                     response_format: str) -> web.Response:
+    if response_format == "pcm":
+        pcm = (np.clip(wave, -1, 1) * 32767).astype("<i2").tobytes()
+        return web.Response(body=pcm, content_type="audio/pcm")
+    if response_format == "b64_json":
+        return web.json_response({
+            "audio": base64.b64encode(
+                wave.astype(np.float32).tobytes()).decode(),
+            "dtype": "float32", "sample_rate": sr})
+    return web.Response(body=_wav_bytes(wave, sr),
                         content_type="audio/wav")
+
+
+async def image_edits(request: web.Request) -> web.Response:
+    """POST /v1/images/edits (reference api_server.py:1405): img2img —
+    VAE-encode the input image, truncate the flow-match schedule by
+    `strength`, denoise from the partially-noised encoding."""
+    omni = request.app[OMNI_KEY]
+    try:
+        req = ImageEditRequest(**await request.json())
+    except Exception as e:
+        return web.json_response({"error": {"message": str(e)}}, status=400)
+    from PIL import Image
+
+    try:
+        img = Image.open(io.BytesIO(base64.b64decode(req.image)))
+        img = img.convert("RGB")
+    except Exception as e:
+        return web.json_response(
+            {"error": {"message": f"bad image: {e}"}}, status=400)
+    if req.size:
+        w, h = (int(x) for x in req.size.split("x"))
+        img = img.resize((w, h))
+    arr = np.asarray(img, np.uint8)
+    from vllm_omni_tpu.core.sampling_params import DiffusionSamplingParams
+
+    data = []
+    for i in range(req.n):
+        dp = DiffusionSamplingParams(
+            num_inference_steps=req.steps,
+            height=arr.shape[0], width=arr.shape[1],
+            guidance_scale=req.guidance_scale,
+            seed=None if req.seed is None else req.seed + i,
+            negative_prompt=req.negative_prompt, output_type="np",
+            extra_args={"init_image": arr, "strength": req.strength})
+        final = None
+        async for out in omni.generate(req.prompt, dp, modality="image"):
+            if out.finished:
+                final = out
+        if final is None or final.error:
+            return web.json_response(
+                {"error": {"message": final.error if final
+                           else "no output"}}, status=500)
+        for a in np.asarray(final.multimodal_output.get("image")):
+            data.append({"b64_json": _png_b64(a)}
+                        if req.response_format == "b64_json"
+                        else {"latent": a.tolist()})
+    return web.json_response({"created": 0, "data": data})
+
+
+async def audio_speech(request: web.Request) -> web.Response:
+    """TTS: text → audio pipeline → WAV/PCM bytes (reference
+    /v1/audio/speech api_server.py:929 + serving_speech.py)."""
+    try:
+        req = SpeechRequest(**await request.json())
+    except Exception as e:
+        return web.json_response({"error": {"message": str(e)}}, status=400)
+    try:
+        wave, sr = await _synthesize(request, req.input, req.voice,
+                                     req.speed, req.max_chunk_chars,
+                                     req.use_cache)
+    except Exception as e:
+        return web.json_response({"error": {"message": str(e)}}, status=500)
+    return _speech_response(wave, sr, req.response_format)
+
+
+async def audio_speech_batch(request: web.Request) -> web.Response:
+    """POST /v1/audio/speech/batch (reference api_server.py:977): many
+    inputs in one call; synthesis overlaps through the shared engine's
+    continuous batching — requests are submitted concurrently."""
+    try:
+        req = SpeechBatchRequest(**await request.json())
+    except Exception as e:
+        return web.json_response({"error": {"message": str(e)}}, status=400)
+
+    async def one(text: str):
+        return await _synthesize(request, text, req.voice, req.speed,
+                                 req.max_chunk_chars, req.use_cache)
+
+    results = await asyncio.gather(*(one(t) for t in req.inputs),
+                                   return_exceptions=True)
+    data = []
+    for r in results:
+        if isinstance(r, BaseException):
+            data.append({"error": str(r)})
+        else:
+            wave, sr = r
+            data.append({"audio": base64.b64encode(
+                wave.astype(np.float32).tobytes()).decode(),
+                "dtype": "float32", "sample_rate": sr})
+    return web.json_response({"object": "list", "data": data})
 
 
 def _wav_bytes(samples: np.ndarray, sample_rate: int) -> bytes:
@@ -345,15 +478,18 @@ async def speech_stream_ws(request: web.Request) -> web.WebSocketResponse:
 
 # -- voice CRUD (reference /v1/audio/voices api_server.py:1013-1139:
 # register/list/delete cloned voices; the voice payload reaches the TTS
-# pipeline through additional_information) ---------------------------------
+# pipeline through additional_information; decoded conditioning is
+# LRU-cached so repeat requests skip the b64 decode) -----------------------
 
-VOICES_KEY = web.AppKey("voices", dict)
+from vllm_omni_tpu.entrypoints.openai.serving_speech import (  # noqa: E402
+    SynthesisCache, VoiceCache)
+
+VOICES_KEY = web.AppKey("voices", VoiceCache)
+SYNTH_KEY = web.AppKey("synth_cache", SynthesisCache)
 
 
 async def list_voices(request: web.Request) -> web.Response:
-    return web.json_response({"voices": [
-        {"name": k, **{kk: vv for kk, vv in v.items() if kk != "audio"}}
-        for k, v in request.app[VOICES_KEY].items()]})
+    return web.json_response({"voices": request.app[VOICES_KEY].list()})
 
 
 async def create_voice(request: web.Request) -> web.Response:
@@ -362,18 +498,16 @@ async def create_voice(request: web.Request) -> web.Response:
     if not name:
         return web.json_response(
             {"error": {"message": "voice needs a name"}}, status=400)
-    voices = request.app[VOICES_KEY]
-    voices[name] = {
-        "audio": body.get("audio"),  # b64 reference audio (voice clone)
-        "description": body.get("description", ""),
-        "sample_rate": body.get("sample_rate", 24000),
-    }
+    request.app[VOICES_KEY].put(
+        name, audio_b64=body.get("audio"),
+        description=body.get("description", ""),
+        sample_rate=body.get("sample_rate", 24000))
     return web.json_response({"name": name, "status": "created"})
 
 
 async def delete_voice(request: web.Request) -> web.Response:
     name = request.match_info["name"]
-    if request.app[VOICES_KEY].pop(name, None) is None:
+    if not request.app[VOICES_KEY].delete(name):
         return web.json_response({"error": {"message": "not found"}},
                                  status=404)
     return web.json_response({"name": name, "status": "deleted"})
@@ -550,14 +684,17 @@ def create_app(omni: AsyncOmni, model_name: str = "omni") -> web.Application:
     app[OMNI_KEY] = omni
     app[NAME_KEY] = model_name
     app[JOBS_KEY] = {}
-    app[VOICES_KEY] = {}
+    app[VOICES_KEY] = VoiceCache()
+    app[SYNTH_KEY] = SynthesisCache()
     app[PROF_KEY] = StageProfiler()
     app.router.add_get("/health", health)
     app.router.add_get("/v1/models", list_models)
     app.router.add_post("/v1/chat/completions", chat_completions)
     app.router.add_post("/v1/completions", completions)
     app.router.add_post("/v1/images/generations", image_generations)
+    app.router.add_post("/v1/images/edits", image_edits)
     app.router.add_post("/v1/audio/speech", audio_speech)
+    app.router.add_post("/v1/audio/speech/batch", audio_speech_batch)
     app.router.add_get("/v1/audio/speech/stream", speech_stream_ws)
     app.router.add_get("/v1/audio/voices", list_voices)
     app.router.add_post("/v1/audio/voices", create_voice)

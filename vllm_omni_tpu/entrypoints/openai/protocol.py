@@ -104,8 +104,42 @@ class SpeechRequest(BaseModel):
     model: str = ""
     input: str
     voice: str = "default"
-    response_format: str = "wav"
+    response_format: str = "wav"  # wav | pcm | b64_json
     speed: float = 1.0
+    # omni extensions (reference serving_speech): sentence chunking for
+    # long inputs + per-chunk synthesis cache
+    max_chunk_chars: int = 300
+    use_cache: bool = True
+
+
+class SpeechBatchRequest(BaseModel):
+    """POST /v1/audio/speech/batch (reference api_server.py:977)."""
+
+    model: str = ""
+    inputs: list[str]
+    voice: str = "default"
+    response_format: str = "b64_json"
+    speed: float = 1.0
+    max_chunk_chars: int = 300
+    use_cache: bool = True
+
+
+class ImageEditRequest(BaseModel):
+    """POST /v1/images/edits (reference api_server.py:1405) — img2img:
+    base image + prompt + strength, JSON body with b64 PNG (the
+    reference accepts multipart; JSON keeps the same fields)."""
+
+    model: str = ""
+    image: str  # b64-encoded PNG/JPEG
+    prompt: str
+    negative_prompt: Optional[str] = None
+    n: int = 1
+    size: Optional[str] = None  # defaults to the input image size
+    steps: int = 50
+    strength: float = 0.6
+    guidance_scale: float = 3.5
+    seed: Optional[int] = None
+    response_format: str = "b64_json"
 
 
 def make_chat_response(rid: str, model: str, text: str,
