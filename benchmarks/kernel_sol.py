@@ -83,15 +83,25 @@ def timed_loop(build_body, iters: int = 128, warmup: int = 2,
             best = min(best, time.perf_counter() - t0)
         return best
 
-    return max((leg(2 * iters) - leg(iters)) / iters, 1e-9)
+    for _ in range(3):
+        delta = (leg(2 * iters) - leg(iters)) / iters
+        if delta > 0:
+            return delta
+    raise RuntimeError("non-positive timing delta (device unhealthy or "
+                       "loop optimized away)")
 
 
-def bench_hbm_read(gb: float = 4.0) -> float:
+def bench_hbm_read(gb: float = 2.0) -> float:
     """HBM stream bandwidth (STREAM scale: x' = x * a). The scale factor
     depends on the previous iteration's output, so every iteration
-    re-reads and re-writes the full array — 2·n·2 bytes of traffic."""
+    re-reads and re-writes the full array — 2·n·2 bytes of traffic.
+
+    NOTE: init via jnp.full, NOT jax.random.normal — threefry bit
+    generation for 2^30+ elements transiently allocates 4x the output
+    bytes and OOM-faults the 16 GB chip (which then stays wedged for
+    minutes)."""
     n = int(gb * (1 << 30) / 2)
-    a = jax.random.normal(jax.random.PRNGKey(0), (n,), jnp.bfloat16)
+    a = jnp.full((n,), 1.0, jnp.bfloat16)
 
     def build():
         def body(c):
@@ -258,6 +268,18 @@ def main():
                     default=None)
     args = ap.parse_args()
     print("devices:", jax.devices(), flush=True)
+    # a previous process's fault can leave the chip wedged for minutes —
+    # wait for a trivial op to succeed before burning compile time
+    for attempt in range(20):
+        try:
+            jax.block_until_ready(jnp.ones((8, 8)) @ jnp.ones((8, 8)))
+            break
+        except Exception as e:  # noqa: BLE001
+            print(f"device not ready (attempt {attempt}): "
+                  f"{str(e)[:80]}", flush=True)
+            time.sleep(30)
+    else:
+        raise SystemExit("TPU never became healthy")
     if args.only in (None, "hbm"):
         bw = bench_hbm_read(2.0 if args.quick else 4.0)
         print(f"HBM stream bandwidth: {bw/1e9:.1f} GB/s", flush=True)

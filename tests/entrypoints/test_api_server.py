@@ -163,7 +163,11 @@ async def test_realtime_ws(client):
         "type": "conversation.item.create",
         "item": {"content": [
             {"type": "input_token_ids", "token_ids": [1, 2, 3, 4]}]}})
+    msg = await ws.receive_json()
+    assert msg["type"] == "conversation.item.created"
     await ws.send_json({"type": "response.create"})
+    msg = await ws.receive_json()
+    assert msg["type"] == "response.created" and msg["response_id"]
     done = None
     for _ in range(50):
         msg = await ws.receive_json()
@@ -171,8 +175,47 @@ async def test_realtime_ws(client):
             done = msg
             break
         assert msg["type"] in ("response.output_text.delta",
+                               "response.output_text.done",
                                "response.audio.delta")
     assert done is not None and len(done["token_ids"]) == 5
+    await ws.close()
+
+
+async def test_realtime_ws_audio_buffer_and_cancel(client):
+    ws = await client.ws_connect("/v1/realtime")
+    # audio buffer: append twice, commit → one item
+    wave = np.zeros(160, np.float32)
+    b64 = base64.b64encode(wave.tobytes()).decode()
+    await ws.send_json({"type": "input_audio_buffer.append", "audio": b64})
+    await ws.send_json({"type": "input_audio_buffer.append", "audio": b64})
+    await ws.send_json({"type": "input_audio_buffer.commit"})
+    msg = await ws.receive_json()
+    assert msg["type"] == "input_audio_buffer.committed"
+    assert msg["num_samples"] == 320
+    # cancel an in-flight long response
+    await ws.send_json({
+        "type": "conversation.item.create",
+        "item": {"content": [
+            {"type": "input_token_ids", "token_ids": [1, 2, 3]}]}})
+    msg = await ws.receive_json()
+    assert msg["type"] == "conversation.item.created"
+    await ws.send_json({"type": "session.update",
+                        "session": {"max_output_tokens": 512,
+                                    "temperature": 0.0}})
+    await ws.receive_json()  # session.updated
+    await ws.send_json({"type": "response.create"})
+    msg = await ws.receive_json()
+    assert msg["type"] == "response.created"
+    await ws.send_json({"type": "response.cancel"})
+    cancelled = False
+    for _ in range(600):
+        msg = await ws.receive_json()
+        if msg["type"] == "response.cancelled":
+            cancelled = True
+            break
+        assert msg["type"] in ("response.output_text.delta",
+                               "response.audio.delta")
+    assert cancelled
     await ws.close()
 
 

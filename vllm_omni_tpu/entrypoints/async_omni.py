@@ -115,6 +115,10 @@ class AsyncOmni:
                                        **submit_kwargs)
                 else:
                     token_ids = self.runner._tokenize(prompt)
+                    if isinstance(prompt, dict) and \
+                            prompt.get("mm_inputs") and \
+                            "mm_inputs" not in submit_kwargs:
+                        submit_kwargs["mm_inputs"] = prompt["mm_inputs"]
                     self.runner.submit(token_ids, sp, rid,
                                        modality=modality,
                                        diffusion_params=dp,

@@ -514,17 +514,26 @@ async def delete_voice(request: web.Request) -> web.Response:
 
 
 async def realtime_ws(request: web.Request) -> web.WebSocketResponse:
-    """WS /v1/realtime (reference api_server.py:1203): minimal realtime
-    session — client sends conversation items, server streams response
-    text deltas (+ audio when the pipeline produces it).
+    """WS /v1/realtime (reference api_server.py:1203): realtime session.
 
-    Events in:  {"type": "session.update", "session": {...}}
-                {"type": "conversation.item.create",
-                 "item": {"content": [{"type": "input_text", "text": ...}
-                          | {"type": "input_token_ids", "token_ids": [...]}]}}
-                {"type": "response.create"}
-    Events out: session.updated, response.output_text.delta,
-                response.audio.delta, response.done, error.
+    Events in:
+      session.update                 {"session": {...}}
+      input_audio_buffer.append      {"audio": b64}  (f32 PCM mel/wave)
+      input_audio_buffer.commit      → becomes an input_audio item
+      input_audio_buffer.clear
+      conversation.item.create       {"item": {"content": [
+          {"type": "input_text", "text": ...}
+        | {"type": "input_token_ids", "token_ids": [...]}
+        | {"type": "input_audio", "audio": b64}]}}
+      response.create                start generating from the last item
+      response.cancel                abort the in-flight response
+    Events out:
+      session.updated, input_audio_buffer.committed,
+      conversation.item.created, response.created,
+      response.output_text.delta, response.audio.delta (streamed
+      mid-generation when the pipeline emits chunked audio),
+      response.output_text.done, response.done, response.cancelled,
+      error.
     """
     omni = request.app[OMNI_KEY]
     ws = web.WebSocketResponse()
@@ -532,7 +541,70 @@ async def realtime_ws(request: web.Request) -> web.WebSocketResponse:
     session: dict[str, Any] = {"modalities": ["text"],
                                "max_output_tokens": 256,
                                "temperature": 0.8}
-    pending: list[Any] = []
+    items: list[dict[str, Any]] = []  # {prompt, mm_audio}
+    audio_buf: list[np.ndarray] = []
+    gen_task: Optional[asyncio.Task] = None
+    gen_rid: Optional[str] = None
+
+    def _decode_audio(b64: str) -> np.ndarray:
+        return np.frombuffer(base64.b64decode(b64), np.float32).copy()
+
+    async def run_response(item: dict[str, Any], rid: str) -> None:
+        from vllm_omni_tpu.core.sampling_params import SamplingParams
+
+        sp = SamplingParams(
+            max_tokens=int(session.get("max_output_tokens", 256)),
+            temperature=float(session.get("temperature", 0.8)))
+        modality = (session.get("modalities") or ["text"])[0]
+        kwargs: dict[str, Any] = {}
+        if item.get("mm_audio") is not None:
+            kwargs["mm_inputs"] = {"audio": item["mm_audio"]}
+        sent_text = 0
+        sent_audio = 0
+        text = ""
+        comp = None
+        try:
+            async for out in omni.generate(item.get("prompt", ""), sp,
+                                           request_id=rid,
+                                           modality=modality, **kwargs):
+                comp = out.outputs[0] if out.outputs else None
+                if comp is not None and omni.tokenizer is not None:
+                    text = omni.tokenizer.decode(
+                        comp.token_ids, skip_special_tokens=True)
+                    if len(text) > sent_text:
+                        await ws.send_json({
+                            "type": "response.output_text.delta",
+                            "delta": text[sent_text:]})
+                        sent_text = len(text)
+                # chunked audio streams as it lands (async_chunk edges
+                # surface partial multimodal_output before finished)
+                mm = _mm_delta(out) or {}
+                if "audio" in mm:
+                    raw = base64.b64decode(mm["audio"]["data"])
+                    if len(raw) > sent_audio:
+                        await ws.send_json({
+                            "type": "response.audio.delta",
+                            "data": base64.b64encode(
+                                raw[sent_audio:]).decode(),
+                            "dtype": "float32",
+                            "sample_rate": mm["audio"]["sample_rate"]})
+                        sent_audio = len(raw)
+                if out.finished:
+                    if sent_text:
+                        await ws.send_json({
+                            "type": "response.output_text.done",
+                            "text": text})
+                    await ws.send_json({
+                        "type": "response.done",
+                        "token_ids": comp.token_ids if comp else []})
+        except asyncio.CancelledError:
+            await omni.abort(rid)
+            await ws.send_json({"type": "response.cancelled"})
+            raise
+        except Exception as e:
+            await ws.send_json({"type": "error",
+                                "error": {"message": str(e)}})
+
     async for msg in ws:
         if msg.type != 1:  # TEXT
             break
@@ -547,47 +619,70 @@ async def realtime_ws(request: web.Request) -> web.WebSocketResponse:
             session.update(evt.get("session") or {})
             await ws.send_json({"type": "session.updated",
                                 "session": session})
-        elif kind == "conversation.item.create":
-            for part in (evt.get("item") or {}).get("content", []):
-                if part.get("type") == "input_text":
-                    pending.append(part.get("text", ""))
-                elif part.get("type") == "input_token_ids":
-                    pending.append(list(part.get("token_ids") or []))
-        elif kind == "response.create":
-            from vllm_omni_tpu.core.sampling_params import SamplingParams
-
-            prompt = pending[-1] if pending else ""
-            sp = SamplingParams(
-                max_tokens=int(session.get("max_output_tokens", 256)),
-                temperature=float(session.get("temperature", 0.8)))
-            modality = (session.get("modalities") or ["text"])[0]
-            sent = 0
+        elif kind == "input_audio_buffer.append":
             try:
-                async for out in omni.generate(prompt, sp,
-                                               modality=modality):
-                    comp = out.outputs[0] if out.outputs else None
-                    if comp is not None and omni.tokenizer is not None:
-                        text = omni.tokenizer.decode(
-                            comp.token_ids, skip_special_tokens=True)
-                        if len(text) > sent:
-                            await ws.send_json({
-                                "type": "response.output_text.delta",
-                                "delta": text[sent:]})
-                            sent = len(text)
-                    if out.finished:
-                        mm = _mm_delta(out) or {}
-                        if "audio" in mm:
-                            await ws.send_json({
-                                "type": "response.audio.delta",
-                                **mm["audio"]})
-                        await ws.send_json({
-                            "type": "response.done",
-                            "token_ids": comp.token_ids if comp else []})
+                audio_buf.append(_decode_audio(evt.get("audio", "")))
             except Exception as e:
                 await ws.send_json({"type": "error",
-                                    "error": {"message": str(e)}})
+                                    "error": {"message": f"bad audio: "
+                                              f"{e}"}})
+        elif kind == "input_audio_buffer.clear":
+            audio_buf.clear()
+        elif kind == "input_audio_buffer.commit":
+            audio = (np.concatenate(audio_buf) if audio_buf
+                     else np.zeros((0,), np.float32))
+            audio_buf.clear()
+            items.append({"prompt": [], "mm_audio": audio})
+            await ws.send_json({"type": "input_audio_buffer.committed",
+                                "num_samples": int(audio.size)})
+        elif kind == "conversation.item.create":
+            item: dict[str, Any] = {"prompt": "", "mm_audio": None}
+            for part in (evt.get("item") or {}).get("content", []):
+                ptype = part.get("type")
+                if ptype == "input_text":
+                    item["prompt"] = part.get("text", "")
+                elif ptype == "input_token_ids":
+                    item["prompt"] = list(part.get("token_ids") or [])
+                elif ptype == "input_audio":
+                    try:
+                        item["mm_audio"] = _decode_audio(
+                            part.get("audio", ""))
+                    except Exception as e:
+                        await ws.send_json({
+                            "type": "error",
+                            "error": {"message": f"bad audio: {e}"}})
+            items.append(item)
+            await ws.send_json({"type": "conversation.item.created",
+                                "index": len(items) - 1})
+        elif kind == "response.create":
+            if gen_task is not None and not gen_task.done():
+                await ws.send_json({
+                    "type": "error",
+                    "error": {"message": "response already in flight"}})
+                continue
+            item = items[-1] if items else {"prompt": "",
+                                            "mm_audio": None}
+            gen_rid = random_uuid()
+            await ws.send_json({"type": "response.created",
+                                "response_id": gen_rid})
+            gen_task = asyncio.ensure_future(run_response(item, gen_rid))
+        elif kind == "response.cancel":
+            if gen_task is not None and not gen_task.done():
+                gen_task.cancel()
+                try:
+                    await gen_task
+                except (asyncio.CancelledError, Exception):
+                    pass
+            else:
+                await ws.send_json({"type": "response.cancelled"})
         elif kind == "close":
             break
+    if gen_task is not None and not gen_task.done():
+        gen_task.cancel()
+        try:
+            await gen_task
+        except (asyncio.CancelledError, Exception):
+            pass
     await ws.close()
     return ws
 

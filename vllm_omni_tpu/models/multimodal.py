@@ -45,18 +45,43 @@ class MMProcessor:
         self.audio_cfg = self.audio_params = None
         self.vision_cfg = self.vision_params = None
         if "audio" in spec:
-            self.audio_cfg = AudioEncoderConfig(
-                output_dim=hidden_size, **spec["audio"])
-            self.audio_params = init_audio_encoder(self.audio_cfg, ka,
-                                                   dtype)
+            aspec = dict(spec["audio"])
+            weights = aspec.pop("weights_path", None)
+            if weights:
+                # real checkpoint (whisper / qwen-audio tower naming)
+                from vllm_omni_tpu.models.encoders import \
+                    load_whisper_audio_encoder
+
+                self.audio_cfg, self.audio_params = \
+                    load_whisper_audio_encoder(weights, dtype=dtype)
+                logger.info("audio encoder loaded from %s (%d layers, "
+                            "h=%d)", weights, self.audio_cfg.num_layers,
+                            self.audio_cfg.hidden_size)
+            else:
+                self.audio_cfg = AudioEncoderConfig(
+                    output_dim=hidden_size, **aspec)
+                self.audio_params = init_audio_encoder(self.audio_cfg,
+                                                       ka, dtype)
             self._audio_fn = jax.jit(
                 lambda p, mel: audio_encoder_forward(p, self.audio_cfg,
                                                      mel))
         if "vision" in spec:
-            self.vision_cfg = VisionEncoderConfig(
-                output_dim=hidden_size, **spec["vision"])
-            self.vision_params = init_vision_encoder(self.vision_cfg, kv,
-                                                     dtype)
+            vspec = dict(spec["vision"])
+            weights = vspec.pop("weights_path", None)
+            if weights:
+                from vllm_omni_tpu.models.encoders import \
+                    load_clip_vision_encoder
+
+                self.vision_cfg, self.vision_params = \
+                    load_clip_vision_encoder(weights, dtype=dtype)
+                logger.info("vision encoder loaded from %s (%d layers, "
+                            "h=%d)", weights, self.vision_cfg.num_layers,
+                            self.vision_cfg.hidden_size)
+            else:
+                self.vision_cfg = VisionEncoderConfig(
+                    output_dim=hidden_size, **vspec)
+                self.vision_params = init_vision_encoder(self.vision_cfg,
+                                                         kv, dtype)
             self._vision_fn = jax.jit(
                 lambda p, px: vision_encoder_forward(p, self.vision_cfg,
                                                      px))
@@ -65,10 +90,12 @@ class MMProcessor:
         """mel [T, n_mels] or [B, T, n_mels] → [N, hidden]."""
         if self.audio_params is None:
             raise ValueError("no audio encoder configured")
+        if mel.ndim == 1:  # flat f32 stream (realtime WS) → [T, n_mels]
+            mel = mel.reshape(-1, self.audio_cfg.n_mels)
         if mel.ndim == 2:
             mel = mel[None]
         out = self._audio_fn(self.audio_params, jnp.asarray(mel))
-        return np.asarray(out).reshape(-1, self.hidden_size)
+        return np.asarray(out).reshape(-1, out.shape[-1])
 
     def encode_image(self, pixels: np.ndarray) -> np.ndarray:
         """pixels [H, W, 3] or [B, H, W, 3] → [N, hidden]."""
@@ -77,7 +104,7 @@ class MMProcessor:
         if pixels.ndim == 3:
             pixels = pixels[None]
         out = self._vision_fn(self.vision_params, jnp.asarray(pixels))
-        return np.asarray(out).reshape(-1, self.hidden_size)
+        return np.asarray(out).reshape(-1, out.shape[-1])
 
     def compute_mrope_positions(self, prompt_token_ids: list[int]
                                 ) -> tuple[np.ndarray, int]:
