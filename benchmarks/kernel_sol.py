@@ -91,7 +91,7 @@ def timed_loop(build_body, iters: int = 128, warmup: int = 2,
                        "loop optimized away)")
 
 
-def bench_hbm_read(gb: float = 2.0) -> float:
+def bench_hbm_read(gb: float = 0.5) -> float:
     """HBM stream bandwidth (STREAM scale: x' = x * a). The scale factor
     depends on the previous iteration's output, so every iteration
     re-reads and re-writes the full array — 2·n·2 bytes of traffic.
@@ -99,7 +99,9 @@ def bench_hbm_read(gb: float = 2.0) -> float:
     NOTE: init via jnp.full, NOT jax.random.normal — threefry bit
     generation for 2^30+ elements transiently allocates 4x the output
     bytes and OOM-faults the 16 GB chip (which then stays wedged for
-    minutes)."""
+    minutes). Keep the buffer <= 0.5 GB: multi-GB carries through the
+    axon tunnel fault the device outright (measured: 0.25 GB fine,
+    2 GB wedges the chip)."""
     n = int(gb * (1 << 30) / 2)
     a = jnp.full((n,), 1.0, jnp.bfloat16)
 
@@ -281,7 +283,7 @@ def main():
     else:
         raise SystemExit("TPU never became healthy")
     if args.only in (None, "hbm"):
-        bw = bench_hbm_read(2.0 if args.quick else 4.0)
+        bw = bench_hbm_read(0.25 if args.quick else 0.5)
         print(f"HBM stream bandwidth: {bw/1e9:.1f} GB/s", flush=True)
     if args.only in (None, "matmul"):
         if args.full:

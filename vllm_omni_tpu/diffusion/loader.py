@@ -73,17 +73,31 @@ def _shard_files(comp_dir: str) -> list[str]:
                     for f in os.listdir(comp_dir)
                     if f.endswith(".safetensors")), key=_natural_key)
     if not files:
-        raise FileNotFoundError(f"no .safetensors under {comp_dir}")
+        gguf = sorted((os.path.join(comp_dir, f)
+                       for f in os.listdir(comp_dir)
+                       if f.endswith(".gguf")), key=_natural_key)
+        if gguf:
+            return gguf
+        raise FileNotFoundError(
+            f"no .safetensors or .gguf under {comp_dir}")
     return files
 
 
 def iter_component_tensors(path: str, subfolder: str
                            ) -> Iterator[tuple[str, np.ndarray]]:
     """Yield (name, np array) over all shards of one component. bf16
-    tensors arrive as jnp-viewable uint16 and are converted here."""
+    tensors arrive as jnp-viewable uint16 and are converted here.
+    GGUF shards (community conversions keep the diffusers tensor
+    names) dequantize through diffusion/gguf.py — reference
+    gguf_adapters role."""
     from safetensors import safe_open
 
     for f in _shard_files(os.path.join(path, subfolder)):
+        if f.endswith(".gguf"):
+            from vllm_omni_tpu.diffusion.gguf import iter_gguf_tensors
+
+            yield from iter_gguf_tensors(f)
+            continue
         with safe_open(f, framework="numpy") as st:
             for name in st.keys():
                 arr = st.get_tensor(name)
