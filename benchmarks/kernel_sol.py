@@ -55,33 +55,42 @@ def timed_loop(build_body, iters: int = 128, warmup: int = 2,
     (b) each leg is sampled `reps` times and the MIN taken (min-of-k
     strips the RTT tail; mins of both legs share the same floor).
     Bodies must carry a live data dependence on their op's output
-    (chain it into the carry) or XLA hoists the op out of the loop."""
+    (chain it into the carry) or XLA hoists the op out of the loop.
+
+    CRITICAL (axon tunnel): block_until_ready returns BEFORE remote
+    completion — executes are asynchronous on this rig, so naive
+    timings measure the enqueue, and piling up unfinished multi-second
+    executes wedges the chip. The only true barrier is a device→host
+    transfer of a value that data-depends on the loop output; every
+    timing below syncs that way."""
     init, body = build_body()
 
     @jax.jit
     def run(c, n):
-        return jax.lax.fori_loop(0, n, lambda i, c: body(c), c,
-                                 unroll=False)
+        c = jax.lax.fori_loop(0, n, lambda i, c: body(c), c,
+                              unroll=False)
+        # fold every leaf into one scalar the host will fetch — the
+        # transfer is the completion barrier
+        acc = jnp.float32(0)
+        for leaf in jax.tree.leaves(c):
+            acc = acc + jnp.sum(leaf.ravel()[:1]).astype(jnp.float32)
+        return acc
 
-    jax.block_until_ready(run(init, iters))  # compile + warm
+    def timed(n):
+        t0 = time.perf_counter()
+        float(jax.device_get(run(init, n)))
+        return time.perf_counter() - t0
+
+    timed(iters)  # compile + warm
     # calibrate: scale iters so kernel time dominates dispatch jitter
-    t = time.perf_counter()
-    jax.block_until_ready(run(init, iters))
-    t = time.perf_counter() - t
+    t = timed(iters)
     while t < target_s and iters < (1 << 20):
         grow = min(max(int(target_s / max(t, 1e-4)) + 1, 2), 32)
         iters *= grow
-        t = time.perf_counter()
-        jax.block_until_ready(run(init, iters))
-        t = time.perf_counter() - t
+        t = timed(iters)
 
     def leg(n):
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            jax.block_until_ready(run(init, n))
-            best = min(best, time.perf_counter() - t0)
-        return best
+        return min(timed(n) for _ in range(reps))
 
     for _ in range(3):
         delta = (leg(2 * iters) - leg(iters)) / iters

@@ -120,3 +120,46 @@ def test_ar2diffusion_family_runs():
     out = _run_family("glm_image", "image")
     img = np.asarray(out.multimodal_output.get("image"))
     assert img.size > 0
+
+
+def _run_diffusion_family(name: str, modality: str, dp):
+    from vllm_omni_tpu.entrypoints.omni import Omni
+
+    with open(resolve_stage_config(name)) as f:
+        raw = _shrink(yaml.safe_load(f))
+    st = raw["stage_args"][0]
+    st["engine_args"].pop("parallel", None)  # single-device test tier
+    st["engine_args"].pop("offload", None)
+    omni = Omni(model="dummy", stage_configs=raw)
+    out = omni.generate(["tiny prompt"], [dp])[0]
+    assert out.error is None, f"{name}: {out.error}"
+    return out
+
+
+def test_omnivoice_audio_dit_runs():
+    """Single-stage audio diffusion (1D latents = frames dim over a
+    1-row spatial grid; reference diffusion/models/omnivoice role)."""
+    from vllm_omni_tpu.core.sampling_params import \
+        DiffusionSamplingParams
+
+    dp = DiffusionSamplingParams(num_inference_steps=2, height=64,
+                                 width=64, guidance_scale=1.0, seed=0,
+                                 output_type="np")
+    out = _run_diffusion_family("omnivoice", "audio", dp)
+    assert out.multimodal_output, "no multimodal output"
+
+
+def test_wan2_2_video_family_runs():
+    """3D-rope video DiT, multi-frame latents + per-frame VAE decode
+    (reference diffusion/models/wan2_2 T2V role)."""
+    from vllm_omni_tpu.core.sampling_params import \
+        DiffusionSamplingParams
+
+    dp = DiffusionSamplingParams(num_inference_steps=2, height=64,
+                                 width=64, num_frames=3,
+                                 guidance_scale=1.0, seed=0,
+                                 output_type="np")
+    out = _run_diffusion_family("wan2_2", "video", dp)
+    frames = out.multimodal_output.get(
+        "image", out.multimodal_output.get("video"))
+    assert frames is not None and np.asarray(frames).shape[0] == 3

@@ -140,6 +140,10 @@ class _StageHandle:
             ro.outputs = [CompletionOutput(index=0, text="", token_ids=[])]
             if d.images is not None:
                 ro.multimodal_output["image"] = d.images
+            if getattr(d, "video", None) is not None:
+                ro.multimodal_output["video"] = d.video
+            if getattr(d, "audio", None) is not None:
+                ro.multimodal_output["audio"] = d.audio
             if d.latents is not None:
                 ro.multimodal_output["latent"] = d.latents
             ro.stage_durations = dict(d.stage_durations)
