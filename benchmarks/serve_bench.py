@@ -197,19 +197,21 @@ def bench_http(args) -> None:
     print(json.dumps(summary, indent=2))
 
 
-def main() -> None:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--pipeline", default="tts",
-                    choices=["llm", "tts", "t2i"])
-    ap.add_argument("--stage-configs-path", default=None)
-    ap.add_argument("--num-requests", type=int, default=8)
-    ap.add_argument("--concurrency", type=int, default=4)
-    ap.add_argument("--prompt-len", type=int, default=64)
-    ap.add_argument("--max-tokens", type=int, default=100)
-    ap.add_argument("--http", action="store_true",
-                    help="spawn the aiohttp server and bench over HTTP")
-    ap.add_argument("--out", default="/tmp/omni_bench")
-    args = ap.parse_args()
+def main(args=None) -> None:
+    if args is None:
+        ap = argparse.ArgumentParser()
+        ap.add_argument("--pipeline", default="tts",
+                        choices=["llm", "tts", "t2i"])
+        ap.add_argument("--stage-configs-path", default=None)
+        ap.add_argument("--num-requests", type=int, default=8)
+        ap.add_argument("--concurrency", type=int, default=4)
+        ap.add_argument("--prompt-len", type=int, default=64)
+        ap.add_argument("--max-tokens", type=int, default=100)
+        ap.add_argument("--http", action="store_true",
+                        help="spawn the aiohttp server and bench over "
+                             "HTTP")
+        ap.add_argument("--out", default="/tmp/omni_bench")
+        args = ap.parse_args()
     if args.http:
         bench_http(args)
         return

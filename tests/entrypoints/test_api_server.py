@@ -350,6 +350,40 @@ async def test_image_edits(aiohttp_client):
         o.shutdown()
 
 
+async def test_multimodal_chat_audio_part(aiohttp_client):
+    """OpenAI chat content parts: input_audio becomes placeholder
+    tokens + mm_inputs through the stage-0 encoder (reference
+    serving_chat multimodal input path)."""
+    AUDIO_TOKEN = 9
+    o = AsyncOmni(model="dummy", hf_overrides=TINY_HF, dtype="float32",
+                  max_model_len=256, num_pages=64, page_size=16,
+                  max_num_seqs=4, max_num_batched_tokens=128,
+                  mm_encoders={"audio_token_id": AUDIO_TOKEN,
+                               "audio": {"n_mels": 16, "hidden_size": 32,
+                                         "num_layers": 1, "num_heads": 2,
+                                         "max_frames": 64}})
+    o.runner.tokenizer = o.tokenizer = _FakeTok()
+    try:
+        client = await aiohttp_client(create_app(o, model_name="mm"))
+        mel = np.zeros((32, 16), np.float32)
+        r = await client.post("/v1/chat/completions", json={
+            "messages": [{"role": "user", "content": [
+                {"type": "text", "text": "hear this:"},
+                {"type": "input_audio",
+                 "input_audio": {"data": base64.b64encode(
+                     mel.tobytes()).decode(), "format": "f32"}},
+            ]}],
+            "max_tokens": 4, "temperature": 0.0, "ignore_eos": True})
+        assert r.status == 200, await r.text()
+        data = await r.json()
+        assert data["choices"][0]["finish_reason"] == "length"
+        # 32 mel frames / 4x stem subsample = 8 placeholder tokens
+        # consumed; prompt tokens = text tokens + 8
+        assert data["usage"]["prompt_tokens"] > 8
+    finally:
+        o.shutdown()
+
+
 async def test_voice_crud(client):
     r = await client.post("/v1/audio/voices", json={
         "name": "alice", "description": "warm"})

@@ -47,7 +47,33 @@ def main(argv: list[str] | None = None) -> int:
     gen.add_argument("--prompt", default="Hello")
     gen.add_argument("--max-tokens", type=int, default=32)
 
+    bench = sub.add_parser(
+        "bench", help="serving benchmark (reference `vllm bench serve`): "
+        "TTFT/TPOT/ITL/TTFP/RTF/E2E → stats.jsonl")
+    bench.add_argument("--pipeline", default="tts",
+                       choices=["llm", "tts", "t2i"])
+    bench.add_argument("--stage-configs-path", default=None)
+    bench.add_argument("--num-requests", type=int, default=8)
+    bench.add_argument("--concurrency", type=int, default=4)
+    bench.add_argument("--prompt-len", type=int, default=64)
+    bench.add_argument("--max-tokens", type=int, default=100)
+    bench.add_argument("--http", action="store_true",
+                       help="spawn the server and bench over HTTP")
+    bench.add_argument("--out", default="/tmp/omni_bench")
+
     args = parser.parse_args(argv)
+
+    if args.cmd == "bench":
+        import os
+
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.dirname(os.path.abspath(__file__))))),
+            "benchmarks"))
+        import serve_bench
+
+        serve_bench.main(args)
+        return 0
 
     if args.cmd == "serve":
         from vllm_omni_tpu.entrypoints.openai.api_server import run_server

@@ -52,21 +52,90 @@ async def list_models(request: web.Request) -> web.Response:
     })
 
 
+def _find_mm_processor(omni: AsyncOmni):
+    """The stage-0 engine's MMProcessor when it runs inline (placeholder
+    calculus for multimodal chat parts)."""
+    for handle in getattr(omni.runner, "handles", {}).values():
+        engine = getattr(handle, "engine", None)
+        proc = getattr(engine, "mm_processor", None)
+        if proc is not None:
+            return proc
+    return None
+
+
+def _decode_mm_part(part: dict) -> tuple[str, np.ndarray]:
+    """OpenAI chat content part → (modality, array). Supports
+    image_url data: URIs and input_audio base64 (f32 mel/wave or wav)."""
+    ptype = part.get("type")
+    if ptype == "image_url":
+        url = (part.get("image_url") or {}).get("url", "")
+        if not url.startswith("data:"):
+            raise ValueError("only data: image URIs are supported "
+                             "(no egress)")
+        from PIL import Image
+
+        raw = base64.b64decode(url.split(",", 1)[1])
+        return "image", np.asarray(
+            Image.open(io.BytesIO(raw)).convert("RGB"), np.uint8)
+    if ptype == "input_audio":
+        spec = part.get("input_audio") or {}
+        raw = base64.b64decode(spec.get("data", ""))
+        fmt = spec.get("format", "f32")
+        if fmt == "wav":
+            pcm = np.frombuffer(raw[44:], "<i2").astype(np.float32)
+            return "audio", pcm / 32768.0
+        return "audio", np.frombuffer(raw, np.float32).copy()
+    raise ValueError(f"unsupported content part {ptype!r}")
+
+
 def _messages_to_prompt(omni: AsyncOmni, messages: list) -> Any:
+    """Chat messages → engine prompt. Multimodal parts (image_url data:
+    URIs, input_audio) become placeholder-token runs + mm_inputs
+    (reference serving_chat multimodal input path)."""
     tok = omni.tokenizer
     msgs = []
+    mm_parts: list[tuple[str, np.ndarray]] = []
     for m in messages:
         content = m.content
-        if isinstance(content, list):  # multimodal parts: text only (mm
-            # inputs attach via engine mm_inputs in a later milestone)
-            content = " ".join(p.get("text", "") for p in content
-                               if p.get("type") == "text")
+        if isinstance(content, list):
+            texts = []
+            for p in content:
+                if p.get("type") == "text":
+                    texts.append(p.get("text", ""))
+                else:
+                    mm_parts.append(_decode_mm_part(p))
+                    texts.append(f"\x00mm{len(mm_parts) - 1}\x00")
+            content = " ".join(texts)
         msgs.append({"role": m.role, "content": content or ""})
     if tok is not None and getattr(tok, "chat_template", None):
-        return tok.apply_chat_template(msgs, tokenize=True,
-                                       add_generation_prompt=True)
-    text = "".join(f"<|{m['role']}|>{m['content']}\n" for m in msgs)
-    return text + "<|assistant|>"
+        prompt = tok.apply_chat_template(msgs, tokenize=not mm_parts,
+                                         add_generation_prompt=True)
+    else:
+        prompt = "".join(f"<|{m['role']}|>{m['content']}\n"
+                         for m in msgs) + "<|assistant|>"
+    if not mm_parts:
+        return prompt
+    proc = _find_mm_processor(omni)
+    if proc is None or tok is None:
+        raise ValueError("multimodal chat parts need an inline stage-0 "
+                         "engine with mm_encoders and a tokenizer")
+    # splice placeholder-token runs at the sentinel positions
+    token_ids: list[int] = []
+    mm_inputs: dict[str, list] = {}
+    for i, segment in enumerate(prompt.split("\x00")):
+        if i % 2 == 0:
+            if segment:
+                token_ids.extend(tok.encode(segment))
+            continue
+        modality, arr = mm_parts[int(segment[2:])]
+        token_id = (proc.audio_token_id if modality == "audio"
+                    else proc.image_token_id)
+        if token_id is None:
+            raise ValueError(f"stage-0 engine has no "
+                             f"{modality}_token_id configured")
+        token_ids.extend([token_id] * proc.feature_rows(modality, arr))
+        mm_inputs.setdefault(modality, []).append(arr)
+    return {"prompt_token_ids": token_ids, "mm_inputs": mm_inputs}
 
 
 async def chat_completions(request: web.Request) -> web.StreamResponse:

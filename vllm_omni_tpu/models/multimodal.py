@@ -106,6 +106,30 @@ class MMProcessor:
         out = self._vision_fn(self.vision_params, jnp.asarray(pixels))
         return np.asarray(out).reshape(-1, out.shape[-1])
 
+    def feature_rows(self, modality: str, data: np.ndarray) -> int:
+        """How many placeholder tokens one input occupies — the number
+        of encoder feature rows (serving handlers splice this many
+        `<modality>_token_id`s into the prompt; reference serving_chat
+        placeholder expansion)."""
+        data = np.asarray(data)
+        if modality == "audio":
+            if self.audio_cfg is None:
+                raise ValueError("no audio encoder configured")
+            t = (data.size // self.audio_cfg.n_mels
+                 if data.ndim == 1 else data.shape[-2])
+            sub = self.audio_cfg.subsample
+            return -(-t // sub)
+        if modality == "image":
+            if self.vision_cfg is None:
+                raise ValueError("no vision encoder configured")
+            h, w = data.shape[-3], data.shape[-2]
+            cfg = self.vision_cfg
+            gh, gw = h // cfg.patch_size, w // cfg.patch_size
+            n = (gh // cfg.merge_size) * (gw // cfg.merge_size) \
+                if cfg.merge_size > 1 else gh * gw
+            return n + (1 if cfg.use_cls_token else 0)
+        raise ValueError(modality)
+
     def compute_mrope_positions(self, prompt_token_ids: list[int]
                                 ) -> tuple[np.ndarray, int]:
         """[3, T] (time/height/width) position ids + decode delta
