@@ -49,6 +49,15 @@ class RequestE2EStats:
     stage_durations: dict[str, float] = field(default_factory=dict)
     num_output_tokens: int = 0
     audio_seconds: float = 0.0
+    # inter-token latency accumulators (wire-visible token batches)
+    last_token_ts: Optional[float] = None
+    itl_sum_s: float = 0.0
+    itl_count: int = 0
+    itl_max_s: float = 0.0
+
+    @property
+    def itl_mean_s(self) -> Optional[float]:
+        return self.itl_sum_s / self.itl_count if self.itl_count else None
 
     @property
     def e2e_s(self) -> Optional[float]:
@@ -98,8 +107,15 @@ class OrchestratorAggregator:
         if finished:
             st.num_finished += 1
         req = self.requests.get(request_id)
-        if req is not None and req.ttft_s is None and num_new_tokens:
-            req.ttft_s = now - req.arrival_ts
+        if req is not None and num_new_tokens:
+            if req.ttft_s is None:
+                req.ttft_s = now - req.arrival_ts
+            elif req.last_token_ts is not None:
+                itl = (now - req.last_token_ts) / num_new_tokens
+                req.itl_sum_s += itl * num_new_tokens
+                req.itl_count += num_new_tokens
+                req.itl_max_s = max(req.itl_max_s, itl)
+            req.last_token_ts = now
 
     def on_request_finish(self, request_id: str,
                           output: Any = None) -> None:
@@ -137,6 +153,8 @@ class OrchestratorAggregator:
             "ttft_s": req.ttft_s,
             "ttfp_s": req.ttfp_s,
             "tpot_s": req.tpot_s,
+            "itl_mean_s": req.itl_mean_s,
+            "itl_max_s": req.itl_max_s if req.itl_count else None,
             "rtf": req.rtf,
             "num_output_tokens": req.num_output_tokens,
             "stage_durations": req.stage_durations,
