@@ -95,6 +95,26 @@ class TestVoiceCache:
         # raw registry keeps all three; decode repopulates
         assert vc.get("a") is not None
 
+    def test_voice_clone_tokenizes_once(self):
+        from vllm_omni_tpu.models.audio_tokenizer import (
+            AudioTokenizer, AudioTokenizerConfig)
+
+        tok = AudioTokenizer(AudioTokenizerConfig(
+            n_mels=16, hidden_size=32, num_layers=1, num_heads=2,
+            codebook_size=64, n_q=4, latent_dim=16, frame_pool=2))
+        vc = VoiceCache(tokenizer=tok)
+        mel = np.random.default_rng(0).standard_normal(
+            (64, 16)).astype(np.float32)
+        vc.put("clone", audio_b64=base64.b64encode(
+            mel.tobytes()).decode())
+        ent = vc.get("clone")
+        assert ent.ref_codes is not None
+        assert ent.ref_codes.shape == (16, 4)  # 12hz-class frames, n_q
+        cond = ent.conditioning()
+        np.testing.assert_array_equal(cond["ref_codes"], ent.ref_codes)
+        # cached: same entry, no re-tokenize
+        assert vc.get("clone") is ent
+
 
 class TestAudioAssembly:
     def test_concat_crossfade_length(self):

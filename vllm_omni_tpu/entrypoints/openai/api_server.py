@@ -839,16 +839,26 @@ async def profiler_stop(request: web.Request) -> web.Response:
 # ---------------------------------------------------------------------------
 
 
-def create_app(omni: AsyncOmni, model_name: str = "omni") -> web.Application:
+def create_app(omni: AsyncOmni, model_name: str = "omni",
+               voice_tokenizer: Optional[dict] = None) -> web.Application:
+    """voice_tokenizer: AudioTokenizerConfig kwargs — when given,
+    cloned-voice reference audio is tokenized once to codec codes
+    (12hz-tokenizer role) and rides requests as ref_codes."""
     import asyncio as _a  # noqa: F401  (used by handlers)
 
     from vllm_omni_tpu.profiler import StageProfiler
 
+    tok = None
+    if voice_tokenizer is not None:
+        from vllm_omni_tpu.models.audio_tokenizer import \
+            get_audio_tokenizer
+
+        tok = get_audio_tokenizer(**voice_tokenizer)
     app = web.Application(client_max_size=64 * 1024 * 1024)
     app[OMNI_KEY] = omni
     app[NAME_KEY] = model_name
     app[JOBS_KEY] = {}
-    app[VOICES_KEY] = VoiceCache()
+    app[VOICES_KEY] = VoiceCache(tokenizer=tok)
     app[SYNTH_KEY] = SynthesisCache()
     app[PROF_KEY] = StageProfiler()
     app.router.add_get("/health", health)

@@ -109,6 +109,9 @@ class VoiceEntry:
     sample_rate: int = 24000
     # decoded reference audio for voice cloning, float32 [-1, 1]
     ref_audio: Optional[np.ndarray] = None
+    # discrete codec codes of the reference audio (12hz-tokenizer role:
+    # tokenize-once, reuse per request)
+    ref_codes: Optional[np.ndarray] = None
     # opaque conditioning the pipeline may attach (speaker embedding etc.)
     extra: dict[str, Any] = field(default_factory=dict)
 
@@ -119,6 +122,8 @@ class VoiceEntry:
         if self.ref_audio is not None:
             cond["ref_audio"] = self.ref_audio
             cond["ref_sample_rate"] = self.sample_rate
+        if self.ref_codes is not None:
+            cond["ref_codes"] = self.ref_codes
         return cond
 
 
@@ -131,11 +136,14 @@ class VoiceCache:
     thread both touch it.
     """
 
-    def __init__(self, capacity: int = 64) -> None:
+    def __init__(self, capacity: int = 64, tokenizer: Any = None) -> None:
         self._lock = threading.Lock()
         self._raw: dict[str, dict[str, Any]] = {}
         self._decoded: OrderedDict[str, VoiceEntry] = OrderedDict()
         self.capacity = capacity
+        # optional discrete audio tokenizer (models/audio_tokenizer.py):
+        # cloned-voice reference audio is tokenized once to codec codes
+        self.tokenizer = tokenizer
 
     # -- registry (CRUD) ---------------------------------------------------
     def put(self, name: str, *, audio_b64: Optional[str] = None,
@@ -171,12 +179,16 @@ class VoiceCache:
             if raw is None:
                 return None
             ref = None
+            codes = None
             if raw["audio"]:
                 buf = base64.b64decode(raw["audio"])
                 ref = np.frombuffer(buf, np.float32).copy()
+                if self.tokenizer is not None:
+                    codes = self.tokenizer.encode(ref)
             ent = VoiceEntry(name=name, description=raw["description"],
                              sample_rate=raw["sample_rate"],
-                             ref_audio=ref, extra=dict(raw["extra"]))
+                             ref_audio=ref, ref_codes=codes,
+                             extra=dict(raw["extra"]))
             self._decoded[name] = ent
             while len(self._decoded) > self.capacity:
                 self._decoded.popitem(last=False)
