@@ -62,12 +62,24 @@ def timed_loop(build_body, iters: int = 128, warmup: int = 2,
     timings measure the enqueue, and piling up unfinished multi-second
     executes wedges the chip. The only true barrier is a device→host
     transfer of a value that data-depends on the loop output; every
-    timing below syncs that way."""
-    init, body = build_body()
+    timing below syncs that way.
+
+    build_body() -> (init, body) or (init, consts, body(c, consts)).
+    Weights MUST ride in `consts` (runtime args), not body closures —
+    a closed-over jnp array becomes an inline HLO constant, which (a)
+    blows the remote-compile request past its HTTP body limit for
+    GB-scale weights and (b) invites constant-specific compiler tricks
+    that break the bandwidth accounting."""
+    built = build_body()
+    if len(built) == 2:
+        init, body = built
+        consts = ()
+    else:
+        init, consts, body = built
 
     @jax.jit
-    def run(c, n):
-        c = jax.lax.fori_loop(0, n, lambda i, c: body(c), c,
+    def run(c, n, *cs):
+        c = jax.lax.fori_loop(0, n, lambda i, c: body(c, *cs), c,
                               unroll=False)
         # fold every leaf into one scalar the host will fetch — the
         # transfer is the completion barrier
@@ -78,7 +90,7 @@ def timed_loop(build_body, iters: int = 128, warmup: int = 2,
 
     def timed(n):
         t0 = time.perf_counter()
-        float(jax.device_get(run(init, n)))
+        float(jax.device_get(run(init, n, *consts)))
         return time.perf_counter() - t0
 
     timed(iters)  # compile + warm
@@ -128,11 +140,15 @@ def bench_hbm_read(gb: float = 0.5) -> float:
 
 def _chain(xx, o, k):
     """Feed the op output back into the next iteration's input — a live
-    data dependence XLA cannot hoist or CSE away. The tiny perturbation
-    keeps xx numerically sane across iterations."""
-    n = o.shape[-1]
-    reps = -(-k // n)
-    fold = jnp.tile(o.astype(jnp.float32), (1, reps))[:, :k]
+    data dependence XLA cannot hoist or CSE away. EVERY output column
+    must fold into the carry: folding only o[:, :k] lets DCE slice the
+    weight to its first k columns (measured: bf16 lm_head 'ran' at
+    22 TB/s because only 4096 of 128256 columns were ever read). The
+    tiny perturbation keeps xx numerically sane across iterations."""
+    m, n = o.shape
+    reps = -(-n // k)
+    of = jnp.pad(o.astype(jnp.float32), ((0, 0), (0, reps * k - n)))
+    fold = of.reshape(m, reps, k).sum(axis=1)
     return (xx.astype(jnp.float32) + fold * 1e-6).astype(xx.dtype)
 
 
@@ -141,31 +157,31 @@ def _mk_matmul(m, k, n, kind, seed=0):
     x = jax.random.normal(key, (m, k), jnp.bfloat16)
     w = jax.random.normal(key, (k, n), jnp.float32) * 0.02
     if kind == "bf16":
-        wa = w.astype(jnp.bfloat16)
+        wa = jax.device_put(w.astype(jnp.bfloat16))
 
-        def body(xx):
+        def body(xx, wa):
             o = jnp.dot(xx, wa, preferred_element_type=jnp.float32)
             return _chain(xx, o, k)
 
-        return x, body
+        return x, (wa,), body
     from vllm_omni_tpu.ops.quant import (int8_matmul_pallas, int8_matmul_xla,
                                          quantize_int8)
 
     wq, scale = quantize_int8(w)
     wq, scale = jax.device_put((wq, scale))
     if kind == "int8_xla":
-        def body(xx):
+        def body(xx, wq, scale):
             return _chain(xx, int8_matmul_xla(xx, wq, scale), k)
 
-        return x, body
+        return x, (wq, scale), body
     if kind == "int8_pallas":
-        def body(xx):
+        def body(xx, wq, scale):
             return _chain(xx, int8_matmul_pallas(xx, wq, scale), k)
 
-        return x, body
+        return x, (wq, scale), body
     if kind == "int8_native":
         # w8a8: dynamic per-token act quant + s8xs8 -> s32 MXU dot
-        def body(xx):
+        def body(xx, wq, scale):
             amax = jnp.max(jnp.abs(xx.astype(jnp.float32)), axis=-1)
             xs = jnp.maximum(amax / 127.0, 1e-8)
             xq = jnp.clip(jnp.round(xx.astype(jnp.float32) / xs[:, None]),
@@ -177,7 +193,7 @@ def _mk_matmul(m, k, n, kind, seed=0):
                  scale[None, :]).astype(jnp.bfloat16)
             return _chain(xx, o, k)
 
-        return x, body
+        return x, (wq, scale), body
     raise ValueError(kind)
 
 
@@ -233,13 +249,13 @@ def bench_paged_attention(b=32, ctx=248, layers=1):
     q = jax.random.normal(key, (b, hq, d), jnp.bfloat16)
 
     def build():
-        def body(qq):
+        def body(qq, kp, vp, bt, kv_lens):
             # output has q's shape: chain it directly (convex combos of
             # N(0,1) v stay bounded across iterations)
             return paged_attention_decode_pallas(qq, kp, vp, bt, kv_lens,
                                                  scale=d ** -0.5)
 
-        return q, body
+        return q, (kp, vp, bt, kv_lens), body
 
     t = timed_loop(build, iters=256)
     kv_bytes = b * ctx * 2 * hkv * d * 2

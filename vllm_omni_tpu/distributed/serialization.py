@@ -42,12 +42,16 @@ def _dtype_tag(dt: np.dtype) -> str:
     return str(dt)
 
 
-def encode_payload(obj: Any) -> bytes:
-    """Nested dict/list structure with numpy/jax arrays → bytes."""
+def encode_payload_parts(obj: Any) -> list:
+    """Nested dict/list structure with numpy/jax arrays → list of
+    buffers [prefix, tensor0, tensor1, ...]. Tensor buffers are
+    memoryviews over the (contiguous) source arrays — ZERO copies; the
+    transport scatter-gathers them (sendmsg / writev), the Mooncake-
+    RDMA-role move. b"".join(parts) is the single-blob form."""
     tensors: list[np.ndarray] = []
     tree = _flatten(obj, "", tensors, None)
     metas = []
-    blobs = []
+    bufs = []
     offset = 0
     for t in tensors:
         dt = _dtype_tag(t.dtype)
@@ -55,17 +59,22 @@ def encode_payload(obj: Any) -> bytes:
             raw = t.view(np.uint16) if isinstance(t, np.ndarray) else t
             raw = np.ascontiguousarray(raw)
             dt = "bfloat16"
-            b = raw.tobytes()
+            b = memoryview(raw).cast("B")  # flat byte view, no copy
         else:
-            b = np.ascontiguousarray(t).tobytes()
+            b = memoryview(np.ascontiguousarray(t)).cast("B")
         metas.append({"dtype": dt, "shape": list(t.shape),
                       "offset": offset, "nbytes": len(b)})
-        blobs.append(b)
+        bufs.append(b)
         offset += len(b)
     header = msgpack.packb({"tree": tree, "tensors": metas},
                            use_bin_type=True)
-    return b"".join([MAGIC, len(header).to_bytes(8, "little"), header] +
-                    blobs)
+    return [b"".join([MAGIC, len(header).to_bytes(8, "little"),
+                      header])] + bufs
+
+
+def encode_payload(obj: Any) -> bytes:
+    """Nested dict/list structure with numpy/jax arrays → bytes."""
+    return b"".join(encode_payload_parts(obj))
 
 
 def decode_payload(data: Union[bytes, memoryview]) -> Any:

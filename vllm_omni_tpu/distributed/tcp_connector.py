@@ -21,29 +21,36 @@ import threading
 from typing import Any, Optional
 
 from vllm_omni_tpu.distributed.connectors import ConnectorBase
-from vllm_omni_tpu.distributed.serialization import (decode_payload,
-                                                     encode_payload)
+from vllm_omni_tpu.distributed.serialization import (
+    decode_payload, encode_payload_parts)
 from vllm_omni_tpu.logger import init_logger
 
 logger = init_logger(__name__)
 
 
-def _send_frame(sock: socket.socket, data: bytes) -> None:
-    sock.sendall(struct.pack("<Q", len(data)) + data)
+def _send_frame(sock: socket.socket, *parts) -> None:
+    """Length-prefixed frame; scatter-gather send — no payload copy
+    (the reference's Mooncake RDMA path avoids staging copies the same
+    way; on TPU hosts the data plane is DCN TCP)."""
+    total = sum(len(p) for p in parts)
+    sock.sendmsg([struct.pack("<Q", total), *parts])
 
 
-def _recv_exact(sock: socket.socket, n: int) -> bytes:
-    buf = bytearray()
-    while len(buf) < n:
-        chunk = sock.recv(min(1 << 20, n - len(buf)))
-        if not chunk:
+def _recv_exact(sock: socket.socket, n: int) -> bytearray:
+    """recv_into a preallocated buffer — one allocation, zero copies."""
+    buf = bytearray(n)
+    view = memoryview(buf)
+    got = 0
+    while got < n:
+        r = sock.recv_into(view[got:], n - got)
+        if not r:
             raise ConnectionError("peer closed mid-frame")
-        buf.extend(chunk)
-    return bytes(buf)
+        got += r
+    return buf
 
 
-def _recv_frame(sock: socket.socket) -> bytes:
-    (n,) = struct.unpack("<Q", _recv_exact(sock, 8))
+def _recv_frame(sock: socket.socket) -> bytearray:
+    (n,) = struct.unpack("<Q", bytes(_recv_exact(sock, 8)))
     return _recv_exact(sock, n)
 
 
@@ -76,15 +83,22 @@ class TcpConnector(ConnectorBase):
     def _handle(self, conn: socket.socket) -> None:
         try:
             with conn:
-                req = _recv_frame(conn).decode()
+                conn.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY,
+                                1)
+                conn.setsockopt(socket.SOL_SOCKET, socket.SO_SNDBUF,
+                                1 << 22)
+                req = bytes(_recv_frame(conn)).decode()
                 op, _, key = req.partition(" ")
                 with self._lock:
-                    blob = self._store.get(key)
+                    parts = self._store.get(key)
                 if op == "GET":
-                    if blob is None:
+                    if parts is None:
                         _send_frame(conn, b"MISS")
                     else:
-                        _send_frame(conn, b"HIT" + blob)
+                        # status frame, then the payload parts as one
+                        # scatter-gathered frame (no concat copies)
+                        _send_frame(conn, b"HIT")
+                        _send_frame(conn, *parts)
                 elif op == "DEL":
                     with self._lock:
                         self._store.pop(key, None)
@@ -94,11 +108,14 @@ class TcpConnector(ConnectorBase):
 
     # -- connector API -------------------------------------------------------
     def put(self, from_stage, to_stage, key, data):
-        blob = encode_payload(data)
+        # zero-copy: parts are memoryviews over the source tensors
+        # (scatter-gathered on the wire); nothing is joined on put
+        parts = encode_payload_parts(data)
+        nbytes = sum(len(p) for p in parts)
         ek = self.edge_key(from_stage, to_stage, key)
         with self._lock:
-            self._store[ek] = blob
-        return True, len(blob), {"addr": self.addr}
+            self._store[ek] = parts
+        return True, nbytes, {"addr": self.addr}
 
     def get(self, from_stage, to_stage, key, metadata: Optional[dict] =
             None):
@@ -106,18 +123,21 @@ class TcpConnector(ConnectorBase):
         addr = (metadata or {}).get("addr")
         if addr is None or addr == self.addr:
             with self._lock:
-                blob = self._store.get(ek)
-            if blob is None:
+                parts = self._store.get(ek)
+            if parts is None:
                 raise KeyError(ek)
+            blob = b"".join(parts)
             return decode_payload(blob), len(blob)
         host, _, port = addr.rpartition(":")
         with socket.create_connection((host, int(port)), timeout=30) as s:
+            s.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+            s.setsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF, 1 << 22)
             _send_frame(s, f"GET {ek}".encode())
-            resp = _recv_frame(s)
-        if resp[:4] == b"MISS":
-            raise KeyError(ek)
-        blob = resp[3:]
-        return decode_payload(blob), len(blob)
+            status = bytes(_recv_frame(s))
+            if status == b"MISS":
+                raise KeyError(ek)
+            blob = _recv_frame(s)
+        return decode_payload(memoryview(blob)), len(blob)
 
     def cleanup(self, from_stage, to_stage, key):
         ek = self.edge_key(from_stage, to_stage, key)
