@@ -2,11 +2,12 @@
 
 Workload: Llama-3-8B-shaped dense AR decoder (BASELINE.json config 2
 class), INT8 weight-only, bf16 KV, continuous-batching decode at batch
-32 (serving steady state). Random weights (numerics identical to real
-weights for throughput). Batch 32 amortizes MXU weight-pass latency —
-measured: decode at batch<=8 is pass-latency-bound (int8 and bf16
-matmuls cost the same ~0.7 ms at M=8), so tokens/chip scales with batch
-until M~128.
+64 (serving steady state; BENCH_BS overrides). Random weights (numerics
+identical to real weights for throughput). Decode is weight-bandwidth-
+bound (per-kernel table in docs/design/performance.md: serving matmuls
+at 75-92% of the HBM roofline), so tokens/chip scales with batch while
+the weight pass is shared: measured 2196.5 tok/s at bs=32, 3822.8 at
+bs=64.
 
 Prints ONE json line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
@@ -21,9 +22,10 @@ import os
 import sys
 import time
 
-BATCH = 32
+BATCH = int(os.environ.get("BENCH_BS", "64"))
 DECODE_STEPS = 128
 PROMPT_LEN = 120
+MEM_FRACTION = float(os.environ.get("BENCH_MEM_FRACTION", "0.72"))
 
 # Llama-3-8B geometry
 LLAMA8B_HF = {
@@ -46,7 +48,7 @@ def main() -> None:
     config = EngineConfig.from_kwargs(
         model="dummy", hf_overrides=LLAMA8B_HF, dtype="bfloat16",
         quantization="int8", kv_cache_dtype="bfloat16",
-        max_model_len=512, page_size=16, memory_fraction=0.55,
+        max_model_len=512, page_size=16, memory_fraction=MEM_FRACTION,
         max_num_seqs=BATCH, max_num_batched_tokens=1024,
         multi_step=16, decode_bs_buckets=(BATCH,),
         prefill_token_buckets=(128, 256, 512, 1024))
@@ -80,7 +82,7 @@ def main() -> None:
 
     baseline = 39.9  # ref FP8 30B-A3B decode tok/s on 1xH200 (BASELINE.md)
     print(json.dumps({
-        "metric": "decode_tok_s_per_chip_llama8b_int8_bs32",
+        "metric": f"decode_tok_s_per_chip_llama8b_int8_bs{BATCH}",
         "value": round(tps, 2),
         "unit": "tok/s",
         "vs_baseline": round(tps / baseline, 3),
