@@ -132,10 +132,22 @@ class Scheduler:
         #    Prefill-priority fills the decode batch quickly; chunked
         #    prefill caps per-step latency impact.
         budget = self.config.max_num_batched_tokens
+        # Anti-thrash admission watermark: admitting a new prefill when
+        # the running set is already near page capacity triggers a
+        # preempt→recompute→preempt livelock (measured: bs=128 on a
+        # 1638-page pool collapsed to half of bs=32's throughput).
+        # Require one free page of decode headroom per running request
+        # before admitting anyone new; mid-prompt chunked continuations
+        # (num_computed_tokens > 0) are exempt — their pages are sunk.
+        free = self.block_manager.num_free_pages
+        headroom_ok = free > len(self.running)
         while (self.waiting and budget > 0
                and len(self.running) + len(out.prefills) <
                self.config.max_num_seqs):
             req = self.waiting[0]
+            if not headroom_ok and req.num_computed_tokens == 0 and \
+                    not req.page_ids:
+                break
             remaining = req.num_prompt_tokens - req.num_computed_tokens
             if remaining <= 0:
                 # resumable request waiting for more input

@@ -424,18 +424,22 @@ def _decode_kernel(block_tables_ref, num_blocks_ref, context_lens_ref,
                    *, pages_per_blk: int, page_size: int, hkv: int,
                    g: int, scale: float, kv_scale: float = 1.0):
     b = pl.program_id(0)
+    nprog = pl.num_programs(0)
     n_blocks = num_blocks_ref[b]
     ctx = context_lens_ref[b]
     p_max = block_tables_ref.shape[1]
 
-    def start_fetch(blk, slot):
+    def start_fetch_for(seq, blk, slot):
         for i in range(pages_per_blk):
             page_idx = jnp.minimum(blk * pages_per_blk + i, p_max - 1)
-            pid = block_tables_ref[b, page_idx]
+            pid = block_tables_ref[seq, page_idx]
             pltpu.make_async_copy(k_hbm.at[pid], k_buf.at[slot, i],
                                   k_sem.at[slot, i]).start()
             pltpu.make_async_copy(v_hbm.at[pid], v_buf.at[slot, i],
                                   v_sem.at[slot, i]).start()
+
+    def start_fetch(blk, slot):
+        start_fetch_for(b, blk, slot)
 
     def wait_fetch(slot):
         for i in range(pages_per_blk):
@@ -444,9 +448,22 @@ def _decode_kernel(block_tables_ref, num_blocks_ref, context_lens_ref,
             pltpu.make_async_copy(v_hbm.at[0], v_buf.at[slot, i],
                                   v_sem.at[slot, i]).wait()
 
-    @pl.when(n_blocks > 0)
+    # Cross-program prefetch: every program issues the NEXT sequence's
+    # block 0 into slot 0 at its end (the grid runs sequentially on one
+    # core; VMEM scratch + DMA semaphores persist across programs), so
+    # block 0's data is in flight during the previous program's compute
+    # — removes the per-sequence pipeline bubble. Starts are
+    # unconditional (even for ctx=0 sequences) and matched by exactly
+    # one wait below, keeping semaphore counts balanced.
+    @pl.when(b == 0)
     def _():
         start_fetch(0, 0)
+
+    # ctx=0 rows never enter the loop: consume the prefetched block 0
+    # so the start/wait pairing stays balanced for the next program.
+    @pl.when(n_blocks == 0)
+    def _():
+        wait_fetch(0)
 
     blk_tokens = pages_per_blk * page_size  # logical tokens per head
     q = q_ref[0].astype(jnp.float32)        # [H, D] (H = hkv·g, hkv-major)
@@ -520,6 +537,12 @@ def _decode_kernel(block_tables_ref, num_blocks_ref, context_lens_ref,
             jnp.full((h, 1), NEG_INF, jnp.float32),
             jnp.zeros((h, 1), jnp.float32))
     acc, m, l = jax.lax.fori_loop(0, n_blocks, body, init)
+    # prefetch the next sequence's block 0 (see note above); slot 0's
+    # last in-program use was waited before its block's compute
+    @pl.when(b + 1 < nprog)
+    def _():
+        start_fetch_for(b + 1, 0, 0)
+
     o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
