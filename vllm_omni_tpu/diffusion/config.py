@@ -30,6 +30,15 @@ class DiTConfig:
     # quantized attention (per-token int8 Q/K, s8×s8 QK^T on the MXU
     # int path — reference diffusion/attention/backends/sage_attn.py:27)
     attention_backend: str = "auto"
+    # MoE DiT (HunyuanImage3 class, reference diffusion/models/
+    # hunyuan_image3 — MoE transformer blocks with routed expert FFNs;
+    # EP = expert dim sharded over the mesh). 0 experts = dense.
+    num_experts: int = 0
+    num_experts_per_tok: int = 2
+
+    @property
+    def is_moe(self) -> bool:
+        return self.num_experts > 0
 
     @property
     def patch_dim(self) -> int:

@@ -183,10 +183,47 @@ def _dit_block(layer: Params, cfg: DiTConfig, x: jnp.ndarray,
 
     h = _layer_norm_nb(x)
     h = _modulate(h, shift_m, scale_m)
-    h = linear(h, layer["mlp_in"])
-    h = jax.nn.gelu(h.astype(jnp.float32), approximate=True).astype(x.dtype)
-    h = linear(h, layer["mlp_out"])
+    if "experts" in layer:
+        h = _dit_moe_mlp(layer, cfg, h)
+    else:
+        h = linear(h, layer["mlp_in"])
+        h = jax.nn.gelu(h.astype(jnp.float32),
+                        approximate=True).astype(x.dtype)
+        h = linear(h, layer["mlp_out"])
     return x + gate_m[:, None, :] * h
+
+
+def _dit_moe_mlp(layer: Params, cfg: DiTConfig,
+                 x: jnp.ndarray) -> jnp.ndarray:
+    """Routed-expert FFN for MoE DiT blocks (HunyuanImage3 role,
+    reference diffusion/models/hunyuan_image3 MoE DiT + EP over the
+    non-PP ranks, docs/design/feature/expert_parallel.md).
+
+    Dense dispatch, same rationale as the AR tower's `_moe_mlp`
+    (models/decoder.py): at denoise token counts the layer is weight-
+    bandwidth-bound, every expert's weights stream from HBM regardless,
+    and static shapes keep XLA happy. EP = the expert axis of the
+    einsums sharded over "tp" (dit_param_shardings), so each rank
+    streams only its expert shard and the combine is a psum XLA inserts."""
+    b, t, hs = x.shape
+    xf = x.reshape(b * t, hs)
+    logits = jnp.dot(xf, layer["router"]["w"].astype(xf.dtype),
+                     preferred_element_type=jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1)  # [T, E]
+    k = min(cfg.num_experts_per_tok, cfg.num_experts)
+    topk_p, topk_i = jax.lax.top_k(probs, k)
+    topk_p = topk_p / jnp.sum(topk_p, axis=-1, keepdims=True)
+    combine = jnp.zeros_like(probs).at[
+        jnp.arange(xf.shape[0])[:, None], topk_i].set(topk_p)
+    ew = layer["experts"]
+    hcur = jnp.einsum("th,ehi->eti", xf, ew["mlp_in"].astype(xf.dtype),
+                      preferred_element_type=jnp.float32)
+    hcur = jax.nn.gelu(hcur, approximate=True).astype(x.dtype)
+    out = jnp.einsum("eti,eih->eth", hcur,
+                     ew["mlp_out"].astype(x.dtype),
+                     preferred_element_type=jnp.float32)
+    mixed = jnp.einsum("te,eth->th", combine.astype(jnp.float32), out)
+    return mixed.astype(x.dtype).reshape(b, t, hs)
 
 
 def _layer_norm_nb(x: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
@@ -434,7 +471,7 @@ def init_dit_params(cfg: DiTConfig, key: jax.Array,
         "layers": [],
     }
     for _ in range(cfg.num_layers):
-        params["layers"].append({
+        layer = {
             # trained checkpoints are AdaLN-Zero; random init uses small
             # nonzero modulation so blocks (and thus conditioning) are
             # active in the tiny-model test tier
@@ -445,9 +482,26 @@ def init_dit_params(cfg: DiTConfig, key: jax.Array,
             "o_proj": _lin(next(keys), qk, hs, dtype),
             "q_norm": jnp.ones((cfg.head_dim,), dtype),
             "k_norm": jnp.ones((cfg.head_dim,), dtype),
-            "mlp_in": _lin(next(keys), hs, mlp, dtype),
-            "mlp_out": _lin(next(keys), mlp, hs, dtype),
-        })
+        }
+        if cfg.is_moe:
+            # MoE DiT block (HunyuanImage3 role): router + per-expert
+            # gelu FFN; the expert axis shards over "tp" (EP)
+            e = cfg.num_experts
+            layer["router"] = {"w": (jax.random.normal(
+                next(keys), (hs, e), jnp.float32) * hs ** -0.5
+            ).astype(dtype)}
+            layer["experts"] = {
+                "mlp_in": (jax.random.normal(
+                    next(keys), (e, hs, mlp), jnp.float32) *
+                    hs ** -0.5).astype(dtype),
+                "mlp_out": (jax.random.normal(
+                    next(keys), (e, mlp, hs), jnp.float32) *
+                    mlp ** -0.5).astype(dtype),
+            }
+        else:
+            layer["mlp_in"] = _lin(next(keys), hs, mlp, dtype)
+            layer["mlp_out"] = _lin(next(keys), mlp, hs, dtype)
+        params["layers"].append(layer)
     return params
 
 
@@ -465,6 +519,10 @@ def dit_param_shardings(params: Params) -> Params:
             return P("pp")
         leaf_name = names[-1] if names else ""
         parent = names[-2] if len(names) >= 2 else ""
+        if parent == "experts":
+            # EP: expert axis over "tp" — each rank streams its expert
+            # shard; the routed combine's psum rides ICI
+            return P("tp", None, None)
         if parent in col:
             return P(None, "tp") if leaf_name == "w" else P("tp")
         if parent in row:
