@@ -618,12 +618,19 @@ def _prefill_kernel(block_tables_ref, num_blocks_ref, q_start_ref,
                     kv_lens_ref, q_ref, k_hbm, v_hbm, o_ref,
                     k_buf, v_buf, k_sem, v_sem,
                     *, pages_per_blk: int, page_size: int, scale: float,
-                    causal: bool, kv_scale: float = 1.0):
+                    causal: bool, t_blk: int, kv_scale: float = 1.0):
     b = pl.program_id(0)
     h = pl.program_id(1)
-    n_blocks = num_blocks_ref[b]
-    q0 = q_start_ref[b]
+    tb = pl.program_id(2)  # query tile (bounds VMEM at large T)
+    q0 = q_start_ref[b] + tb * t_blk
     kv_len = kv_lens_ref[b]
+    blk_span = pages_per_blk * page_size
+    n_blocks = num_blocks_ref[b]
+    if causal:
+        # this tile's queries end at q0 + t_blk; later KV blocks are
+        # entirely masked — don't fetch them
+        n_blocks = jnp.minimum(
+            n_blocks, (q0 + t_blk + blk_span - 1) // blk_span)
     p_max = block_tables_ref.shape[1]
 
     def start_fetch(blk, slot):
@@ -742,18 +749,27 @@ def paged_attention_prefill_pallas(q: jnp.ndarray, k_pages: jnp.ndarray,
     num_blocks = (cdiv_arr(limit, page_size) + pages_per_blk -
                   1) // pages_per_blk
     q_r = jnp.transpose(q.reshape(b, t, hkv, g, d), (0, 2, 1, 3, 4))
+    # tile the query dim: whole-T q/o blocks VMEM-OOM at T≥1024 with
+    # 8B geometry (measured: 20 MB scoped vmem vs the 16 MB limit)
+    t_blk = t
+    for cand in (512, 256, 128):
+        if t > cand and t % cand == 0 and cand * g * d >= 128:
+            t_blk = cand
+            break
+    n_t = t // t_blk
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
-        grid=(b, hkv),
+        grid=(b, hkv, n_t),
         in_specs=[
-            pl.BlockSpec((1, 1, t, g, d), lambda i, j, *_: (i, j, 0, 0, 0),
+            pl.BlockSpec((1, 1, t_blk, g, d),
+                         lambda i, j, tb, *_: (i, j, tb, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((1, 1, t, g, d),
-                               lambda i, j, *_: (i, j, 0, 0, 0),
+        out_specs=pl.BlockSpec((1, 1, t_blk, g, d),
+                               lambda i, j, tb, *_: (i, j, tb, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2, pages_per_blk, rows_per_page, d_phys),
@@ -767,7 +783,7 @@ def paged_attention_prefill_pallas(q: jnp.ndarray, k_pages: jnp.ndarray,
     kernel = functools.partial(_prefill_kernel,
                                pages_per_blk=pages_per_blk,
                                page_size=page_size, scale=scale,
-                               causal=causal,
+                               causal=causal, t_blk=t_blk,
                                kv_scale=1.0 / 16.0
                                if k_pages.dtype == jnp.int8 else 1.0)
     out = pl.pallas_call(
