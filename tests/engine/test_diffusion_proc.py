@@ -71,3 +71,34 @@ def test_proc_death_reports_errors_without_hanging():
         assert errs[0].request_id == "victim"
     finally:
         client.shutdown()
+
+
+def test_proc_death_elastic_restart_serves_next_request():
+    """Beyond the reference (a dead stage kills its engine, SURVEY
+    §5.3): after the in-flight request errors, the stage proc respawns
+    and the NEXT request succeeds."""
+    client = DiffusionProcClient(CONF, platform="cpu")
+    try:
+        client.add_request(_req("victim", steps=50))
+        client.proc.kill()
+        client.proc.join(timeout=10)
+        outs = []
+        t0 = time.time()
+        while client.has_unfinished() and time.time() - t0 < 30:
+            outs.extend(client.step())
+            time.sleep(0.01)
+        assert any(o.error and "died" in o.error for o in outs)
+        assert client._restarts_left == 2 and not client._dead
+        # the respawned proc serves a fresh request through the same
+        # (client-bound) endpoints
+        client.add_request(_req("survivor", steps=2))
+        outs = []
+        t0 = time.time()
+        while client.has_unfinished() and time.time() - t0 < 120:
+            outs.extend(client.step())
+            time.sleep(0.01)
+        ok = [o for o in outs if o.request_id == "survivor"]
+        assert ok and ok[0].error is None
+        assert np.asarray(ok[0].latents).size > 0
+    finally:
+        client.shutdown()

@@ -95,3 +95,33 @@ def test_pipeline_with_isolated_stage():
         assert len(outs[0].outputs[0].token_ids) == 3
     finally:
         runner.shutdown()
+
+
+def test_ar_stage_proc_elastic_restart():
+    """Kill the AR stage proc mid-decode: in-flight request errors,
+    the proc respawns, and the next request succeeds (beyond the
+    reference — SURVEY §5.3: a dead stage kills its engine)."""
+    import time
+
+    c = StageProcClient(ARGS, platform="cpu")
+    try:
+        sp = SamplingParams(max_tokens=64, temperature=0.0,
+                            ignore_eos=True)
+        c.add_request([1, 2, 3], sp, request_id="victim")
+        c.proc.kill()
+        c.proc.join(timeout=10)
+        outs = []
+        t0 = time.time()
+        while c.has_unfinished() and time.time() - t0 < 30:
+            outs.extend(c.step())
+            time.sleep(0.01)
+        assert any(o.error and "died" in o.error for o in outs)
+        assert not getattr(c, "_dead", False)
+        c.add_request([4, 5, 6], SamplingParams(
+            max_tokens=4, temperature=0.0, ignore_eos=True),
+            request_id="survivor")
+        final = drain(c, ["survivor"])[0]
+        assert final.error is None
+        assert len(final.outputs[0].token_ids) == 4
+    finally:
+        c.shutdown()

@@ -132,7 +132,8 @@ class DiffusionProcClient:
 
     def __init__(self, config_kwargs: dict,
                  platform: Optional[str] = None,
-                 startup_timeout_s: float = 600.0) -> None:
+                 startup_timeout_s: float = 600.0,
+                 max_restarts: int = 3) -> None:
         self.ctx = zmq.Context.instance()
         self.ctrl = self.ctx.socket(zmq.PUSH)
         cport = self.ctrl.bind_to_random_port("tcp://127.0.0.1")
@@ -141,20 +142,54 @@ class DiffusionProcClient:
         self._inflight: set[str] = set()
         self._lock = threading.Lock()
         self._dead = False
-        mp_ctx = mp.get_context("spawn")
-        self.proc = mp_ctx.Process(
-            target=_diffusion_proc_main,
-            args=(config_kwargs, f"tcp://127.0.0.1:{cport}",
-                  f"tcp://127.0.0.1:{oport}", platform),
-            daemon=True)
-        self.proc.start()
+        self._spawn_args = (config_kwargs, f"tcp://127.0.0.1:{cport}",
+                            f"tcp://127.0.0.1:{oport}", platform)
+        self._restarts_left = max_restarts
+        self.proc = self._spawn()
         if not self.out.poll(int(startup_timeout_s * 1000)):
             self.shutdown()
             raise TimeoutError("diffusion stage proc did not become ready")
         ready = decode_payload(self.out.recv())
         assert ready.get("type") == "ready"
 
+    def _spawn(self):
+        mp_ctx = mp.get_context("spawn")
+        proc = mp_ctx.Process(target=_diffusion_proc_main,
+                              args=self._spawn_args, daemon=True)
+        proc.start()
+        return proc
+
+    def _check_proc_death(self) -> list[DiffusionOutput]:
+        """Detect a dead proc, error its in-flight requests, respawn
+        (elastic recovery — beyond the reference, whose dead stage kills
+        the engine). MUST run before any blocking ZMQ send: a PUSH with
+        zero peers blocks forever; the respawned proc connects its
+        sockets before model bring-up, unblocking queued sends."""
+        if self._dead or self.proc is None or self.proc.is_alive():
+            return []
+        code = self.proc.exitcode
+        with self._lock:
+            dead = list(self._inflight)
+            self._inflight.clear()
+        if dead:
+            logger.error("diffusion stage proc died (exit %s) with %d "
+                         "requests in flight", code, len(dead))
+        outs = [DiffusionOutput(
+            request_id=rid, finished=True,
+            error=f"diffusion stage process died (exit {code})")
+            for rid in dead]
+        if self._restarts_left > 0:
+            self._restarts_left -= 1
+            logger.warning("respawning diffusion stage proc (%d "
+                           "restarts left)", self._restarts_left)
+            self.proc = self._spawn()
+        else:
+            self._dead = True
+        return outs
+
     def add_request(self, req) -> None:
+        self._pending_errors = getattr(self, "_pending_errors", [])
+        self._pending_errors.extend(self._check_proc_death())
         if self._dead:
             raise RuntimeError("diffusion stage proc is dead")
         with self._lock:
@@ -169,16 +204,22 @@ class DiffusionProcClient:
 
     def abort_request(self, request_id: str) -> bool:
         hit = request_id in self._inflight
+        self._pending_errors = getattr(self, "_pending_errors", [])
+        self._pending_errors.extend(self._check_proc_death())
         if not self._dead:
             self.ctrl.send(encode_payload({"type": "abort",
                                            "request_id": request_id}))
         return hit
 
     def has_unfinished(self) -> bool:
-        return bool(self._inflight)
+        return bool(self._inflight or
+                    getattr(self, "_pending_errors", []))
 
     def step(self) -> list[DiffusionOutput]:
-        outs: list[DiffusionOutput] = []
+        outs: list[DiffusionOutput] = list(
+            getattr(self, "_pending_errors", []))
+        if outs:
+            self._pending_errors = []
         while self.out.poll(0):
             msg = decode_payload(self.out.recv())
             if msg.get("type") != "output":
@@ -188,21 +229,8 @@ class DiffusionProcClient:
                 with self._lock:
                     self._inflight.discard(o.request_id)
             outs.append(o)
-        if not self._dead and self._inflight and not self.proc.is_alive():
-            # stage died mid-request: per-request error outputs instead
-            # of a hung pipeline (reference
-            # cleanup_failed_stage_initialization / health check)
-            self._dead = True
-            code = self.proc.exitcode
-            logger.error("diffusion stage proc died (exit %s) with %d "
-                         "requests in flight", code, len(self._inflight))
-            with self._lock:
-                dead = list(self._inflight)
-                self._inflight.clear()
-            for rid in dead:
-                outs.append(DiffusionOutput(
-                    request_id=rid, finished=True,
-                    error=f"diffusion stage process died (exit {code})"))
+        if self._inflight:
+            outs.extend(self._check_proc_death())
         return outs
 
     def shutdown(self) -> None:

@@ -150,7 +150,8 @@ class StageProcClient:
     def __init__(self, engine_kwargs: dict,
                  platform: Optional[str] = None,
                  visible_devices: Optional[str] = None,
-                 startup_timeout_s: float = 300.0) -> None:
+                 startup_timeout_s: float = 300.0,
+                 max_restarts: int = 3) -> None:
         self.ctx = zmq.Context.instance()
         self.ctrl = self.ctx.socket(zmq.PUSH)
         cport = self.ctrl.bind_to_random_port("tcp://127.0.0.1")
@@ -158,18 +159,58 @@ class StageProcClient:
         oport = self.out.bind_to_random_port("tcp://127.0.0.1")
         self._inflight: set[str] = set()
         self._lock = threading.Lock()
-        mp_ctx = mp.get_context("spawn")
-        self.proc = mp_ctx.Process(
-            target=_stage_proc_main,
-            args=(engine_kwargs, f"tcp://127.0.0.1:{cport}",
-                  f"tcp://127.0.0.1:{oport}", platform, visible_devices),
-            daemon=True)
-        self.proc.start()
+        # elastic recovery (beyond the reference, which lets a dead
+        # stage kill the engine — SURVEY §5.3): the ZMQ binds live on
+        # this side, so a respawned proc reconnects to the same
+        # endpoints and drains any control messages queued while down
+        self._spawn_args = (engine_kwargs, f"tcp://127.0.0.1:{cport}",
+                            f"tcp://127.0.0.1:{oport}", platform,
+                            visible_devices)
+        self._restarts_left = max_restarts
+        self.proc = self._spawn()
         if not self.out.poll(int(startup_timeout_s * 1000)):
             self.shutdown()
             raise TimeoutError("stage proc did not become ready")
         ready = decode_payload(self.out.recv())
         assert ready.get("type") == "ready"
+
+    def _spawn(self):
+        mp_ctx = mp.get_context("spawn")
+        proc = mp_ctx.Process(target=_stage_proc_main,
+                              args=self._spawn_args, daemon=True)
+        proc.start()
+        return proc
+
+    def _check_proc_death(self) -> list[RequestOutput]:
+        """Detect a dead proc, error its in-flight requests, and respawn
+        (elastic recovery). MUST run before any blocking ZMQ send: a
+        PUSH socket with zero connected peers blocks forever, so sending
+        to a dead proc without first triggering the respawn hangs the
+        orchestrator (the respawned proc connects its sockets before
+        engine bring-up, unblocking queued sends promptly)."""
+        if getattr(self, "_dead", False) or self.proc is None or \
+                self.proc.is_alive():
+            return []
+        code = self.proc.exitcode
+        with self._lock:
+            dead = list(self._inflight)
+            self._inflight.clear()
+        if dead:
+            logger.error("stage proc died (exit %s) with %d requests "
+                         "in flight", code, len(dead))
+        outs = [RequestOutput(
+            request_id=rid, outputs=[CompletionOutput(
+                index=0, text="", token_ids=[])],
+            finished=True, error=f"stage process died (exit {code})")
+            for rid in dead]
+        if self._spawn_args is not None and self._restarts_left > 0:
+            self._restarts_left -= 1
+            logger.warning("respawning stage proc (%d restarts left)",
+                           self._restarts_left)
+            self.proc = self._spawn()
+        else:
+            self._dead = True
+        return outs
 
     # EngineCore-compatible surface ------------------------------------------
     def add_request(self, prompt_token_ids, sampling_params=None,
@@ -177,8 +218,16 @@ class StageProcClient:
                     **kwargs: Any) -> str:
         from vllm_omni_tpu.utils import random_uuid
 
+        self._pending_errors = getattr(self, "_pending_errors", [])
+        self._pending_errors.extend(self._check_proc_death())
         rid = request_id or random_uuid()
         sp = sampling_params or SamplingParams()
+        if getattr(self, "_dead", False):
+            self._pending_errors.append(RequestOutput(
+                request_id=rid, outputs=[CompletionOutput(
+                    index=0, text="", token_ids=[])],
+                finished=True, error="stage process is dead"))
+            return rid
         with self._lock:
             self._inflight.add(rid)
         self.ctrl.send(encode_payload({
@@ -190,18 +239,27 @@ class StageProcClient:
         return rid
 
     def notify_chunk(self, request_id: str, token_ids, final=False):
+        self._pending_errors = getattr(self, "_pending_errors", [])
+        self._pending_errors.extend(self._check_proc_death())
+        if getattr(self, "_dead", False):
+            return
         self.ctrl.send(encode_payload({
             "type": "chunk", "request_id": request_id,
             "token_ids": list(token_ids or []), "final": final}))
 
     def abort_request(self, request_id: str) -> bool:
         hit = request_id in self._inflight
+        self._pending_errors = getattr(self, "_pending_errors", [])
+        self._pending_errors.extend(self._check_proc_death())
+        if getattr(self, "_dead", False):
+            return hit
         self.ctrl.send(encode_payload({"type": "abort",
                                        "request_id": request_id}))
         return hit
 
     def has_unfinished(self) -> bool:
-        return bool(self._inflight)
+        return bool(self._inflight or
+                    getattr(self, "_pending_errors", []))
 
     def step(self) -> list[RequestOutput]:
         """Drain whatever outputs the stage proc has pushed (the proc
@@ -209,7 +267,10 @@ class StageProcClient:
         in-flight request into an error output instead of hanging the
         pipeline (reference cleanup_failed_stage_initialization,
         engine/stage_init_utils.py)."""
-        outs: list[RequestOutput] = []
+        outs: list[RequestOutput] = list(
+            getattr(self, "_pending_errors", []))
+        if outs:
+            self._pending_errors = []
         while self.out.poll(0):
             msg = decode_payload(self.out.recv())
             if msg.get("type") != "output":
@@ -219,21 +280,8 @@ class StageProcClient:
                 with self._lock:
                     self._inflight.discard(o.request_id)
             outs.append(o)
-        if (not getattr(self, "_dead", False) and self._inflight and
-                self.proc is not None and not self.proc.is_alive()):
-            self._dead = True
-            code = self.proc.exitcode
-            logger.error("stage proc died (exit %s) with %d requests "
-                         "in flight", code, len(self._inflight))
-            with self._lock:
-                dead = list(self._inflight)
-                self._inflight.clear()
-            for rid in dead:
-                outs.append(RequestOutput(
-                    request_id=rid, outputs=[CompletionOutput(
-                        index=0, text="", token_ids=[])],
-                    finished=True,
-                    error=f"stage process died (exit {code})"))
+        if self._inflight:
+            outs.extend(self._check_proc_death())
         return outs
 
     def shutdown(self) -> None:
@@ -272,6 +320,8 @@ class RemoteStageClient(StageProcClient):
         self._inflight = set()
         self._lock = threading.Lock()
         self.proc = None  # lives on another host
+        self._spawn_args = None  # no local respawn for remote workers
+        self._restarts_left = 0
         self.stage_id = stage_id
         self._master = master
         self._timeout_s = startup_timeout_s

@@ -41,8 +41,11 @@ class Omni:
         else:
             self.pipeline = single_stage_pipeline("llm", model=model,
                                                   **engine_args)
+        stage0_args = self.pipeline.stages[0].engine_args or {}
         if self.pipeline.num_stages > 1 or \
-                self.pipeline.stages[0].stage_type == "diffusion":
+                self.pipeline.stages[0].stage_type == "diffusion" or \
+                stage0_args.get("process_isolation") or \
+                stage0_args.get("placement") == "remote":
             from vllm_omni_tpu.engine.orchestrator import PipelineRunner
 
             self._multi = PipelineRunner(self.pipeline, default_model=model)
