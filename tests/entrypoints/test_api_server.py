@@ -68,6 +68,19 @@ async def test_chat_completions_no_tokenizer_errors(client):
     assert r.status in (400, 500)
 
 
+async def test_completions_logprobs(client):
+    r = await client.post("/v1/completions", json={
+        "prompt": list(range(1, 10)), "max_tokens": 5,
+        "temperature": 0.0, "ignore_eos": True, "logprobs": 0})
+    assert r.status == 200
+    choice = (await r.json())["choices"][0]
+    lps = choice["logprobs"]
+    assert len(lps["token_logprobs"]) == 5
+    assert lps["tokens"] == choice["token_ids"]
+    # chosen-token log-probabilities are valid log-probs
+    assert all(lp <= 0.0 for lp in lps["token_logprobs"])
+
+
 async def test_bad_request(client):
     r = await client.post("/v1/completions", json={"bogus": 1})
     assert r.status == 400

@@ -82,6 +82,9 @@ class Request:
     # state ---------------------------------------------------------------
     status: RequestStatus = RequestStatus.WAITING
     output_token_ids: list[int] = field(default_factory=list)
+    # chosen-token logprobs, populated when sampling_params.logprobs
+    # is requested (OpenAI completions logprobs surface)
+    output_logprobs: list[float] = field(default_factory=list)
     num_computed_tokens: int = 0  # prompt tokens already prefilled
     page_ids: list[int] = field(default_factory=list)  # KV pages owned
     error: Optional[str] = None
@@ -119,10 +122,13 @@ class Request:
     def all_token_ids(self) -> list[int]:
         return list(self.prompt_token_ids) + self.output_token_ids
 
-    def append_output_token(self, token_id: int) -> None:
+    def append_output_token(self, token_id: int,
+                            logprob: float = None) -> None:
         if self.first_token_time is None:
             self.first_token_time = time.monotonic()
         self.output_token_ids.append(token_id)
+        if logprob is not None:
+            self.output_logprobs.append(float(logprob))
 
     def extend_prompt(self, token_ids: list[int]) -> None:
         """Streaming input: append a new prompt chunk (resumable TTS)."""

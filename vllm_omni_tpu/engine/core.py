@@ -489,7 +489,10 @@ class EngineCore:
                 if fin:
                     break  # discard chain overshoot past a stop
                 token = step_res.token_ids[i]
-                req.append_output_token(token)
+                req.append_output_token(
+                    token, step_res.logprobs[i]
+                    if req.sampling_params.logprobs is not None and
+                    step_res.logprobs else None)
                 h = step_res.hidden_states.get(req.request_id)
                 if h is not None:
                     req.additional_information.setdefault(
@@ -541,7 +544,10 @@ class EngineCore:
                     continue  # resumable: wait for more input
                 # sample the first output token from the prefill logits
                 token = result.token_ids[i]
-                req.append_output_token(token)
+                req.append_output_token(
+                    token, result.logprobs[i]
+                    if req.sampling_params.logprobs is not None and
+                    result.logprobs else None)
                 fin = self._check_stop(req, token)
                 outputs.append(self._make_output(req, finished=fin))
         elif sched.decodes:
@@ -602,6 +608,11 @@ class EngineCore:
         comp = CompletionOutput(
             index=0, text=text, token_ids=list(req.output_token_ids),
             finish_reason=req.status.finish_reason if finished else None)
+        if req.sampling_params.logprobs is not None and \
+                len(req.output_logprobs) == len(req.output_token_ids):
+            comp.logprobs = [{int(t): lp} for t, lp in
+                             zip(req.output_token_ids,
+                                 req.output_logprobs)]
         if finished and req.additional_information.get("hidden_states"):
             import numpy as np
 

@@ -120,6 +120,7 @@ def _output_to_wire(o: RequestOutput) -> dict:
         "finish_reason": comp.finish_reason if comp else None,
         "hidden_states": comp.hidden_states if comp is not None and
         comp.hidden_states is not None else None,
+        "logprobs": comp.logprobs if comp is not None else None,
         "additional_information": o.additional_information,
         "metrics": o.metrics,
     }
@@ -130,7 +131,8 @@ def _output_from_wire(msg: dict) -> RequestOutput:
         index=0, text=msg.get("text", ""),
         token_ids=list(msg.get("token_ids") or []),
         finish_reason=msg.get("finish_reason"),
-        hidden_states=msg.get("hidden_states"))
+        hidden_states=msg.get("hidden_states"),
+        logprobs=msg.get("logprobs"))
     return RequestOutput(
         request_id=msg["request_id"], outputs=[comp],
         finished=bool(msg.get("finished")), error=msg.get("error"),

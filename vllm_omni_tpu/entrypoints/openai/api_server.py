@@ -276,12 +276,19 @@ async def completions(request: web.Request) -> web.Response:
     if not text and comp is not None and omni.tokenizer is not None:
         text = omni.tokenizer.decode(comp.token_ids,
                                      skip_special_tokens=True)
+    choice = {"index": 0, "text": text,
+              "finish_reason": comp.finish_reason if comp else None,
+              "token_ids": comp.token_ids if comp else []}
+    if req.logprobs is not None and comp is not None and comp.logprobs:
+        choice["logprobs"] = {
+            "token_logprobs": [next(iter(d.values()))
+                               for d in comp.logprobs],
+            "tokens": [next(iter(d.keys())) for d in comp.logprobs],
+        }
     return web.json_response({
         "id": f"cmpl-{rid}", "object": "text_completion",
         "model": req.model or request.app[NAME_KEY],
-        "choices": [{"index": 0, "text": text,
-                     "finish_reason": comp.finish_reason if comp else None,
-                     "token_ids": comp.token_ids if comp else []}],
+        "choices": [choice],
     })
 
 

@@ -65,6 +65,9 @@ class CompletionRequest(BaseModel):
     stop: Union[str, list[str], None] = None
     seed: Optional[int] = None
     ignore_eos: bool = False
+    # OpenAI logprobs: chosen-token logprobs are returned (top-k
+    # alternatives beyond the sampled token are not captured)
+    logprobs: Optional[int] = None
 
     def to_sampling_params(self):
         from vllm_omni_tpu.core.sampling_params import SamplingParams
@@ -75,7 +78,8 @@ class CompletionRequest(BaseModel):
         return SamplingParams(max_tokens=self.max_tokens,
                               temperature=self.temperature,
                               top_p=self.top_p, stop=tuple(stop or ()),
-                              seed=self.seed, ignore_eos=self.ignore_eos)
+                              seed=self.seed, ignore_eos=self.ignore_eos,
+                              logprobs=self.logprobs)
 
 
 class ImageGenerationRequest(BaseModel):
