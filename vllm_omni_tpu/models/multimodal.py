@@ -69,22 +69,48 @@ class MMProcessor:
             vspec = dict(spec["vision"])
             weights = vspec.pop("weights_path", None)
             if weights:
-                from vllm_omni_tpu.models.encoders import \
-                    load_clip_vision_encoder
-
-                self.vision_cfg, self.vision_params = \
-                    load_clip_vision_encoder(weights, dtype=dtype)
-                logger.info("vision encoder loaded from %s (%d layers, "
-                            "h=%d)", weights, self.vision_cfg.num_layers,
-                            self.vision_cfg.hidden_size)
+                self._load_vision_weights(weights, dtype)
             else:
                 self.vision_cfg = VisionEncoderConfig(
                     output_dim=hidden_size, **vspec)
                 self.vision_params = init_vision_encoder(self.vision_cfg,
                                                          kv, dtype)
+                self._vision_fn = jax.jit(
+                    lambda p, px: vision_encoder_forward(
+                        p, self.vision_cfg, px))
+
+    def _load_vision_weights(self, weights: str, dtype) -> None:
+        """Real vision tower by checkpoint shape: Qwen2-VL style
+        (blocks.N.attn.qkv, 2D rope, PatchMerger) or CLIP-style ViT."""
+        from vllm_omni_tpu.models.encoders import _read_safetensors
+
+        names = set(_read_safetensors(weights))
+        is_qwen2vl = any("attn.qkv.weight" in n for n in names)
+        if is_qwen2vl:
+            from vllm_omni_tpu.models.qwen2vl_vision import (
+                load_qwen2vl_vision_encoder, qwen2vl_vision_forward)
+
+            self.vision_cfg, self.vision_params = \
+                load_qwen2vl_vision_encoder(weights, dtype=dtype)
+            cfg = self.vision_cfg
+            self._vision_fn = jax.jit(jax.vmap(
+                lambda p, px: qwen2vl_vision_forward(p, cfg, px),
+                in_axes=(None, 0)))
+            logger.info("qwen2vl vision tower loaded from %s (%d "
+                        "blocks, d=%d)", weights, cfg.depth,
+                        cfg.embed_dim)
+        else:
+            from vllm_omni_tpu.models.encoders import \
+                load_clip_vision_encoder
+
+            self.vision_cfg, self.vision_params = \
+                load_clip_vision_encoder(weights, dtype=dtype)
+            cfg = self.vision_cfg
             self._vision_fn = jax.jit(
-                lambda p, px: vision_encoder_forward(p, self.vision_cfg,
-                                                     px))
+                lambda p, px: vision_encoder_forward(p, cfg, px))
+            logger.info("CLIP vision tower loaded from %s (%d layers, "
+                        "h=%d)", weights, cfg.num_layers,
+                        cfg.hidden_size)
 
     def encode_audio(self, mel: np.ndarray) -> np.ndarray:
         """mel [T, n_mels] or [B, T, n_mels] → [N, hidden]."""
@@ -125,9 +151,11 @@ class MMProcessor:
             h, w = data.shape[-3], data.shape[-2]
             cfg = self.vision_cfg
             gh, gw = h // cfg.patch_size, w // cfg.patch_size
-            n = (gh // cfg.merge_size) * (gw // cfg.merge_size) \
-                if cfg.merge_size > 1 else gh * gw
-            return n + (1 if cfg.use_cls_token else 0)
+            m = getattr(cfg, "merge_size",
+                        getattr(cfg, "spatial_merge_size", 1))
+            n = (gh // m) * (gw // m) if m > 1 else gh * gw
+            return n + (1 if getattr(cfg, "use_cls_token", False)
+                        else 0)
         raise ValueError(modality)
 
     def compute_mrope_positions(self, prompt_token_ids: list[int]
