@@ -40,6 +40,19 @@ LLAMA8B_HF = {
 
 def main() -> None:
     import jax  # noqa: F401  (axon sitecustomize picks the TPU)
+    import jax.numpy as jnp
+
+    # a prior process's fault can wedge the tunnel-attached chip for
+    # minutes — wait for a trivial op before burning engine-init time
+    for attempt in range(30):
+        try:
+            ok = jax.device_get(jnp.ones((8, 8)) @ jnp.ones((8, 8)))
+            assert float(ok[0, 0]) == 8.0
+            break
+        except Exception as e:  # noqa: BLE001
+            sys.stderr.write(f"device not ready (attempt {attempt}): "
+                             f"{str(e)[:80]}\n")
+            time.sleep(30)
 
     from vllm_omni_tpu.config.engine import EngineConfig
     from vllm_omni_tpu.core.sampling_params import SamplingParams
