@@ -180,3 +180,47 @@ def test_preemption_skips_already_scheduled_victims():
             r.append_output_token(1)
         if not s.running and not s.waiting:
             break
+
+
+def test_admission_watermark_blocks_under_page_pressure():
+    """Anti-thrash: when free pages no longer exceed the running count,
+    NEW prefills are not admitted (page-holders keep decoding — no
+    preempt/recompute livelock); admission resumes once enough requests
+    finish and free their pages."""
+    s = make_sched(max_seqs=16, max_tokens=64, num_pages=20, page_size=4)
+    running = []
+    blocked = None
+    for i in range(12):
+        r = Request(request_id=f"r{i}",
+                    prompt_token_ids=[i * 100 + j for j in range(8)],
+                    sampling_params=SamplingParams(max_tokens=64))
+        s.add_request(r)
+        out = s.schedule()
+        if out.prefills:
+            assert out.prefills[0].request is r
+            s.complete_prefill(out.prefills[0])
+            running.append(r)
+        else:
+            blocked = r
+            # page-holders keep decoding the same step — no livelock
+            assert out.decodes
+            break
+    assert blocked is not None, "pool never filled"
+    assert blocked in list(s.waiting)
+    # repeated scheduling under pressure never admits the newcomer and
+    # never preempts-to-admit (the round-1 thrash mode)
+    for _ in range(3):
+        out = s.schedule()
+        assert not out.prefills
+    # finishing requests frees pages -> the newcomer is admitted
+    for r in list(s.running):
+        s.finish_request(r, RequestStatus.FINISHED_STOPPED)
+        out = s.schedule()
+        if out.prefills:
+            # preempted requests recover first (front of waiting), then
+            # the blocked newcomer — either way admission resumed
+            assert out.prefills[0].request.request_id in (
+                blocked.request_id, "r6")
+            break
+    else:
+        raise AssertionError("admission never resumed")
