@@ -68,6 +68,19 @@ async def test_chat_completions_no_tokenizer_errors(client):
     assert r.status in (400, 500)
 
 
+async def test_completions_n_choices(client):
+    r = await client.post("/v1/completions", json={
+        "prompt": list(range(1, 8)), "max_tokens": 4,
+        "temperature": 0.8, "seed": 7, "n": 3, "ignore_eos": True})
+    assert r.status == 200
+    choices = (await r.json())["choices"]
+    assert [c["index"] for c in choices] == [0, 1, 2]
+    assert all(len(c["token_ids"]) == 4 for c in choices)
+    # per-choice seeds: not all identical (vocab 256, 4 tokens — a
+    # collision across all three is vanishingly unlikely)
+    assert len({tuple(c["token_ids"]) for c in choices}) > 1
+
+
 async def test_completions_logprobs(client):
     r = await client.post("/v1/completions", json={
         "prompt": list(range(1, 10)), "max_tokens": 5,

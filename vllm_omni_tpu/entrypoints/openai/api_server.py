@@ -178,6 +178,10 @@ async def chat_completions(request: web.Request) -> web.StreamResponse:
         except EngineDeadError as e:
             await resp.write(f"data: {json.dumps({'error': str(e)})}\n\n"
                              .encode())
+        except (ConnectionResetError, asyncio.CancelledError):
+            # client disconnected mid-stream: free the engine slot
+            await omni.abort(rid)
+            raise
         return resp
 
     final = None
@@ -265,30 +269,51 @@ async def completions(request: web.Request) -> web.Response:
         except EngineDeadError as e:
             await resp.write(f"data: {json.dumps({'error': str(e)})}\n\n"
                              .encode())
+        except (ConnectionResetError, asyncio.CancelledError):
+            # client disconnected mid-stream: free the engine slot
+            # instead of decoding to a dead socket (reference abort-on-
+            # disconnect in the serving handlers)
+            await omni.abort(rid)
+            raise
         return resp
 
-    final = None
-    async for out in omni.generate(req.prompt, sp, request_id=rid):
-        if out.finished:
-            final = out
-    comp = final.outputs[0] if final and final.outputs else None
-    text = comp.text if comp else ""
-    if not text and comp is not None and omni.tokenizer is not None:
-        text = omni.tokenizer.decode(comp.token_ids,
-                                     skip_special_tokens=True)
-    choice = {"index": 0, "text": text,
-              "finish_reason": comp.finish_reason if comp else None,
-              "token_ids": comp.token_ids if comp else []}
-    if req.logprobs is not None and comp is not None and comp.logprobs:
-        choice["logprobs"] = {
-            "token_logprobs": [next(iter(d.values()))
-                               for d in comp.logprobs],
-            "tokens": [next(iter(d.keys())) for d in comp.logprobs],
-        }
+    async def one(idx: int):
+        sp_i = sp
+        if req.n > 1 and sp.seed is not None:
+            from dataclasses import replace
+
+            sp_i = replace(sp, seed=sp.seed + idx)
+        final = None
+        async for out in omni.generate(req.prompt, sp_i,
+                                       request_id=f"{rid}-{idx}"):
+            if out.finished:
+                final = out
+        comp = final.outputs[0] if final and final.outputs else None
+        text = comp.text if comp else ""
+        if not text and comp is not None and omni.tokenizer is not None:
+            text = omni.tokenizer.decode(comp.token_ids,
+                                         skip_special_tokens=True)
+        choice = {"index": idx, "text": text,
+                  "finish_reason": comp.finish_reason if comp else None,
+                  "token_ids": comp.token_ids if comp else []}
+        if req.logprobs is not None and comp is not None and \
+                comp.logprobs:
+            choice["logprobs"] = {
+                "token_logprobs": [next(iter(d.values()))
+                                   for d in comp.logprobs],
+                "tokens": [next(iter(d.keys())) for d in comp.logprobs],
+            }
+        return choice
+
+    # n>1: concurrent generations through the shared engine's
+    # continuous batching (distinct per-choice seeds when seeded;
+    # unseeded choices draw fresh admission seeds)
+    choices = await asyncio.gather(*(one(i)
+                                     for i in range(max(req.n, 1))))
     return web.json_response({
         "id": f"cmpl-{rid}", "object": "text_completion",
         "model": req.model or request.app[NAME_KEY],
-        "choices": [choice],
+        "choices": list(choices),
     })
 
 

@@ -65,6 +65,7 @@ class CompletionRequest(BaseModel):
     stop: Union[str, list[str], None] = None
     seed: Optional[int] = None
     ignore_eos: bool = False
+    n: int = 1  # choices (non-streaming): n concurrent generations
     # OpenAI logprobs: chosen-token logprobs are returned (top-k
     # alternatives beyond the sampled token are not captured)
     logprobs: Optional[int] = None
