@@ -199,3 +199,55 @@ def test_async_chains_sampled_parity():
     b = run_all(make_engine(multi_step=4, async_chains=True),
                 [list(range(1, 30))], sp)
     assert a[0].outputs[0].token_ids == b[0].outputs[0].token_ids
+
+
+def test_stage_output_cache_replays_identical_requests():
+    """Inter-stage output cache (reference OmniTensorPrefixCache role):
+    a deterministic stage's finished output replays for an identical
+    request without re-running the engine."""
+    from vllm_omni_tpu.config.stage_config import load_stage_configs
+    from vllm_omni_tpu.engine.orchestrator import PipelineRunner
+
+    tiny = {"architectures": ["Qwen3ForCausalLM"], "vocab_size": 128,
+            "hidden_size": 32, "intermediate_size": 64,
+            "num_hidden_layers": 1, "num_attention_heads": 2,
+            "num_key_value_heads": 2, "head_dim": 16, "eos_token_id": 0}
+    runner = PipelineRunner(load_stage_configs({"stage_args": [{
+        "stage_id": 0, "stage_type": "llm", "cache_outputs": True,
+        "engine_args": {"model": "dummy", "hf_overrides": tiny,
+                        "dtype": "float32", "max_model_len": 64,
+                        "num_pages": 16, "page_size": 16,
+                        "max_num_seqs": 2,
+                        "max_num_batched_tokens": 32},
+        "final_output": True}]}))
+    try:
+        sp = SamplingParams(max_tokens=4, temperature=0.0,
+                            ignore_eos=True)
+
+        def run(rid):
+            runner.submit([1, 2, 3], sp, rid)
+            for _ in range(5000):
+                outs = runner.step()
+                if outs:
+                    return outs[0]
+            raise TimeoutError
+
+        first = run("c1")
+        assert first.error is None
+        handle = runner.handles[0]
+        assert len(handle._out_cache) == 1
+        second = run("c2")
+        assert second.request_id == "c2"
+        assert second.outputs[0].token_ids == first.outputs[0].token_ids
+        # different params -> miss (re-runs the engine)
+        sp2 = SamplingParams(max_tokens=6, temperature=0.0,
+                             ignore_eos=True)
+        runner.submit([1, 2, 3], sp2, "c3")
+        for _ in range(5000):
+            outs = runner.step()
+            if outs:
+                break
+        assert len(outs[0].outputs[0].token_ids) == 6
+        assert len(handle._out_cache) == 2
+    finally:
+        runner.shutdown()

@@ -65,6 +65,13 @@ class StageConfig:
     # async_chunk_design.md): upstream sends chunks of `chunk_frames`
     async_chunk: bool = False
     chunk_frames: int = 25
+    # cache this stage's finished outputs keyed by (prompt tokens,
+    # params) and replay them for identical requests — the reference
+    # OmniTensorPrefixCache role (core/prefix_cache.py:14, inter-stage
+    # hidden-state reuse). Only sound for deterministic stages
+    # (greedy / generation mode); off by default.
+    cache_outputs: bool = False
+    cache_outputs_capacity: int = 64
 
     def __post_init__(self) -> None:
         if self.stage_type not in ("llm", "diffusion"):

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import time
 from dataclasses import dataclass, field
+from collections import OrderedDict
 from typing import Any, Callable, Optional
 
 from vllm_omni_tpu.config.engine import EngineConfig
@@ -103,12 +104,51 @@ class _StageHandle:
         self.stage = stage
         self.engine = engine
         self.kind = kind  # "llm" | "diffusion"
+        # inter-stage output cache (reference OmniTensorPrefixCache
+        # role): finished outputs keyed by (prompt, params) replay for
+        # identical requests — deterministic stages only (YAML opt-in)
+        self._out_cache: "OrderedDict[tuple, RequestOutput]" = \
+            OrderedDict()
+        self._cache_replay: list[RequestOutput] = []
 
     def has_unfinished(self) -> bool:
-        return self.engine.has_unfinished()
+        return bool(self._cache_replay) or self.engine.has_unfinished()
+
+    @staticmethod
+    def _cache_key(payload: dict[str, Any]) -> Optional[tuple]:
+        import dataclasses
+
+        sp = payload.get("sampling_params")
+        toks = payload.get("prompt_token_ids")
+        if sp is None or not toks or payload.get("resumable") or \
+                payload.get("mm_inputs") or \
+                payload.get("additional_information") or \
+                payload.get("prompt_embeds") is not None:
+            return None  # only plain deterministic token prompts cache
+        if getattr(sp, "temperature", 1.0) != 0.0:
+            return None
+        items = sorted(dataclasses.asdict(sp).items())
+        return (tuple(toks),
+                tuple((k, repr(v)) for k, v in items if k != "seed"))
 
     def add(self, request_id: str, payload: dict[str, Any]) -> None:
         if self.kind == "llm":
+            key = None
+            if self.stage.cache_outputs:
+                key = self._cache_key(payload)
+                hit = self._out_cache.get(key) if key else None
+                if hit is not None:
+                    self._out_cache.move_to_end(key)
+                    import copy
+
+                    replay = copy.copy(hit)
+                    replay.request_id = request_id
+                    self._cache_replay.append(replay)
+                    return
+                self._pending_cache_key = getattr(
+                    self, "_pending_cache_key", {})
+                if key is not None:
+                    self._pending_cache_key[request_id] = key
             sp = payload.pop("sampling_params")
             self.engine.add_request(
                 payload.pop("prompt_token_ids", []), sp,
@@ -126,7 +166,21 @@ class _StageHandle:
 
     def step(self) -> list[RequestOutput]:
         if self.kind == "llm":
-            return self.engine.step()
+            outs = self.engine.step()
+            if self._cache_replay:
+                outs = list(outs) + self._cache_replay
+                self._cache_replay = []
+            if self.stage.cache_outputs:
+                pend = getattr(self, "_pending_cache_key", {})
+                for o in outs:
+                    key = pend.pop(o.request_id, None) \
+                        if o.finished else None
+                    if key is not None and o.error is None:
+                        self._out_cache[key] = o
+                        while len(self._out_cache) > \
+                                self.stage.cache_outputs_capacity:
+                            self._out_cache.popitem(last=False)
+            return outs
         outs = []
         for d in self.engine.step():
             if not d.finished:
