@@ -63,10 +63,10 @@ def test_abort_storm(omni):
     with full outputs, aborted ones terminate (no hang, no leak)."""
 
     async def run():
-        sp = SamplingParams(max_tokens=64, temperature=0.0,
+        sp = SamplingParams(max_tokens=48, temperature=0.0,
                             ignore_eos=True)
         rng = np.random.default_rng(1)
-        prompts = [list(rng.integers(1, 250, 16)) for _ in range(12)]
+        prompts = [list(rng.integers(1, 250, 16)) for _ in range(8)]
 
         async def one(i):
             seen = 0
@@ -81,13 +81,13 @@ def test_abort_storm(omni):
             return i, seen, None
 
         return await asyncio.wait_for(
-            asyncio.gather(*(one(i) for i in range(12))), timeout=300)
+            asyncio.gather(*(one(i) for i in range(8))), timeout=600)
 
     results = asyncio.run(run())
     for i, seen, final in results:
         if i % 2 == 1:
             assert final is not None and final.error is None
-            assert len(final.outputs[0].token_ids) == 64
+            assert len(final.outputs[0].token_ids) == 48
         else:
             # aborted: stream ended (finished flag or generator close)
             assert seen >= 4

@@ -94,6 +94,9 @@ class PipelineRequest:
     companion_outputs: dict[int, RequestOutput] = field(
         default_factory=dict)
     companion_pending: set[int] = field(default_factory=set)
+    # whether the user supplied sampling params (False = stage defaults
+    # govern; an explicit SamplingParams() would override them)
+    user_params: bool = True
 
 
 class _StageHandle:
@@ -319,12 +322,18 @@ class PipelineRunner:
 
     # -- submission ---------------------------------------------------------
     def submit(self, prompt_token_ids: list[int],
-               sampling_params: SamplingParams, request_id: str,
+               sampling_params: Optional[SamplingParams], request_id: str,
                modality: str = "text",
                diffusion_params: Any = None,
                prompt: Any = None, **kwargs: Any) -> None:
+        # sampling_params None = "use the stage's default_sampling_params"
+        # — an explicit SamplingParams() would OVERRIDE stage defaults
+        # with the global defaults (temperature 1.0 etc.)
+        user_provided = sampling_params is not None
+        sampling_params = sampling_params or SamplingParams()
         preq = PipelineRequest(request_id=request_id, modality=modality,
                                sampling_params=sampling_params)
+        preq.user_params = user_provided
         preq.diffusion_params = diffusion_params
         self._active[request_id] = preq
         self.stats.on_request_start(request_id)
@@ -343,7 +352,7 @@ class PipelineRunner:
                 payload.update(kwargs)
             else:
                 sp = self._stage_params(stage, sampling_params,
-                                        user_stage0=True)
+                                        user_stage0=user_provided)
                 payload = {"prompt_token_ids": list(prompt_token_ids),
                            "sampling_params": sp, **kwargs}
             self.handles[stage.stage_id].add(request_id, payload)
@@ -616,13 +625,13 @@ class PipelineRunner:
             order.append(rid)
             if src_is_diffusion:
                 dp = sp if isinstance(sp, DiffusionSamplingParams) else None
-                self.submit([], SamplingParams(), rid, modality=modality,
+                self.submit([], None, rid, modality=modality,
                             diffusion_params=dp, prompt=prompt)
                 continue
             token_ids = self._tokenize(prompt)
             dp = None
             if not isinstance(sp, SamplingParams):
-                dp, sp = sp, SamplingParams()
+                dp, sp = (sp, None) if sp is not None else (None, None)
             kwargs = {}
             if isinstance(prompt, dict) and prompt.get("mm_inputs"):
                 kwargs["mm_inputs"] = prompt["mm_inputs"]

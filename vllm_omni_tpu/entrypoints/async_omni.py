@@ -99,7 +99,7 @@ class AsyncOmni:
         q: asyncio.Queue = asyncio.Queue()
         self._queues[rid] = (loop, q)
         try:
-            sp, dp = SamplingParams(), None
+            sp, dp = None, None  # None → stage defaults govern
             if isinstance(sampling_params, SamplingParams):
                 sp = sampling_params
             elif isinstance(sampling_params, DiffusionSamplingParams):

@@ -77,7 +77,9 @@ class Omni:
             DiffusionSamplingParams
 
         if sampling_params is None:
-            params_list = [SamplingParams()] * n
+            # None → stage defaults govern (an explicit SamplingParams()
+            # would override them with global defaults)
+            params_list = [None] * n
         elif isinstance(sampling_params,
                         (SamplingParams, DiffusionSamplingParams)):
             params_list = [sampling_params] * n
@@ -90,8 +92,11 @@ class Omni:
             return self._multi.generate(prompts, params_list)
 
         order: list[str] = []
+        stage_defaults = self.pipeline.stages[0].default_sampling_params
         for prompt, params in zip(prompts, params_list):
             token_ids = self._tokenize(prompt)
+            if params is None and stage_defaults:
+                params = SamplingParams(**stage_defaults)
             kwargs = {}
             if isinstance(prompt, dict) and prompt.get("mm_inputs"):
                 kwargs["mm_inputs"] = prompt["mm_inputs"]
