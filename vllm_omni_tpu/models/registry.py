@@ -112,14 +112,18 @@ AR_FAMILIES: dict[str, FamilySpec] = {f.name: f for f in [
               "text+codec ids; llm2code2wav strips text ids)."),
     FamilySpec(
         name="cosyvoice3",
-        reference="vllm_omni/model_executor/models/cosyvoice3/ (3,429)",
-        stages=("llm", "generation"),
+        reference="vllm_omni/model_executor/models/cosyvoice3/ (3,429) "
+                  "+ diffusion/models/cosyvoice3_audio (448)",
+        stages=("llm", "diffusion", "generation"),
         modality="audio",
         stage_config=_cfg("cosyvoice3_tpu.yaml"),
-        processors=(f"{_P}.text2flow",),
+        processors=(f"{_P}.text2flow", f"{_P}.flow2vocoder"),
         hf_archs=("Qwen2ForCausalLM",),
-        notes="Talker → flow-decoder code2wav (text2flow packs hidden "
-              "states as flow conditioning)."),
+        diffusers_archs=("CosyVoice3AudioDiT",),
+        notes="Talker → conditional flow-matching mel decoder (audio "
+              "DiT, text2flow packs hidden states as conditioning) → "
+              "vocoder (flow2vocoder feeds mel latents as the "
+              "embeddings prompt)."),
     FamilySpec(
         name="voxtral_tts",
         reference="vllm_omni/model_executor/models/voxtral_tts/ (2,967)",

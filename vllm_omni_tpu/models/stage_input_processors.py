@@ -79,18 +79,48 @@ def llm2code2wav(prev_outputs: dict[int, RequestOutput],
 
 def text2flow(prev_outputs: dict[int, RequestOutput],
               stage: StageConfig, ctx: dict[str, Any]) -> dict[str, Any]:
-    """Talker → flow decoder (reference cosyvoice3.text2flow): codec
-    ids are the prompt; the talker's last hidden states ride along as
-    the flow model's utterance conditioning."""
+    """Talker → flow decoder (reference cosyvoice3.text2flow): the
+    talker's hidden states become the flow-matching mel decoder's
+    utterance conditioning (the DiT's text_states stream); codec ids
+    ride along for reference."""
     src = stage.engine_input_source[0]
     prev = prev_outputs[src]
     comp = prev.outputs[0]
-    payload: dict[str, Any] = {"prompt_token_ids": list(comp.token_ids)}
+    info: dict[str, Any] = {"codec_token_ids": list(comp.token_ids)}
     if comp.hidden_states is not None:
-        payload["additional_information"] = {
-            "flow_conditioning": np.asarray(comp.hidden_states,
-                                            np.float32)}
-    return payload
+        info["text_states"] = np.asarray(comp.hidden_states, np.float32)
+    if stage.stage_type == "diffusion":
+        return {"prompt": "", "additional_information": info}
+    # legacy 2-stage graph: flow folded into a generation stage
+    return {"prompt_token_ids": list(comp.token_ids),
+            "additional_information": info}
+
+
+def flow2vocoder(prev_outputs: dict[int, RequestOutput],
+                 stage: StageConfig, ctx: dict[str, Any]
+                 ) -> dict[str, Any]:
+    """Flow decoder → vocoder (reference cosyvoice3 3-stage graph):
+    the flow stage's mel latents ([1, h, w, C], output_type=latent)
+    become the vocoder generation stage's embeddings prompt — one mel
+    frame per spatial position, padded/trimmed to the consumer tower's
+    hidden width."""
+    src = stage.engine_input_source[0]
+    prev = prev_outputs[src]
+    mm = prev.multimodal_output or {}
+    # output_type=latent rides the images slot of DiffusionOutput
+    lat = mm.get("latent", mm.get("image"))
+    if lat is None:
+        raise ValueError("flow2vocoder needs the flow stage's latents "
+                         "(set output_type: latent)")
+    arr = np.asarray(lat, np.float32)
+    mel = arr.reshape(-1, arr.shape[-1])  # [frames, mel_dims]
+    width = (stage.engine_args.get("hf_overrides") or {}).get(
+        "hidden_size", mel.shape[-1])
+    if mel.shape[-1] < width:
+        mel = np.pad(mel, ((0, 0), (0, width - mel.shape[-1])))
+    elif mel.shape[-1] > width:
+        mel = mel[:, :width]
+    return {"prompt_token_ids": [], "prompt_embeds": mel}
 
 
 def generator2tokenizer(prev_outputs: dict[int, RequestOutput],
