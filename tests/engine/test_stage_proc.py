@@ -125,3 +125,17 @@ def test_ar_stage_proc_elastic_restart():
         assert len(final.outputs[0].token_ids) == 4
     finally:
         c.shutdown()
+
+
+def test_logprobs_cross_proc_wire(client):
+    """Chosen-token logprobs survive the msgpack wire (int map keys are
+    rejected by strict_map_key — pairs on the wire, dicts in memory)."""
+    sp = SamplingParams(max_tokens=3, temperature=0.0, ignore_eos=True,
+                        logprobs=0)
+    client.add_request([1, 2, 3], sp, request_id="lp1")
+    final = drain(client, ["lp1"])[0]
+    comp = final.outputs[0]
+    assert comp.logprobs is not None and len(comp.logprobs) == 3
+    for d, tok in zip(comp.logprobs, comp.token_ids):
+        (t, lp), = d.items()
+        assert t == tok and lp <= 0.0

@@ -376,6 +376,48 @@ async def test_image_edits(aiohttp_client):
         o.shutdown()
 
 
+async def test_realtime_ws_audio_response(aiohttp_client):
+    """input_audio_buffer.commit → response.create must splice encoder
+    placeholders and generate (was dead-on-arrival: empty prompt + mm
+    inputs was rejected by MMProcessor)."""
+    AUDIO_TOKEN = 9
+    o = AsyncOmni(model="dummy", hf_overrides=TINY_HF, dtype="float32",
+                  max_model_len=256, num_pages=64, page_size=16,
+                  max_num_seqs=4, max_num_batched_tokens=128,
+                  mm_encoders={"audio_token_id": AUDIO_TOKEN,
+                               "audio": {"n_mels": 16, "hidden_size": 32,
+                                         "num_layers": 1, "num_heads": 2,
+                                         "max_frames": 64}})
+    try:
+        client = await aiohttp_client(create_app(o, model_name="rt-mm"))
+        ws = await client.ws_connect("/v1/realtime")
+        await ws.send_json({"type": "session.update",
+                            "session": {"max_output_tokens": 4,
+                                        "temperature": 0.0}})
+        await ws.receive_json()
+        mel = np.zeros((32, 16), np.float32)
+        await ws.send_json({"type": "input_audio_buffer.append",
+                            "audio": base64.b64encode(
+                                mel.tobytes()).decode()})
+        await ws.send_json({"type": "input_audio_buffer.commit"})
+        msg = await ws.receive_json()
+        assert msg["type"] == "input_audio_buffer.committed"
+        await ws.send_json({"type": "response.create"})
+        msg = await ws.receive_json()
+        assert msg["type"] == "response.created"
+        done = None
+        for _ in range(100):
+            msg = await ws.receive_json()
+            assert msg["type"] != "error", msg
+            if msg["type"] == "response.done":
+                done = msg
+                break
+        assert done is not None and len(done["token_ids"]) == 4
+        await ws.close()
+    finally:
+        o.shutdown()
+
+
 async def test_multimodal_chat_audio_part(aiohttp_client):
     """OpenAI chat content parts: input_audio becomes placeholder
     tokens + mm_inputs through the stage-0 encoder (reference

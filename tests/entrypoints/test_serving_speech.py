@@ -150,6 +150,7 @@ class TestAudioAssembly:
     def test_synthesis_cache(self):
         sc = SynthesisCache(capacity=2)
         for i, k in enumerate("abc"):
-            sc.put(k, np.full(4, i, np.float32))
+            sc.put(k, (np.full(4, i, np.float32), 16000 + i))
         assert sc.get("a") is None  # evicted
-        assert sc.get("c")[0] == 2
+        wave, sr = sc.get("c")
+        assert wave[0] == 2 and sr == 16002  # sr rides the entry

@@ -248,7 +248,12 @@ class DiffusionPipeline:
                     f"{p.height}x{p.width}")
             vae = (jax.device_put(self._vae_host)
                    if self._vae_host is not None else self.vae_params)
-            x0 = vae_encode(vae, jnp.asarray(img, self.dtype)[None], key)
+            # split: `key` already generated the initial latent noise —
+            # reusing it would make the VAE sampling eps IDENTICAL to
+            # that noise (perfectly correlated draws)
+            key, enc_key = jax.random.split(key)
+            x0 = vae_encode(vae, jnp.asarray(img, self.dtype)[None],
+                            enc_key)
             if self._vae_host is not None:
                 del vae
             start = min(int(round(p.num_inference_steps * (1 - strength))),

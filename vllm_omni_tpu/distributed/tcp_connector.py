@@ -31,9 +31,24 @@ logger = init_logger(__name__)
 def _send_frame(sock: socket.socket, *parts) -> None:
     """Length-prefixed frame; scatter-gather send — no payload copy
     (the reference's Mooncake RDMA path avoids staging copies the same
-    way; on TPU hosts the data plane is DCN TCP)."""
-    total = sum(len(p) for p in parts)
-    sock.sendmsg([struct.pack("<Q", total), *parts])
+    way; on TPU hosts the data plane is DCN TCP).
+
+    sendmsg may send PARTIALLY (returns bytes sent; e.g. a signal lands
+    after a partial copy) and caps the iovec count (Linux UIO_MAXIOV =
+    1024), so loop over the remaining byte-views until drained."""
+    views = [memoryview(struct.pack("<Q",
+                                    sum(len(p) for p in parts)))]
+    views += [memoryview(p).cast("B") if not isinstance(p, memoryview)
+              else p.cast("B") for p in parts]
+    while views:
+        sent = sock.sendmsg(views[:1000])
+        while sent:
+            if sent >= len(views[0]):
+                sent -= len(views[0])
+                views.pop(0)
+            else:
+                views[0] = views[0][sent:]
+                sent = 0
 
 
 def _recv_exact(sock: socket.socket, n: int) -> bytearray:

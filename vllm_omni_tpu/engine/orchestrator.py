@@ -130,7 +130,22 @@ class _StageHandle:
             return None  # only plain deterministic token prompts cache
         if getattr(sp, "temperature", 1.0) != 0.0:
             return None
+        def repr_safe(v) -> bool:
+            # repr() of e.g. numpy arrays truncates — distinct requests
+            # could collide; only plain scalars/containers may key
+            if isinstance(v, (int, float, bool, str, bytes,
+                              type(None))):
+                return True
+            if isinstance(v, (tuple, list)):
+                return all(repr_safe(x) for x in v)
+            if isinstance(v, dict):
+                return all(isinstance(k, str) and repr_safe(x)
+                           for k, x in v.items())
+            return False
+
         items = sorted(dataclasses.asdict(sp).items())
+        if not all(repr_safe(v) for _, v in items):
+            return None
         return (tuple(toks),
                 tuple((k, repr(v)) for k, v in items if k != "seed"))
 
@@ -144,7 +159,11 @@ class _StageHandle:
                     self._out_cache.move_to_end(key)
                     import copy
 
-                    replay = copy.copy(hit)
+                    # deep copy: routing and post-processors mutate
+                    # outputs in place (stage_durations, multimodal
+                    # dicts) — shallow copies would share state across
+                    # concurrent replayed requests
+                    replay = copy.deepcopy(hit)
                     replay.request_id = request_id
                     self._cache_replay.append(replay)
                     return
@@ -179,7 +198,10 @@ class _StageHandle:
                     key = pend.pop(o.request_id, None) \
                         if o.finished else None
                     if key is not None and o.error is None:
-                        self._out_cache[key] = o
+                        import copy
+
+                        # snapshot BEFORE routing mutates the object
+                        self._out_cache[key] = copy.deepcopy(o)
                         while len(self._out_cache) > \
                                 self.stage.cache_outputs_capacity:
                             self._out_cache.popitem(last=False)

@@ -120,19 +120,24 @@ def _output_to_wire(o: RequestOutput) -> dict:
         "finish_reason": comp.finish_reason if comp else None,
         "hidden_states": comp.hidden_states if comp is not None and
         comp.hidden_states is not None else None,
-        "logprobs": comp.logprobs if comp is not None else None,
+        # [[token, lp], ...] pairs: msgpack decode rejects int map keys
+        # (strict_map_key), so the dict form cannot cross the wire
+        "logprobs": [[int(k), float(v)] for d in comp.logprobs
+                     for k, v in d.items()]
+        if comp is not None and comp.logprobs else None,
         "additional_information": o.additional_information,
         "metrics": o.metrics,
     }
 
 
 def _output_from_wire(msg: dict) -> RequestOutput:
+    lps = msg.get("logprobs")
     comp = CompletionOutput(
         index=0, text=msg.get("text", ""),
         token_ids=list(msg.get("token_ids") or []),
         finish_reason=msg.get("finish_reason"),
         hidden_states=msg.get("hidden_states"),
-        logprobs=msg.get("logprobs"))
+        logprobs=[{int(t): lp} for t, lp in lps] if lps else None)
     return RequestOutput(
         request_id=msg["request_id"], outputs=[comp],
         finished=bool(msg.get("finished")), error=msg.get("error"),

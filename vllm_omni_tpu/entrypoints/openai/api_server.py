@@ -119,13 +119,22 @@ def _messages_to_prompt(omni: AsyncOmni, messages: list) -> Any:
     if proc is None or tok is None:
         raise ValueError("multimodal chat parts need an inline stage-0 "
                          "engine with mm_encoders and a tokenizer")
-    # splice placeholder-token runs at the sentinel positions
+    # splice placeholder-token runs at the sentinel positions; only the
+    # FIRST segment may carry the tokenizer's special tokens (BOS) —
+    # encoding mid-prompt segments with them would inject BOS at every
+    # mm-part boundary and diverge from apply_chat_template(tokenize)
+    def _encode(segment: str, first: bool) -> list[int]:
+        try:
+            return tok.encode(segment, add_special_tokens=first)
+        except TypeError:  # tokenizer without the kwarg
+            return tok.encode(segment)
+
     token_ids: list[int] = []
     mm_inputs: dict[str, list] = {}
     for i, segment in enumerate(prompt.split("\x00")):
         if i % 2 == 0:
             if segment:
-                token_ids.extend(tok.encode(segment))
+                token_ids.extend(_encode(segment, i == 0))
             continue
         modality, arr = mm_parts[int(segment[2:])]
         token_id = (proc.audio_token_id if modality == "audio"
@@ -402,11 +411,12 @@ async def _synthesize(request: web.Request, text: str, voice: str,
         key = chunk_cache_key(chunk, voice)
         cached = synth_cache.get(key) if use_cache else None
         if cached is not None:
-            waves.append(cached)
+            wave, sr = cached  # sr rides the cache entry — all-hit
+            waves.append(wave)  # requests must not fall back to 24 kHz
             continue
         wave, sr = await _synthesize_one(omni, chunk, cond)
         if use_cache:
-            synth_cache.put(key, wave)
+            synth_cache.put(key, (wave, sr))
         waves.append(wave)
     return resample_speed(concat_audio(waves, sr), speed), sr
 
@@ -658,14 +668,36 @@ async def realtime_ws(request: web.Request) -> web.WebSocketResponse:
             temperature=float(session.get("temperature", 0.8)))
         modality = (session.get("modalities") or ["text"])[0]
         kwargs: dict[str, Any] = {}
+        prompt = item.get("prompt", "")
         if item.get("mm_audio") is not None:
+            # splice the placeholder-token run the encoder features
+            # will occupy (same calculus as the chat content-part path)
+            proc = _find_mm_processor(omni)
+            if proc is None or proc.audio_token_id is None:
+                await ws.send_json({"type": "error", "error": {
+                    "message": "audio input needs a stage-0 engine "
+                               "with an audio encoder configured"}})
+                return
+            rows = proc.feature_rows("audio", item["mm_audio"])
+            placeholders = [proc.audio_token_id] * rows
+            if isinstance(prompt, list):
+                prompt = list(prompt) + placeholders
+            elif prompt:
+                if omni.tokenizer is None:
+                    await ws.send_json({"type": "error", "error": {
+                        "message": "text+audio item needs a tokenizer"}})
+                    return
+                prompt = list(omni.tokenizer.encode(prompt)) + \
+                    placeholders
+            else:
+                prompt = placeholders
             kwargs["mm_inputs"] = {"audio": item["mm_audio"]}
         sent_text = 0
         sent_audio = 0
         text = ""
         comp = None
         try:
-            async for out in omni.generate(item.get("prompt", ""), sp,
+            async for out in omni.generate(prompt, sp,
                                            request_id=rid,
                                            modality=modality, **kwargs):
                 comp = out.outputs[0] if out.outputs else None

@@ -241,22 +241,24 @@ def chunk_cache_key(text: str, voice: Optional[str]) -> str:
 
 class SynthesisCache:
     """Tiny LRU of synthesized chunks — repeated fragments (fixed
-    greetings, SSML boilerplate) skip the pipeline entirely."""
+    greetings, SSML boilerplate) skip the pipeline entirely. Entries
+    are (waveform, sample_rate) so all-hit requests report the true
+    rate, not a default."""
 
     def __init__(self, capacity: int = 128) -> None:
         self._lock = threading.Lock()
-        self._d: OrderedDict[str, np.ndarray] = OrderedDict()
+        self._d: OrderedDict[str, tuple] = OrderedDict()
         self.capacity = capacity
 
-    def get(self, key: str) -> Optional[np.ndarray]:
+    def get(self, key: str) -> Optional[tuple]:
         with self._lock:
             v = self._d.get(key)
             if v is not None:
                 self._d.move_to_end(key)
             return v
 
-    def put(self, key: str, audio: np.ndarray) -> None:
+    def put(self, key: str, entry: tuple) -> None:
         with self._lock:
-            self._d[key] = audio
+            self._d[key] = entry
             while len(self._d) > self.capacity:
                 self._d.popitem(last=False)

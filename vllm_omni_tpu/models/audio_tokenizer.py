@@ -135,7 +135,13 @@ class AudioTokenizer:
         """mel [T, n_mels] (or flat f32) → codes [T', n_q] int32."""
         mel = np.asarray(mel, np.float32)
         if mel.ndim == 1:
-            mel = mel.reshape(-1, self.cfg.n_mels)
+            # arbitrary client audio: drop the trailing partial frame
+            n = (mel.size // self.cfg.n_mels) * self.cfg.n_mels
+            if n == 0:
+                raise ValueError(
+                    f"audio too short: {mel.size} samples < one "
+                    f"{self.cfg.n_mels}-dim frame")
+            mel = mel[:n].reshape(-1, self.cfg.n_mels)
         codes, _ = self._encode_fn(jnp.asarray(mel[None]))
         return np.asarray(codes[0])
 

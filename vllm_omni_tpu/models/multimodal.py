@@ -117,7 +117,13 @@ class MMProcessor:
         if self.audio_params is None:
             raise ValueError("no audio encoder configured")
         if mel.ndim == 1:  # flat f32 stream (realtime WS) → [T, n_mels]
-            mel = mel.reshape(-1, self.audio_cfg.n_mels)
+            n = (mel.size // self.audio_cfg.n_mels) * \
+                self.audio_cfg.n_mels
+            if n == 0:
+                raise ValueError(
+                    f"audio too short: {mel.size} samples < one "
+                    f"{self.audio_cfg.n_mels}-dim frame")
+            mel = mel[:n].reshape(-1, self.audio_cfg.n_mels)
         if mel.ndim == 2:
             mel = mel[None]
         out = self._audio_fn(self.audio_params, jnp.asarray(mel))

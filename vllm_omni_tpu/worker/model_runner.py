@@ -732,7 +732,8 @@ class ModelRunner:
         greedy_only = all(r.sampling_params.temperature == 0.0
                           for r in reqs)
         use_bias = any(r.sampling_params.logit_bias for r in reqs)
-        want_lps = any(r.sampling_params.logprobs for r in reqs)
+        want_lps = any(r.sampling_params.logprobs is not None
+                       for r in reqs)  # logprobs=0 is a valid request
 
         key = (tuple(r.request_id for r in reqs), b, pw, k,
                use_penalties, greedy_only, return_hidden, use_bias)
