@@ -463,3 +463,26 @@ async def test_voice_crud(client):
     assert r.status == 200
     r = await client.delete("/v1/audio/voices/alice")
     assert r.status == 404
+
+
+async def test_metrics_endpoint(client):
+    # generate something first so counters/histograms are non-empty
+    r = await client.post("/v1/completions", json={
+        "prompt": list(range(1, 8)), "max_tokens": 3,
+        "temperature": 0.0, "ignore_eos": True})
+    assert r.status == 200
+    r = await client.get("/metrics")
+    assert r.status == 200
+    body = await r.text()
+    assert "# TYPE vllm_omni_requests_total counter" in body
+    assert "vllm_omni_stage_tokens_total{stage=" in body
+    assert "vllm_omni_ttft_seconds_bucket{le=" in body
+    assert 'vllm_omni_ttft_seconds_bucket{le="+Inf"}' in body
+    assert "vllm_omni_scheduler_queue_depth{stage=" in body
+    # parse a counter value: finished >= 1
+    for line in body.splitlines():
+        if line.startswith("vllm_omni_requests_finished_total "):
+            assert float(line.split()[-1]) >= 1
+            break
+    else:
+        raise AssertionError("finished counter missing")

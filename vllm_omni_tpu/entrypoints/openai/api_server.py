@@ -44,6 +44,20 @@ async def health(request: web.Request) -> web.Response:
     return web.json_response({"status": "ok"})
 
 
+async def metrics(request: web.Request) -> web.Response:
+    """Prometheus scrape endpoint aggregating the whole pipeline
+    (reference: upstream vLLM Prometheus metrics per stage,
+    SURVEY.md §5.5)."""
+    from vllm_omni_tpu.metrics.prometheus import (CONTENT_TYPE,
+                                                  render_prometheus)
+
+    omni = request.app[OMNI_KEY]
+    body = render_prometheus(omni.runner.stats, runner=omni.runner)
+    return web.Response(text=body, content_type="text/plain",
+                        charset="utf-8",
+                        headers={"X-Content-Type": CONTENT_TYPE})
+
+
 async def list_models(request: web.Request) -> web.Response:
     return web.json_response({
         "object": "list",
@@ -926,6 +940,7 @@ def create_app(omni: AsyncOmni, model_name: str = "omni",
     app[SYNTH_KEY] = SynthesisCache()
     app[PROF_KEY] = StageProfiler()
     app.router.add_get("/health", health)
+    app.router.add_get("/metrics", metrics)
     app.router.add_get("/v1/models", list_models)
     app.router.add_post("/v1/chat/completions", chat_completions)
     app.router.add_post("/v1/completions", completions)
