@@ -79,6 +79,9 @@ class Request:
     # streaming input (resumable TTS text): more prompt chunks may arrive
     # (reference: async_omni_engine.py:965 resumable add_request)
     resumable: bool = False
+    # guided decoding (sampling_params.guided): host-side grammar
+    # session producing per-step logit masks (core/guided.py)
+    guided_state: Any = None
     # state ---------------------------------------------------------------
     status: RequestStatus = RequestStatus.WAITING
     output_token_ids: list[int] = field(default_factory=list)
@@ -129,6 +132,8 @@ class Request:
         self.output_token_ids.append(token_id)
         if logprob is not None:
             self.output_logprobs.append(float(logprob))
+        if self.guided_state is not None:
+            self.guided_state.advance(token_id)
 
     def extend_prompt(self, token_ids: list[int]) -> None:
         """Streaming input: append a new prompt chunk (resumable TTS)."""

@@ -22,6 +22,9 @@ class SamplingParams:
     min_p: float = 0.0  # filter tokens below min_p * max_prob
     # token id → additive logit bias (OpenAI logit_bias)
     logit_bias: dict[int, float] = field(default_factory=dict)
+    # constrained decoding: "json" masks tokens to the JSON grammar
+    # (OpenAI response_format json_object; core/guided.py)
+    guided: Optional[str] = None
     min_tokens: int = 0
     repetition_penalty: float = 1.0
     presence_penalty: float = 0.0
@@ -55,6 +58,8 @@ class SamplingParams:
             raise ValueError("min_p must be in [0, 1]")
         if self.max_tokens < 1:
             raise ValueError("max_tokens must be >= 1")
+        if self.guided not in (None, "json"):
+            raise ValueError("guided must be None or 'json'")
 
     @property
     def greedy(self) -> bool:

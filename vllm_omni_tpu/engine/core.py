@@ -169,8 +169,26 @@ class EngineCore:
                 kwargs["mrope_delta"] = delta
         req = Request(request_id=rid, prompt_token_ids=list(prompt_token_ids),
                       sampling_params=params, **kwargs)
+        if params.guided is not None:
+            req.guided_state = self._make_guided_session()
         self.scheduler.add_request(req)
         return rid
+
+    def _make_guided_session(self):
+        """Guided-decoding session over this stage's tokenizer vocab
+        (core/guided.py); the token byte table is built once."""
+        from vllm_omni_tpu.core.guided import GuidedSession, TokenByteTable
+
+        if self.tokenizer is None:
+            raise ValueError("guided decoding needs a tokenizer")
+        if getattr(self, "_guided_table", None) is None:
+            self._guided_table = TokenByteTable.from_tokenizer(
+                self.tokenizer, self.cfg_vocab_size())
+        return GuidedSession(self._guided_table, self.eos_token_ids)
+
+    def cfg_vocab_size(self) -> int:
+        return int(self.hf_config.get("vocab_size")
+                   or self.decoder_cfg.vocab_size)
 
     def abort_request(self, request_id: str) -> bool:
         return self.scheduler.abort_request(request_id) is not None
@@ -266,6 +284,8 @@ class EngineCore:
         if sc.multi_step <= 1 or self.scheduler.waiting or \
                 not self.scheduler.running:
             return 1
+        if any(r.guided_state is not None for r in self.scheduler.running):
+            return 1  # grammar mask changes every token
         k = sc.multi_step
         for r in self.scheduler.running:
             k = min(k, self.config.model.max_model_len - r.num_tokens)
@@ -285,7 +305,8 @@ class EngineCore:
             if p.temperature != 0.0 or p.return_hidden_states or \
                     p.repetition_penalty != 1.0 or \
                     p.presence_penalty != 0.0 or \
-                    p.frequency_penalty != 0.0:
+                    p.frequency_penalty != 0.0 or \
+                    r.guided_state is not None:
                 return False
             if r.num_tokens + sc.spec_gamma + 1 > \
                     self.config.model.max_model_len:
@@ -441,7 +462,8 @@ class EngineCore:
         if self.scheduler.waiting or \
                 list(self.scheduler.running) != decodes:
             return
-        if any(r.sampling_params.return_hidden_states for r in decodes):
+        if any(r.sampling_params.return_hidden_states
+               or r.guided_state is not None for r in decodes):
             return
         if all(r.sampling_params.max_tokens - r.num_output_tokens <= k
                for r in decodes):

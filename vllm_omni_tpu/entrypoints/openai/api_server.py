@@ -102,10 +102,16 @@ def _decode_mm_part(part: dict) -> tuple[str, np.ndarray]:
     raise ValueError(f"unsupported content part {ptype!r}")
 
 
-def _messages_to_prompt(omni: AsyncOmni, messages: list) -> Any:
+def _messages_to_prompt(omni: AsyncOmni, messages: list,
+                        tools: Optional[list] = None,
+                        tool_choice: Any = None) -> Any:
     """Chat messages → engine prompt. Multimodal parts (image_url data:
     URIs, input_audio) become placeholder-token runs + mm_inputs
-    (reference serving_chat multimodal input path)."""
+    (reference serving_chat multimodal input path). Tools render either
+    natively (chat template with tools= support) or as a Hermes-style
+    system preamble (entrypoints/openai/tools.py)."""
+    from vllm_omni_tpu.entrypoints.openai import tools as tools_mod
+
     tok = omni.tokenizer
     msgs = []
     mm_parts: list[tuple[str, np.ndarray]] = []
@@ -120,13 +126,45 @@ def _messages_to_prompt(omni: AsyncOmni, messages: list) -> Any:
                     mm_parts.append(_decode_mm_part(p))
                     texts.append(f"\x00mm{len(mm_parts) - 1}\x00")
             content = " ".join(texts)
-        msgs.append({"role": m.role, "content": content or ""})
+        msg: dict[str, Any] = {"role": m.role, "content": content or ""}
+        # round-trip earlier tool turns (reference serving_chat.py
+        # maybe_serialize_tool_calls)
+        if getattr(m, "tool_calls", None):
+            msg["tool_calls"] = m.tool_calls
+        if getattr(m, "tool_call_id", None):
+            msg["tool_call_id"] = m.tool_call_id
+        if getattr(m, "name", None):
+            msg["name"] = m.name
+        msgs.append(msg)
+    use_tools = tools_mod.tools_active(tools, tool_choice)
     if tok is not None and getattr(tok, "chat_template", None):
-        prompt = tok.apply_chat_template(msgs, tokenize=not mm_parts,
-                                         add_generation_prompt=True)
+        try:
+            prompt = tok.apply_chat_template(
+                msgs, tokenize=not mm_parts, add_generation_prompt=True,
+                tools=tools if use_tools else None)
+        except TypeError:  # template without tools= support
+            if use_tools:
+                msgs.insert(0, {
+                    "role": "system",
+                    "content": tools_mod.render_tool_preamble(
+                        tools, tool_choice)})
+            prompt = tok.apply_chat_template(msgs, tokenize=not mm_parts,
+                                             add_generation_prompt=True)
     else:
-        prompt = "".join(f"<|{m['role']}|>{m['content']}\n"
-                         for m in msgs) + "<|assistant|>"
+        if use_tools:
+            msgs.insert(0, {
+                "role": "system",
+                "content": tools_mod.render_tool_preamble(tools,
+                                                          tool_choice)})
+        parts = []
+        for m in msgs:
+            body = m["content"]
+            if m.get("tool_calls"):
+                body += "".join(
+                    f"<tool_call>{json.dumps(c.get('function', c))}"
+                    f"</tool_call>" for c in m["tool_calls"])
+            parts.append(f"<|{m['role']}|>{body}\n")
+        prompt = "".join(parts) + "<|assistant|>"
     if not mm_parts:
         return prompt
     proc = _find_mm_processor(omni)
@@ -167,8 +205,15 @@ async def chat_completions(request: web.Request) -> web.StreamResponse:
         req = ChatCompletionRequest(**await request.json())
     except Exception as e:
         return web.json_response({"error": {"message": str(e)}}, status=400)
-    prompt = _messages_to_prompt(omni, req.messages)
-    sp = req.to_sampling_params()
+    from vllm_omni_tpu.entrypoints.openai import tools as tools_mod
+
+    use_tools = tools_mod.tools_active(req.tools, req.tool_choice)
+    try:
+        prompt = _messages_to_prompt(omni, req.messages, tools=req.tools,
+                                     tool_choice=req.tool_choice)
+        sp = req.to_sampling_params()
+    except ValueError as e:
+        return web.json_response({"error": {"message": str(e)}}, status=400)
     rid = random_uuid()
     model = req.model or request.app[NAME_KEY]
     modality = req.modalities[0] if req.modalities else "text"
@@ -179,21 +224,36 @@ async def chat_completions(request: web.Request) -> web.StreamResponse:
             "Cache-Control": "no-cache"})
         await resp.prepare(request)
         sent = 0
+        full_text = ""
         try:
             async for out in omni.generate(prompt, sp, request_id=rid,
                                            modality=modality):
                 comp = out.outputs[0] if out.outputs else None
                 delta = ""
                 if comp is not None and omni.tokenizer is not None:
-                    text = omni.tokenizer.decode(
+                    full_text = omni.tokenizer.decode(
                         comp.token_ids, skip_special_tokens=True)
-                    delta, sent = text[sent:], len(text)
+                    # with tools active, hold back anything that could
+                    # be (part of) a <tool_call> block
+                    safe = tools_mod.safe_stream_len(full_text) \
+                        if use_tools else len(full_text)
+                    if safe > sent:
+                        delta, sent = full_text[sent:safe], safe
                 extra = _mm_delta(out)
+                fin_reason = (comp.finish_reason
+                              if out.finished and comp else None)
+                if out.finished and use_tools:
+                    _, calls = tools_mod.parse_tool_calls(full_text)
+                    if calls:
+                        fin_reason = "tool_calls"
+                        for i, c in enumerate(calls):
+                            c["index"] = i
+                        extra = dict(extra or {})
+                        extra["tool_calls"] = calls
                 if delta or extra or out.finished:
                     chunk = make_chat_chunk(
                         rid, model, delta,
-                        finish_reason=(comp.finish_reason if out.finished
-                                       and comp else None),
+                        finish_reason=fin_reason,
                         extra_delta=extra)
                     await resp.write(
                         f"data: {json.dumps(chunk)}\n\n".encode())
@@ -217,11 +277,17 @@ async def chat_completions(request: web.Request) -> web.StreamResponse:
     if not text and comp is not None and omni.tokenizer is not None:
         text = omni.tokenizer.decode(comp.token_ids,
                                      skip_special_tokens=True)
+    tool_calls = None
+    if use_tools and text:
+        content, calls = tools_mod.parse_tool_calls(text)
+        if calls:
+            text, tool_calls = content, calls
     return web.json_response(make_chat_response(
         rid, model, text, comp.finish_reason if comp else None,
         prompt_tokens=len(final.prompt_token_ids) if final else 0,
         completion_tokens=len(comp.token_ids) if comp else 0,
-        multimodal=_mm_delta(final) if final else None))
+        multimodal=_mm_delta(final) if final else None,
+        tool_calls=tool_calls))
 
 
 def _mm_delta(out) -> Optional[dict]:

@@ -17,6 +17,11 @@ from vllm_omni_tpu.utils import random_uuid
 class ChatMessage(BaseModel):
     role: str
     content: Union[str, list[dict[str, Any]], None] = None
+    # assistant messages echoing earlier tool calls / tool results
+    # (reference serving_chat.py tool_calls round trip)
+    tool_calls: Optional[list[dict[str, Any]]] = None
+    tool_call_id: Optional[str] = None
+    name: Optional[str] = None
 
 
 class ChatCompletionRequest(BaseModel):
@@ -35,6 +40,15 @@ class ChatCompletionRequest(BaseModel):
     frequency_penalty: float = 0.0
     repetition_penalty: float = 1.0
     ignore_eos: bool = False
+    # OpenAI logit_bias: token id (string key) → additive bias
+    logit_bias: Optional[dict[str, float]] = None
+    # {"type": "json_object"} → grammar-masked decoding (core/guided.py);
+    # "json_schema" is accepted and constrained to valid JSON (the
+    # schema itself is advisory via the prompt, not token-masked)
+    response_format: Optional[dict[str, Any]] = None
+    # function/tool calling (reference serving_chat.py:32-76)
+    tools: Optional[list[dict[str, Any]]] = None
+    tool_choice: Union[str, dict[str, Any], None] = None
     # omni extension: requested output modalities (reference serving_chat
     # multimodal outputs)
     modalities: list[str] = Field(default_factory=lambda: ["text"])
@@ -45,6 +59,10 @@ class ChatCompletionRequest(BaseModel):
         stop = self.stop
         if isinstance(stop, str):
             stop = [stop]
+        guided = None
+        if self.response_format and self.response_format.get("type") in (
+                "json_object", "json_schema"):
+            guided = "json"
         return SamplingParams(
             max_tokens=self.max_tokens or self.max_completion_tokens or 128,
             temperature=self.temperature, top_p=self.top_p,
@@ -52,7 +70,10 @@ class ChatCompletionRequest(BaseModel):
             presence_penalty=self.presence_penalty,
             frequency_penalty=self.frequency_penalty,
             repetition_penalty=self.repetition_penalty,
-            ignore_eos=self.ignore_eos)
+            ignore_eos=self.ignore_eos,
+            logit_bias={int(k): float(v)
+                        for k, v in (self.logit_bias or {}).items()},
+            guided=guided)
 
 
 class CompletionRequest(BaseModel):
@@ -150,10 +171,15 @@ class ImageEditRequest(BaseModel):
 def make_chat_response(rid: str, model: str, text: str,
                        finish_reason: Optional[str],
                        prompt_tokens: int, completion_tokens: int,
-                       multimodal: Optional[dict] = None) -> dict:
+                       multimodal: Optional[dict] = None,
+                       tool_calls: Optional[list] = None) -> dict:
     message: dict[str, Any] = {"role": "assistant", "content": text}
     if multimodal:
         message["multimodal"] = multimodal
+    if tool_calls:
+        message["tool_calls"] = tool_calls
+        message["content"] = text or None
+        finish_reason = "tool_calls"
     return {
         "id": f"chatcmpl-{rid}",
         "object": "chat.completion",

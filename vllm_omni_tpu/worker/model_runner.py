@@ -664,13 +664,16 @@ class ModelRunner:
         else:
             prompt_buf = out_buf = np.full((1, 1), -1, np.int32)
         use_bias = any(s.request.sampling_params.logit_bias
+                       or s.request.guided_state is not None
                        for s in scheduled)
         if use_bias:
             bias = np.zeros((b, self.cfg.vocab_size), np.float32)
             for i, s in enumerate(scheduled):
+                if s.request.guided_state is not None:
+                    bias[i] = s.request.guided_state.mask_row()
                 for tok, v in s.request.sampling_params.logit_bias.items():
                     if 0 <= int(tok) < self.cfg.vocab_size:
-                        bias[i, int(tok)] = float(v)
+                        bias[i, int(tok)] += float(v)
         else:
             bias = np.zeros((1, 1), np.float32)
 
@@ -731,7 +734,8 @@ class ModelRunner:
             or r.sampling_params.frequency_penalty != 0.0 for r in reqs)
         greedy_only = all(r.sampling_params.temperature == 0.0
                           for r in reqs)
-        use_bias = any(r.sampling_params.logit_bias for r in reqs)
+        use_bias = any(r.sampling_params.logit_bias
+                       or r.guided_state is not None for r in reqs)
         want_lps = any(r.sampling_params.logprobs is not None
                        for r in reqs)  # logprobs=0 is a valid request
 
@@ -784,9 +788,11 @@ class ModelRunner:
         if use_bias:
             bias = np.zeros((b, self.cfg.vocab_size), np.float32)
             for i, r in enumerate(reqs):
+                if r.guided_state is not None:
+                    bias[i] = r.guided_state.mask_row()
                 for tok, v in r.sampling_params.logit_bias.items():
                     if 0 <= int(tok) < self.cfg.vocab_size:
-                        bias[i, int(tok)] = float(v)
+                        bias[i, int(tok)] += float(v)
         else:
             bias = np.zeros((1, 1), np.float32)
         prompt_buf = self._prompt_token_buffer(reqs, b) if use_penalties \
