@@ -10,6 +10,11 @@ Set OMNI_TPU_TEST_REAL_TPU=1 to run the suite against the real chip.
 import os
 
 os.environ.setdefault("OMNI_TPU_PLATFORM", "cpu")
+# fast unit tier: run pipeline stages inline. The production default is
+# process-per-stage (orchestrator._default_isolation); that path is
+# covered explicitly by tests/engine/test_stage_proc.py and by the
+# driver's dryrun_multichip default-isolation scenario.
+os.environ.setdefault("OMNI_TPU_INLINE_STAGES", "1")
 
 if os.environ.get("OMNI_TPU_TEST_REAL_TPU") != "1":
     os.environ["XLA_FLAGS"] = (

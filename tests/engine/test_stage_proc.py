@@ -139,3 +139,49 @@ def test_logprobs_cross_proc_wire(client):
     for d, tok in zip(comp.logprobs, comp.token_ids):
         (t, lp), = d.items()
         assert t == tok and lp <= 0.0
+
+
+def test_default_isolation_policy(monkeypatch):
+    """Multi-stage pipelines default to process-per-stage (reference
+    default topology); single-stage, shared-chip and env-overridden
+    pipelines stay inline."""
+    cfg2 = {"stage_args": [
+        {"stage_id": 0, "stage_type": "llm", "engine_args": ARGS},
+        {"stage_id": 1, "stage_type": "llm", "engine_args": ARGS,
+         "engine_input_source": [0], "final_output": True},
+    ]}
+    cfg1 = {"stage_args": [
+        {"stage_id": 0, "stage_type": "llm", "engine_args": ARGS,
+         "final_output": True}]}
+    monkeypatch.delenv("OMNI_TPU_INLINE_STAGES", raising=False)
+    assert PipelineRunner._default_isolation(load_stage_configs(cfg2))
+    assert not PipelineRunner._default_isolation(load_stage_configs(cfg1))
+    monkeypatch.setenv("OMNI_TPU_INLINE_STAGES", "1")
+    assert not PipelineRunner._default_isolation(load_stage_configs(cfg2))
+
+
+def test_multi_stage_defaults_to_separate_procs(monkeypatch):
+    """End-to-end: with no explicit process_isolation, a 2-stage CPU
+    pipeline builds StageProcClient handles and still generates."""
+    monkeypatch.delenv("OMNI_TPU_INLINE_STAGES", raising=False)
+    cfg = {"stage_args": [
+        {"stage_id": 0, "stage_type": "llm", "engine_args": ARGS,
+         "default_sampling_params": {"max_tokens": 4, "temperature": 0.0,
+                                     "ignore_eos": True}},
+        {"stage_id": 1, "stage_type": "llm",
+         "engine_args": dict(ARGS, seed=1),
+         "engine_input_source": [0], "final_output": True,
+         "default_sampling_params": {"max_tokens": 3, "temperature": 0.0,
+                                     "ignore_eos": True}},
+    ]}
+    runner = PipelineRunner(load_stage_configs(cfg))
+    try:
+        assert all(isinstance(h.engine, StageProcClient)
+                   for h in runner.handles.values())
+        sp = SamplingParams(max_tokens=4, temperature=0.0,
+                            ignore_eos=True)
+        outs = runner.generate([list(range(1, 10))], [sp])
+        assert outs[0].finished and outs[0].error is None
+        assert len(outs[0].outputs[0].token_ids) == 3
+    finally:
+        runner.shutdown()

@@ -4,13 +4,18 @@ Reference parity: engine/orchestrator.py:108 (`Orchestrator`:
 `_orchestration_loop` :227, `_route_output` :322, `_forward_to_next_stage`
 :521) and AsyncOmniEngine's stage bring-up (async_omni_engine.py:234).
 
-Round-1 scope: all stages run **in-process** (the reference's
-InlineStageDiffusionClient pattern, inline_stage_diffusion_client.py:1-10,
-generalized): each stage is an EngineCore (AR or generation mode) or a
-DiffusionEngine stepped cooperatively from one host loop. On TPU the
-stages still own disjoint device meshes; process-per-stage with a
-connector data plane is the next layering step and reuses this routing
-logic unchanged.
+Stage topology: multi-stage pipelines default to **process-per-stage**
+(the reference's default, stage_engine_core_proc.py:41): each stage is a
+StageProcClient / DiffusionProcClient subprocess with a ZMQ control+data
+plane, so a crashing stage surfaces as per-request errors (plus elastic
+respawn) instead of taking the engine down. Single-stage pipelines run
+inline (the reference's InlineStageDiffusionClient pattern,
+inline_stage_diffusion_client.py:1-10, generalized), as do multi-stage
+pipelines on a single shared accelerator where separate processes cannot
+share the chip (see `_default_isolation`). `process_isolation:
+true|false` in a stage's engine_args overrides per stage;
+OMNI_TPU_INLINE_STAGES=1 forces inline globally (the CPU unit-test tier
+uses this for speed, mirroring the reference's mocked CPU tier).
 
 Stage input processors glue stage N outputs into stage N+1 prompts
 (reference: stage_input_processors/*.py, e.g. thinker2talker
@@ -234,6 +239,35 @@ class PipelineRunner:
     """Synchronous multi-stage driver: all stage engines stepped from one
     loop, outputs routed along the DAG."""
 
+    @staticmethod
+    def _default_isolation(pipeline: ModelPipeline) -> bool:
+        """Process-per-stage by default for multi-stage pipelines
+        (reference default topology, stage_engine_core_proc.py:41) —
+        except where separate processes cannot coexist: single-stage
+        pipelines (inline is strictly better), a shared single
+        accelerator (two JAX processes cannot both own one TPU chip —
+        requires every stage to pin explicit disjoint `runtime.devices`),
+        or an explicit OMNI_TPU_INLINE_STAGES=1 override."""
+        import os
+
+        if os.environ.get("OMNI_TPU_INLINE_STAGES") == "1":
+            return False
+        if len(pipeline.stages) <= 1:
+            return False
+        from vllm_omni_tpu.platforms import current_platform
+
+        if current_platform().is_cpu:
+            return True  # host processes always coexist
+        seen: set[int] = set()
+        for s in pipeline.stages:
+            if s.runtime.devices in ("all", "", None):
+                return False  # unpinned stage could share the chip
+            devs = set(s.runtime.device_indices(total=0))
+            if seen & devs:
+                return False
+            seen |= devs
+        return True
+
     def __init__(self, pipeline: ModelPipeline,
                  default_model: Optional[str] = None) -> None:
         self.pipeline = pipeline
@@ -252,6 +286,7 @@ class PipelineRunner:
             self.master = OmniMasterServer(
                 port=int(os.environ.get("OMNI_TPU_MASTER_PORT", "0")))
         remote_clients: list = []
+        default_isolate = self._default_isolation(pipeline)
         for stage in pipeline.stages:
             args = dict(stage.engine_args)
             if stage.stage_type == "diffusion":
@@ -260,7 +295,7 @@ class PipelineRunner:
 
                 if args.get("model") is None:
                     args.pop("model", None)
-                if args.pop("process_isolation", False):
+                if args.pop("process_isolation", default_isolate):
                     # subprocess diffusion engine (reference
                     # StageDiffusionProc, stage_diffusion_proc.py:42)
                     from vllm_omni_tpu.engine.diffusion_proc import \
@@ -279,7 +314,7 @@ class PipelineRunner:
                 args.setdefault("model", default_model)
                 if args.get("model") is None:
                     raise ValueError(f"stage {stage.stage_id} has no model")
-                isolate = args.pop("process_isolation", False)
+                isolate = args.pop("process_isolation", default_isolate)
                 placement = args.pop("placement", "local")
                 if placement == "remote":
                     # stage runs on another host: publish its config via
@@ -314,6 +349,12 @@ class PipelineRunner:
                         if stage.runtime.devices not in ("all", None)
                         else None)
                     handle = _StageHandle(stage, engine, "llm")
+                    if stage.stage_id == 0 and self.tokenizer is None:
+                        # tokenization happens host-side in this process
+                        # regardless of where the stage engine runs
+                        self.tokenizer = get_tokenizer(
+                            args.get("tokenizer") or args["model"],
+                            args.get("trust_remote_code", False))
                 else:
                     config = EngineConfig.from_kwargs(**args)
                     tok = get_tokenizer(config.model.tokenizer or
