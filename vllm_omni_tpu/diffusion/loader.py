@@ -112,37 +112,62 @@ def iter_component_tensors(path: str, subfolder: str
 # ---------------------------------------------------------------------------
 
 
+def _family_entry(family: str):
+    """(cfg_cls, init_fn, assign_fn) per real-geometry family module."""
+    if family == "qwen_image":
+        from vllm_omni_tpu.diffusion.qwen_image import (
+            QwenImageConfig, assign_qwen_image_tensor,
+            init_qwen_image_params)
+
+        return QwenImageConfig, init_qwen_image_params, \
+            assign_qwen_image_tensor
+    if family == "flux":
+        from vllm_omni_tpu.diffusion.flux import (FluxConfig,
+                                                  assign_flux_tensor,
+                                                  init_flux_params)
+
+        return FluxConfig, init_flux_params, assign_flux_tensor
+    raise KeyError(family)
+
+
+# diffusers `_class_name` → real-geometry family module. Classes not
+# listed here fall back to the generic parameterized MMDiT tier
+# (models/registry.py DIFFUSERS_ARCH_MAP) and cannot load real weights.
+REAL_TRANSFORMER_CLASSES = {
+    "QwenImageTransformer2DModel": "qwen_image",
+    "FluxTransformer2DModel": "flux",
+}
+
+
 def load_transformer(path: str, dtype=jnp.bfloat16,
                      subfolder: str = "transformer"):
     """→ (family: str, family_cfg, params pytree). Family dispatch by
     the component's diffusers `_class_name`."""
     cfg_json = component_config(path, subfolder)
     cls = cfg_json.get("_class_name", "")
-    if cls in ("QwenImageTransformer2DModel",):
-        from vllm_omni_tpu.diffusion.qwen_image import (
-            QwenImageConfig, assign_qwen_image_tensor,
-            init_qwen_image_params)
-        import jax
+    family = REAL_TRANSFORMER_CLASSES.get(cls)
+    if family is None:
+        raise ValueError(
+            f"unsupported transformer class {cls!r} (real-geometry "
+            f"families: {sorted(REAL_TRANSFORMER_CLASSES)})")
+    import jax
 
-        cfg = QwenImageConfig.from_json(cfg_json)
-        params = init_qwen_image_params(cfg, jax.random.PRNGKey(0),
-                                        dtype)
-        unmapped, loaded = [], 0
-        for name, arr in iter_component_tensors(path, subfolder):
-            if assign_qwen_image_tensor(params, name, arr, dtype):
-                loaded += 1
-            else:
-                unmapped.append(name)
-        if unmapped:
-            logger.warning("qwen_image: %d unmapped tensors, e.g. %s",
-                           len(unmapped), unmapped[:8])
-        if loaded == 0:
-            raise ValueError(f"no tensors mapped from {path}/{subfolder}")
-        logger.info("qwen_image transformer: %d tensors loaded", loaded)
-        return "qwen_image", cfg, params
-    raise ValueError(
-        f"unsupported transformer class {cls!r} (diffusers-format "
-        "families land one by one; qwen_image first)")
+    cfg_cls, init_fn, assign_fn = _family_entry(family)
+    cfg = cfg_cls.from_json(cfg_json)
+    params = init_fn(cfg, jax.random.PRNGKey(0), dtype)
+    unmapped, loaded = [], 0
+    for name, arr in iter_component_tensors(path, subfolder):
+        if assign_fn(params, name, arr, dtype):
+            loaded += 1
+        else:
+            unmapped.append(name)
+    if unmapped:
+        logger.warning("%s: %d unmapped tensors, e.g. %s", family,
+                       len(unmapped), unmapped[:8])
+    if loaded == 0:
+        raise ValueError(f"no tensors mapped from {path}/{subfolder}")
+    logger.info("%s transformer: %d tensors loaded", family, loaded)
+    return family, cfg, params
 
 
 def load_scheduler_config(path: str) -> dict[str, Any]:

@@ -101,8 +101,12 @@ class DiffusionPipeline:
                 config.vae_latent_channels = vae_meta["latent_channels"]
                 config.vae_scale_factor = vae_meta.get(
                     "scale_factor", config.vae_scale_factor)
-            # keep derived knobs in sync for bucketing / text padding
-            config.dit.patch_size = self.family_cfg.patch_size
+            # keep derived knobs in sync for bucketing / text padding.
+            # flux declares patch_size=1 in config.json but its pipeline
+            # packs 2x2 (pack_factor) — the effective latent patch
+            config.dit.patch_size = getattr(
+                self.family_cfg, "pack_factor", None) or \
+                self.family_cfg.patch_size
             config.dit.hidden_size = self.family_cfg.inner_dim
             config.dit.text_dim = self.family_cfg.joint_attention_dim
             config.dit.latent_channels = config.vae_latent_channels
@@ -166,6 +170,9 @@ class DiffusionPipeline:
             if self.family == "qwen_image":
                 from vllm_omni_tpu.diffusion.qwen_image import (
                     qwen_image_param_shardings as _shardings)
+            elif self.family == "flux":
+                from vllm_omni_tpu.diffusion.flux import (
+                    flux_param_shardings as _shardings)
             else:
                 from vllm_omni_tpu.diffusion.dit import (
                     dit_param_shardings as _shardings)
@@ -423,6 +430,17 @@ class DiffusionPipeline:
             def fwd(pp, lat, txt, tt):
                 return qwen_image_forward(pp, self.family_cfg, lat, txt,
                                           tt, mesh=self.mesh)
+        elif self.family == "flux":
+            from vllm_omni_tpu.diffusion.flux import flux_forward
+
+            # guidance-distilled: the guidance scale rides the embedding
+            # (reference pipeline_flux.py guidance tensor), no true CFG
+            def fwd(pp, lat, txt, tt):
+                g = None
+                if self.family_cfg.guidance_embeds:
+                    g = jnp.full((lat.shape[0],), guidance, jnp.float32)
+                return flux_forward(pp, self.family_cfg, lat, txt, tt,
+                                    guidance=g, mesh=self.mesh)
         else:
             def fwd(pp, lat, txt, tt):
                 return dit_forward(pp, self.config.dit, lat, txt, tt,

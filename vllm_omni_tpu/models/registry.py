@@ -243,6 +243,17 @@ DIFFUSION_FAMILIES: dict[str, FamilySpec] = {f.name: f for f in [
         notes="Real transformer geometry + diffusers-format checkpoint "
               "loader (diffusion/qwen_image.py, diffusion/loader.py)."),
     FamilySpec(
+        name="flux",
+        reference="vllm_omni/diffusion/models/flux/ (2,359; "
+                  "flux_transformer.py:479)",
+        stages=("diffusion",),
+        modality="image",
+        stage_config=_cfg("flux_tpu.yaml"),
+        diffusers_archs=("FluxTransformer2DModel",),
+        notes="Real geometry: 19 double + 38 single stream blocks, "
+              "guidance embed, torch-oracle parity "
+              "(diffusion/flux.py, tests/diffusion/test_flux_loader.py)."),
+    FamilySpec(
         name="wan2_2",
         reference="vllm_omni/diffusion/models/wan2_2/ (4,656; T2V)",
         stages=("diffusion",),
@@ -259,7 +270,7 @@ DIFFUSION_FAMILIES: dict[str, FamilySpec] = {f.name: f for f in [
 # frames=1 1D latents. Reference: diffusion/registry.py:19 (34 archs).
 DIFFUSERS_ARCH_MAP: dict[str, str] = {
     "QwenImageTransformer2DModel": "qwen_image",
-    "FluxTransformer2DModel": "mmdit_image",
+    "FluxTransformer2DModel": "flux",
     "Flux2Transformer2DModel": "mmdit_image",
     "SD3Transformer2DModel": "mmdit_image",
     "OmniGen2Transformer2DModel": "mmdit_image",
