@@ -37,7 +37,7 @@ def test_diffusers_arch_map_covers_reference_archs():
     # reference diffusion/registry.py:19 families — each maps to a
     # parameterization tag of our DiT towers
     assert set(DIFFUSERS_ARCH_MAP.values()) <= {
-        "qwen_image", "flux", "mmdit_image", "mmdit_video",
+        "qwen_image", "flux", "wan", "mmdit_image", "mmdit_video",
         "mmdit_audio"}
     assert len(DIFFUSERS_ARCH_MAP) >= 17
 

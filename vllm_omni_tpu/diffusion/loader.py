@@ -127,6 +127,12 @@ def _family_entry(family: str):
                                                   init_flux_params)
 
         return FluxConfig, init_flux_params, assign_flux_tensor
+    if family == "wan":
+        from vllm_omni_tpu.diffusion.wan import (WanConfig,
+                                                 assign_wan_tensor,
+                                                 init_wan_params)
+
+        return WanConfig, init_wan_params, assign_wan_tensor
     raise KeyError(family)
 
 
@@ -136,6 +142,7 @@ def _family_entry(family: str):
 REAL_TRANSFORMER_CLASSES = {
     "QwenImageTransformer2DModel": "qwen_image",
     "FluxTransformer2DModel": "flux",
+    "WanTransformer3DModel": "wan",
 }
 
 

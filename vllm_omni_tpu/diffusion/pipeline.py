@@ -173,6 +173,9 @@ class DiffusionPipeline:
             elif self.family == "flux":
                 from vllm_omni_tpu.diffusion.flux import (
                     flux_param_shardings as _shardings)
+            elif self.family == "wan":
+                from vllm_omni_tpu.diffusion.wan import (
+                    wan_param_shardings as _shardings)
             else:
                 from vllm_omni_tpu.diffusion.dit import (
                     dit_param_shardings as _shardings)
@@ -441,6 +444,12 @@ class DiffusionPipeline:
                     g = jnp.full((lat.shape[0],), guidance, jnp.float32)
                 return flux_forward(pp, self.family_cfg, lat, txt, tt,
                                     guidance=g, mesh=self.mesh)
+        elif self.family == "wan":
+            from vllm_omni_tpu.diffusion.wan import wan_forward
+
+            def fwd(pp, lat, txt, tt):
+                return wan_forward(pp, self.family_cfg, lat, txt, tt,
+                                   mesh=self.mesh)
         else:
             def fwd(pp, lat, txt, tt):
                 return dit_forward(pp, self.config.dit, lat, txt, tt,

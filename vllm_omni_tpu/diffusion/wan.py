@@ -1,0 +1,467 @@
+"""Wan2.2 video DiT (WanTransformer3DModel) with real checkpoint
+geometry.
+
+Reference parity: diffusion/models/wan2_2/wan2_2_transformer.py
+(WanTransformer3DModel :703 — WanTransformerBlock :615 with
+self-attention + text cross-attention + per-block scale_shift_table
+modulation, WanRotaryPosEmbed 3D rope :155, WanTimeTextImageEmbedding
+:259, Conv3d patch embedding) and the diffusers checkpoint naming its
+load_weights (:969) consumes.
+
+Geometry quirks that differ from the Flux/QwenImage MMDiTs:
+* QK RMSNorm runs over the FULL inner dim BEFORE the head split
+  (reference norm_q/norm_k on tp_inner_dim :385 — under TP the
+  reference needs DistributedRMSNorm; under XLA SPMD the full-dim norm
+  just works);
+* modulation = per-block ``scale_shift_table`` [6, D] ADDED to the
+  broadcast timestep projection, chunk order (shift, scale, gate,
+  c_shift, c_scale, c_gate);
+* cross-attention has NO gate and its pre-norm is an AFFINE LayerNorm
+  (cross_attn_norm=True);
+* patch embedding is a stride=kernel Conv3d — features ordered
+  (c, pt, ph, pw); the OUTPUT unpatchify orders (pt, ph, pw, c)
+  (reference forward :958-962) — the two layouts are different;
+* timesteps enter in train-timestep units: flow-match t ∈ [0,1] is
+  scaled ×num_train_timesteps here.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from vllm_omni_tpu.diffusion.dit import (_constrain, _layer_norm_nb,
+                                         apply_rope_interleaved)
+from vllm_omni_tpu.diffusion.qwen_image import _qwen_timestep_embedding
+from vllm_omni_tpu.models.decoder import linear
+from vllm_omni_tpu.ops.attention import mha_xla
+from vllm_omni_tpu.ops.layernorm import rms_norm
+
+Params = dict
+
+
+@dataclass
+class WanConfig:
+    """Mirrors the transformer's diffusers config.json
+    (WanTransformer3DModel.__init__: Wan2.2-T2V-A14B = 40 heads × 128,
+    40 layers, ffn 13824, text_dim 4096 (umt5-xxl), patch (1, 2, 2))."""
+
+    patch_size: tuple[int, int, int] = (1, 2, 2)
+    num_attention_heads: int = 40
+    attention_head_dim: int = 128
+    in_channels: int = 16
+    out_channels: int = 16
+    text_dim: int = 4096
+    freq_dim: int = 256
+    ffn_dim: int = 13824
+    num_layers: int = 40
+    cross_attn_norm: bool = True
+    eps: float = 1e-6
+    image_dim: Optional[int] = None  # I2V image-embed tower (not wired)
+    added_kv_proj_dim: Optional[int] = None
+    rope_max_seq_len: int = 1024
+    num_train_timesteps: int = 1000
+
+    @property
+    def inner_dim(self) -> int:
+        return self.num_attention_heads * self.attention_head_dim
+
+    # pipeline-facing aliases (DiffusionPipeline reads these generically)
+    @property
+    def joint_attention_dim(self) -> int:
+        return self.text_dim
+
+    @property
+    def pack_factor(self) -> int:
+        return self.patch_size[1]  # spatial patch for latent bucketing
+
+    @classmethod
+    def from_json(cls, cfg: dict) -> "WanConfig":
+        keep = {f for f in cls.__dataclass_fields__}
+        kw = {k: v for k, v in cfg.items() if k in keep}
+        if kw.get("out_channels") is None:
+            kw.pop("out_channels", None)
+        if "patch_size" in kw:
+            kw["patch_size"] = tuple(kw["patch_size"])
+        return cls(**kw)
+
+
+# ---------------------------------------------------------------------------
+# 3D rope (WanRotaryPosEmbed :155)
+# ---------------------------------------------------------------------------
+
+
+def wan_rope(cfg: WanConfig, f_tokens: int, h_tokens: int, w_tokens: int
+             ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """cos/sin [F'·H'·W', head_dim//2], sequence order (f, h, w)
+    row-major, plain 0-based positions per axis. Axis dims:
+    t = hd - 2·(hd//3), h = w = hd//3 (reference split_sizes :210)."""
+    hd = cfg.attention_head_dim
+    d_h = d_w = hd // 3
+    d_t = hd - 2 * d_h
+
+    def axis_freqs(n: int, dim: int) -> np.ndarray:
+        inv = 1.0 / (10000.0 ** (np.arange(0, dim, 2, dtype=np.float64)
+                                 / dim))
+        return np.arange(n, dtype=np.float64)[:, None] * inv[None, :]
+
+    ft = np.broadcast_to(
+        axis_freqs(f_tokens, d_t)[:, None, None, :],
+        (f_tokens, h_tokens, w_tokens, d_t // 2))
+    fh = np.broadcast_to(
+        axis_freqs(h_tokens, d_h)[None, :, None, :],
+        (f_tokens, h_tokens, w_tokens, d_h // 2))
+    fw = np.broadcast_to(
+        axis_freqs(w_tokens, d_w)[None, None, :, :],
+        (f_tokens, h_tokens, w_tokens, d_w // 2))
+    freqs = np.concatenate([ft.reshape(-1, d_t // 2),
+                            fh.reshape(-1, d_h // 2),
+                            fw.reshape(-1, d_w // 2)], axis=-1)
+    return (jnp.asarray(np.cos(freqs), jnp.float32),
+            jnp.asarray(np.sin(freqs), jnp.float32))
+
+
+# ---------------------------------------------------------------------------
+# Packing (Conv3d stride=kernel ≡ patchify + linear)
+# ---------------------------------------------------------------------------
+
+
+def wan_pack_latents(lat: jnp.ndarray, p: tuple[int, int, int]
+                     ) -> jnp.ndarray:
+    """[B, F, H, W, C] → [B, (F/pt)(H/ph)(W/pw), C·pt·ph·pw] with the
+    Conv3d weight feature order (c, pt, ph, pw)."""
+    b, f, h, w, c = lat.shape
+    pt, ph, pw = p
+    x = lat.reshape(b, f // pt, pt, h // ph, ph, w // pw, pw, c)
+    # → [B, F', H', W', C, pt, ph, pw]
+    x = x.transpose(0, 1, 3, 5, 7, 2, 4, 6)
+    return x.reshape(b, (f // pt) * (h // ph) * (w // pw),
+                     c * pt * ph * pw)
+
+
+def wan_unpack_latents(x: jnp.ndarray, f: int, h: int, w: int,
+                       p: tuple[int, int, int], c_out: int) -> jnp.ndarray:
+    """Inverse of the OUTPUT layout (reference :958-962: features are
+    (pt, ph, pw, c) with c innermost) → [B, F, H, W, C]."""
+    b, s, _ = x.shape
+    pt, ph, pw = p
+    x = x.reshape(b, f // pt, h // ph, w // pw, pt, ph, pw, c_out)
+    # → [B, F', pt, H', ph, W', pw, C]
+    x = x.transpose(0, 1, 4, 2, 5, 3, 6, 7)
+    return x.reshape(b, f, h, w, c_out)
+
+
+# ---------------------------------------------------------------------------
+# Blocks
+# ---------------------------------------------------------------------------
+
+
+def _full_dim_rms(x: jnp.ndarray, weight: jnp.ndarray,
+                  eps: float) -> jnp.ndarray:
+    """RMSNorm over the full inner dim (pre-head-split, :385)."""
+    return rms_norm(x, weight, eps=eps)
+
+
+def _attend(q, k, v, hd, mesh, kv_is_text=False):
+    b, s, nh, _ = q.shape
+    scale = hd ** -0.5
+    if mesh is None:
+        from vllm_omni_tpu.ops.flash_attention import flash_attention
+
+        o = flash_attention(q, k, v, scale=scale)
+    else:
+        head_spec = P("cfg", None, ("ulysses", "tp"), None)
+        q = _constrain(q, mesh, head_spec)
+        k = _constrain(k, mesh, head_spec)
+        v = _constrain(v, mesh, head_spec)
+        o = mha_xla(q, k, v, scale=scale, causal=False)
+        spec_out = P("cfg", None if kv_is_text else "ulysses", None, None)
+        o = _constrain(o, mesh, spec_out)
+    return o.reshape(b, s, nh * hd)
+
+
+def wan_block(blk: Params, cfg: WanConfig, x: jnp.ndarray,
+              txt: jnp.ndarray, tproj: jnp.ndarray, cos: jnp.ndarray,
+              sin: jnp.ndarray, mesh=None) -> jnp.ndarray:
+    """WanTransformerBlock :615. x [B, S, D], txt [B, Tt, D] (already
+    projected), tproj [B, 6, D]."""
+    b, s, hs = x.shape
+    nh, hd = cfg.num_attention_heads, cfg.attention_head_dim
+    mod = (blk["scale_shift_table"][None] + tproj).astype(jnp.float32)
+    sh1, sc1, g1 = mod[:, 0], mod[:, 1], mod[:, 2]
+    sh2, sc2, g2 = mod[:, 3], mod[:, 4], mod[:, 5]
+
+    def ada(v, shift, scale):
+        return (_layer_norm_nb(v.astype(jnp.float32), cfg.eps) *
+                (1.0 + scale[:, None, :]) +
+                shift[:, None, :]).astype(v.dtype)
+
+    # 1. self-attention (rope, gated)
+    a1 = blk["attn1"]
+    xn = ada(x, sh1, sc1)
+    q = _full_dim_rms(linear(xn, a1["to_q"]), a1["norm_q"], cfg.eps)
+    k = _full_dim_rms(linear(xn, a1["to_k"]), a1["norm_k"], cfg.eps)
+    v = linear(xn, a1["to_v"])
+    q = apply_rope_interleaved(q.reshape(b, s, nh, hd), cos, sin)
+    k = apply_rope_interleaved(k.reshape(b, s, nh, hd), cos, sin)
+    o = _attend(q, k, v.reshape(b, s, nh, hd), hd, mesh)
+    x = x + (g1[:, None, :] *
+             linear(o, a1["to_out"]).astype(jnp.float32)).astype(x.dtype)
+
+    # 2. cross-attention (affine pre-norm, ungated)
+    a2 = blk["attn2"]
+    if cfg.cross_attn_norm:
+        xn2 = _layer_norm_nb(x.astype(jnp.float32), cfg.eps) \
+            * blk["norm2"]["w"] + blk["norm2"]["b"]
+        xn2 = xn2.astype(x.dtype)
+    else:
+        xn2 = x
+    tt = txt.shape[1]
+    q = _full_dim_rms(linear(xn2, a2["to_q"]), a2["norm_q"], cfg.eps)
+    k = _full_dim_rms(linear(txt, a2["to_k"]), a2["norm_k"], cfg.eps)
+    v = linear(txt, a2["to_v"])
+    o = _attend(q.reshape(b, s, nh, hd), k.reshape(b, tt, nh, hd),
+                v.reshape(b, tt, nh, hd), hd, mesh, kv_is_text=True)
+    x = x + linear(o, a2["to_out"])
+
+    # 3. ffn (gated)
+    xn3 = ada(x, sh2, sc2)
+    h = linear(xn3, blk["ffn"]["net0"])
+    h = jax.nn.gelu(h.astype(jnp.float32), approximate=True).astype(
+        x.dtype)
+    ff = linear(h, blk["ffn"]["net2"])
+    return x + (g2[:, None, :] *
+                ff.astype(jnp.float32)).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+
+def wan_forward(params: Params, cfg: WanConfig, latents: jnp.ndarray,
+                text_states: jnp.ndarray, timesteps: jnp.ndarray,
+                mesh=None) -> jnp.ndarray:
+    """latents [B, F, H, W, C] (or [B, H, W, C] → F=1), text_states
+    [B, Tt, text_dim] (umt5), timesteps [B] flow-match t ∈ [0,1]
+    (scaled to train-timestep units internally) → velocity, same shape
+    as latents."""
+    squeeze_f = latents.ndim == 4
+    if squeeze_f:
+        latents = latents[:, None]
+    b, f, h, w, c = latents.shape
+    pt, ph, pw = cfg.patch_size
+    dtype = params["proj_out"]["w"].dtype
+
+    x = wan_pack_latents(latents.astype(dtype), cfg.patch_size)
+    x = linear(x, params["patch_embedding"])
+    x = _constrain(x, mesh, P("cfg", "ulysses", None))
+
+    # condition embedder (:259): temb for the final norm, tproj [B,6,D]
+    # for block modulation, projected text
+    ce = params["condition_embedder"]
+    t_train = timesteps.astype(jnp.float32) * cfg.num_train_timesteps
+    e = _qwen_timestep_embedding(t_train, dim=cfg.freq_dim,
+                                 scale=1.0).astype(dtype)
+    e = linear(e, ce["time_embedder"]["linear_1"])
+    e = jax.nn.silu(e.astype(jnp.float32)).astype(dtype)
+    temb = linear(e, ce["time_embedder"]["linear_2"])
+    tproj = linear(jax.nn.silu(temb.astype(jnp.float32)).astype(dtype),
+                   ce["time_proj"])
+    tproj = tproj.reshape(b, 6, cfg.inner_dim)
+
+    txt = linear(text_states.astype(dtype), ce["text_embedder"]["linear_1"])
+    txt = jax.nn.gelu(txt.astype(jnp.float32),
+                      approximate=True).astype(dtype)
+    txt = linear(txt, ce["text_embedder"]["linear_2"])
+
+    cos, sin = wan_rope(cfg, f // pt, h // ph, w // pw)
+
+    for blk in params["blocks"]:
+        x = wan_block(blk, cfg, x, txt, tproj, cos, sin, mesh=mesh)
+
+    # final AdaLN: (scale_shift_table [2, D] + temb) → (shift, scale)
+    fin = (params["scale_shift_table"][None] +
+           temb[:, None, :]).astype(jnp.float32)
+    shift, scale = fin[:, 0], fin[:, 1]
+    out = (_layer_norm_nb(x.astype(jnp.float32), cfg.eps) *
+           (1.0 + scale[:, None, :]) + shift[:, None, :]).astype(dtype)
+    out = linear(out, params["proj_out"])
+    out = wan_unpack_latents(out, f, h, w, cfg.patch_size,
+                             cfg.out_channels)
+    return out[:, 0] if squeeze_f else out
+
+
+# ---------------------------------------------------------------------------
+# Init + sharding + name mapping
+# ---------------------------------------------------------------------------
+
+
+def _lin(key, k_in, n_out, dtype, scale=None):
+    s = (k_in ** -0.5) if scale is None else scale
+    return {"w": (jax.random.normal(key, (k_in, n_out), jnp.float32) *
+                  s).astype(dtype),
+            "b": jnp.zeros((n_out,), dtype)}
+
+
+def init_wan_params(cfg: WanConfig, key: jax.Array,
+                    dtype=jnp.bfloat16) -> Params:
+    keys = iter(jax.random.split(key, cfg.num_layers * 16 + 12))
+    hs = cfg.inner_dim
+    pin = cfg.in_channels * cfg.patch_size[0] * cfg.patch_size[1] * \
+        cfg.patch_size[2]
+    pout = cfg.out_channels * cfg.patch_size[0] * cfg.patch_size[1] * \
+        cfg.patch_size[2]
+    params: Params = {
+        "patch_embedding": _lin(next(keys), pin, hs, dtype),
+        "condition_embedder": {
+            "time_embedder": {
+                "linear_1": _lin(next(keys), cfg.freq_dim, hs, dtype),
+                "linear_2": _lin(next(keys), hs, hs, dtype)},
+            "time_proj": _lin(next(keys), hs, 6 * hs, dtype, scale=0.02),
+            "text_embedder": {
+                "linear_1": _lin(next(keys), cfg.text_dim, hs, dtype),
+                "linear_2": _lin(next(keys), hs, hs, dtype)},
+        },
+        "scale_shift_table": (jax.random.normal(
+            next(keys), (2, hs), jnp.float32) * hs ** -0.5).astype(dtype),
+        "proj_out": _lin(next(keys), hs, pout, dtype),
+        "blocks": [],
+    }
+    for _ in range(cfg.num_layers):
+        blk = {
+            "scale_shift_table": (jax.random.normal(
+                next(keys), (6, hs), jnp.float32) *
+                hs ** -0.5).astype(dtype),
+            "attn1": {
+                "to_q": _lin(next(keys), hs, hs, dtype),
+                "to_k": _lin(next(keys), hs, hs, dtype),
+                "to_v": _lin(next(keys), hs, hs, dtype),
+                "to_out": _lin(next(keys), hs, hs, dtype),
+                "norm_q": jnp.ones((hs,), dtype),
+                "norm_k": jnp.ones((hs,), dtype),
+            },
+            "attn2": {
+                "to_q": _lin(next(keys), hs, hs, dtype),
+                "to_k": _lin(next(keys), hs, hs, dtype),
+                "to_v": _lin(next(keys), hs, hs, dtype),
+                "to_out": _lin(next(keys), hs, hs, dtype),
+                "norm_q": jnp.ones((hs,), dtype),
+                "norm_k": jnp.ones((hs,), dtype),
+            },
+            "ffn": {"net0": _lin(next(keys), hs, cfg.ffn_dim, dtype),
+                    "net2": _lin(next(keys), cfg.ffn_dim, hs, dtype)},
+        }
+        if cfg.cross_attn_norm:
+            blk["norm2"] = {"w": jnp.ones((hs,), dtype),
+                            "b": jnp.zeros((hs,), dtype)}
+        params["blocks"].append(blk)
+    return params
+
+
+def wan_param_shardings(params: Params) -> Params:
+    """TP over "tp": qkv/mlp-in column-split, out/mlp-out row-split.
+    Full-dim QK norms replicate (global stats are exact under XLA SPMD;
+    the reference needs DistributedRMSNorm for the same math :67)."""
+    col = {"to_q", "to_k", "to_v", "net0"}
+    row = {"to_out", "net2"}
+
+    def walk(path: tuple, leaf: Any) -> P:
+        names = [q.key for q in path if hasattr(q, "key")]
+        leaf_name = names[-1] if names else ""
+        parent = names[-2] if len(names) >= 2 else ""
+        if parent in col:
+            return P(None, "tp") if leaf_name == "w" else P("tp")
+        if parent in row:
+            return P("tp", None) if leaf_name == "w" else P()
+        return P()
+
+    return jax.tree_util.tree_map_with_path(walk, params)
+
+
+def assign_wan_tensor(params: Params, name: str, value, dtype) -> bool:
+    """Map one diffusers-format tensor (WanTransformer3DModel naming,
+    reference load_weights :969) into the pytree. Conv3d patch weights
+    [O, C, pt, ph, pw] flatten to [C·pt·ph·pw, O]; torch Linear [out,
+    in] transposes to [in, out]."""
+    import numpy as _np
+
+    def w(v):
+        return jnp.asarray(_np.ascontiguousarray(v.T)).astype(dtype)
+
+    def b(v):
+        return jnp.asarray(v).astype(dtype)
+
+    def put(slot: dict, leaf: str, v):
+        slot[leaf] = w(v) if leaf == "w" else b(v)
+
+    parts = name.split(".")
+    if parts[0] == "patch_embedding":
+        if parts[1] == "weight":
+            o = value.shape[0]
+            params["patch_embedding"]["w"] = jnp.asarray(
+                _np.ascontiguousarray(
+                    value.reshape(o, -1).T)).astype(dtype)
+        else:
+            params["patch_embedding"]["b"] = b(value)
+        return True
+    if parts[0] == "condition_embedder":
+        ce = params["condition_embedder"]
+        if parts[1] in ("time_embedder", "text_embedder"):
+            slot = ce[parts[1]].get(parts[2])
+            if slot is None:
+                return False
+            put(slot, "w" if parts[3] == "weight" else "b", value)
+            return True
+        if parts[1] == "time_proj":
+            put(ce["time_proj"], "w" if parts[2] == "weight" else "b",
+                value)
+            return True
+        return False
+    if parts[0] == "scale_shift_table":
+        params["scale_shift_table"] = jnp.asarray(
+            value).reshape(2, -1).astype(dtype)
+        return True
+    if parts[0] == "proj_out" and len(parts) == 2:
+        put(params["proj_out"], "w" if parts[1] == "weight" else "b",
+            value)
+        return True
+    if parts[0] != "blocks":
+        return False
+    blk = params["blocks"][int(parts[1])]
+    rest = parts[2:]
+    if rest[0] == "scale_shift_table":
+        blk["scale_shift_table"] = jnp.asarray(
+            value).reshape(6, -1).astype(dtype)
+        return True
+    if rest[0] in ("attn1", "attn2"):
+        a = blk[rest[0]]
+        if rest[1] in ("norm_q", "norm_k") and rest[2] == "weight":
+            a[rest[1]] = b(value)
+            return True
+        if rest[1] in ("to_q", "to_k", "to_v"):
+            put(a[rest[1]], "w" if rest[2] == "weight" else "b", value)
+            return True
+        if rest[1] == "to_out":  # ModuleList: attn.to_out.0.weight
+            leaf = rest[3] if rest[2] == "0" else rest[2]
+            put(a["to_out"], "w" if leaf == "weight" else "b", value)
+            return True
+        return False
+    if rest[0] == "norm2" and "norm2" in blk:
+        blk["norm2"]["w" if rest[1] == "weight" else "b"] = b(value)
+        return True
+    if rest[0] == "ffn" and rest[1] == "net":
+        if rest[2] == "0":  # net.0.proj.{weight,bias}
+            put(blk["ffn"]["net0"], "w" if rest[4] == "weight" else "b",
+                value)
+            return True
+        if rest[2] == "2":
+            put(blk["ffn"]["net2"], "w" if rest[3] == "weight" else "b",
+                value)
+            return True
+    return False

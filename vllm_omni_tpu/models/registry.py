@@ -260,8 +260,11 @@ DIFFUSION_FAMILIES: dict[str, FamilySpec] = {f.name: f for f in [
         modality="video",
         stage_config=_cfg("wan2_2_tpu.yaml"),
         diffusers_archs=("WanTransformer3DModel",),
-        notes="Video DiT: 3D rope + frame-batched VAE decode + RIFE-"
-              "role frame interpolation (diffusion/postprocess.py)."),
+        notes="Real geometry: self+cross attention blocks, per-block "
+              "scale_shift_table, 3D rope, Conv3d patch embed, torch-"
+              "oracle parity (diffusion/wan.py); frame-batched VAE "
+              "decode + RIFE-role interpolation "
+              "(diffusion/postprocess.py)."),
 ]}
 
 # diffusers `_class_name` → (family tag, structural notes). Every image
@@ -280,7 +283,7 @@ DIFFUSERS_ARCH_MAP: dict[str, str] = {
     "OvisImageTransformer2DModel": "mmdit_image",
     "HeliosTransformer2DModel": "mmdit_image",
     "DreamIdOmniTransformer2DModel": "mmdit_image",
-    "WanTransformer3DModel": "mmdit_video",
+    "WanTransformer3DModel": "wan",
     "HunyuanVideoTransformer3DModel": "mmdit_video",
     "LTX2VideoTransformer3DModel": "mmdit_video",
     "MagiHumanTransformer3DModel": "mmdit_video",
