@@ -171,6 +171,21 @@ class EngineCore:
                       sampling_params=params, **kwargs)
         if params.guided is not None:
             req.guided_state = self._make_guided_session()
+        elif "fish" in self.aux:
+            # fish slow AR: constant semantic-range logit mask + hidden
+            # capture for residual-code expansion (fish_speech.py)
+            import dataclasses
+
+            from vllm_omni_tpu.models.fish_speech import (FixedLogitMask,
+                                                          semantic_logit_mask)
+
+            if not hasattr(self, "_fish_mask"):
+                self._fish_mask = semantic_logit_mask(
+                    self.decoder_cfg.vocab_size,
+                    self.aux["fish"]["special"])
+            req.guided_state = FixedLogitMask(self._fish_mask)
+            req.sampling_params = dataclasses.replace(
+                req.sampling_params, return_hidden_states=True)
         self.scheduler.add_request(req)
         return rid
 
@@ -284,7 +299,9 @@ class EngineCore:
         if sc.multi_step <= 1 or self.scheduler.waiting or \
                 not self.scheduler.running:
             return 1
-        if any(r.guided_state is not None for r in self.scheduler.running):
+        if any(r.guided_state is not None and
+               getattr(r.guided_state, "dynamic", True)
+               for r in self.scheduler.running):
             return 1  # grammar mask changes every token
         k = sc.multi_step
         for r in self.scheduler.running:
@@ -399,6 +416,62 @@ class EngineCore:
         codec = np.concatenate([np.asarray(frames)[None, :],
                                 residual.T.astype(np.int64)], axis=0)
         req.additional_information["codec_codes"] = codec.tolist()
+
+    def _apply_fish_fast_ar(self, req: Request) -> None:
+        """Fish Speech finish hook: expand the slow AR's semantic tokens
+        into all residual codebook codes with the fast AR, vectorized
+        over frames (reference talker_mtp, fish_speech_slow_ar.py:646;
+        code_t depends only on (hidden_{t-1}, token_t), so the batched
+        expansion reproduces the per-step path's codes). Result:
+        additional_information["codec_codes"] [Q, T]."""
+        import numpy as np
+
+        from vllm_omni_tpu.models.fish_speech import fast_ar_predict
+        from vllm_omni_tpu.utils import pick_bucket
+
+        if "codec_codes" in req.additional_information:
+            return
+        fast_cfg, fast_params = self.aux["fish"]["fast"]
+        special = self.aux["fish"]["special"]
+        lo = special["semantic_start_token_id"]
+        hi = special["semantic_end_token_id"]
+        hs = req.additional_information.get("hidden_states")
+        if not hs or not req.output_token_ids:
+            return
+        all_h = np.concatenate([np.atleast_2d(np.asarray(h))
+                                for h in hs], axis=0)
+        n_prompt_h = all_h.shape[0] - max(0, req.num_output_tokens - 1)
+        frames, frame_h = [], []
+        for j, t in enumerate(req.output_token_ids):
+            if not (lo <= t <= hi):
+                continue  # im_end / non-semantic tokens carry no frame
+            frames.append(t - lo)
+            frame_h.append(all_h[n_prompt_h - 1 + j])
+        if not frames:
+            return
+        f = len(frames)
+        b = pick_bucket(f, tuple(2 ** i for i in range(13)))
+        codes0 = np.zeros((b,), np.int32)
+        codes0[:f] = frames
+        hid = np.zeros((b, fast_cfg.text_dim), np.float32)
+        hid[:f] = np.stack(frame_h)
+        sampled = req.sampling_params.temperature > 0
+        fn = getattr(self, "_fish_fns", {}).get((b, sampled))
+        if fn is None:
+            if not hasattr(self, "_fish_fns"):
+                self._fish_fns = {}
+
+            def run(params, hid, codes0, key):
+                return fast_ar_predict(
+                    params, fast_cfg, hid, codes0,
+                    key=key if sampled else None)
+
+            fn = jax.jit(run)
+            self._fish_fns[(b, sampled)] = fn
+        key = jax.random.PRNGKey(req.sampling_params.seed or 0)
+        codes = np.asarray(fn(fast_params, hid, codes0, key))[:f]
+        req.additional_information["codec_codes"] = \
+            codes.T.astype(np.int64).tolist()  # [Q, T]
 
     def _step_code2wav(self) -> list[RequestOutput]:
         """code2wav stage: codec codes → waveform, bypassing the
@@ -622,6 +695,8 @@ class EngineCore:
     def _make_output(self, req: Request, finished: bool) -> RequestOutput:
         if finished and "code_predictor" in self.aux:
             self._apply_code_predictor(req)
+        if finished and "fish" in self.aux:
+            self._apply_fish_fast_ar(req)
         text = ""
         if finished and self.tokenizer is not None and \
                 req.sampling_params.detokenize:

@@ -54,6 +54,9 @@ class DecoderConfig:
     tie_word_embeddings: bool = False
     qk_norm: bool = False  # Qwen3 per-head RMSNorm on q/k
     attention_bias: bool = False  # Qwen2 qkv bias
+    # GPT-J-style interleaved RoPE pairs (Fish Speech; reference
+    # fish_speech_slow_ar.py _fix_rope_style). False = NeoX half-split.
+    rope_interleaved: bool = False
     max_position_embeddings: int = 4096
     # M-RoPE: head_dim/2 frequency slots split between (time, height,
     # width) position streams (Qwen-VL/Omni; reference patches vLLM's
@@ -160,8 +163,13 @@ def _attention_block(layer: Params, cfg: DecoderConfig, x: jnp.ndarray,
     if cfg.qk_norm:
         q = rms_norm(q, layer["q_norm"], cfg.rms_norm_eps)
         k = rms_norm(k, layer["k_norm"], cfg.rms_norm_eps)
-    q = apply_rope(q, cos, sin)
-    k = apply_rope(k, cos, sin)
+    if cfg.rope_interleaved:
+        from vllm_omni_tpu.ops.rope import \
+            apply_rope_interleaved as _rope_fn
+    else:
+        _rope_fn = apply_rope
+    q = _rope_fn(q, cos, sin)
+    k = _rope_fn(k, cos, sin)
     attn = attn_apply(layer_idx, q, k, v)  # [B, T, Hq, D]
     return linear(attn.reshape(b, t, cfg.q_size), layer["o_proj"],
                   act8=a8)

@@ -141,8 +141,13 @@ AR_FAMILIES: dict[str, FamilySpec] = {f.name: f for f in [
         modality="audio",
         stage_config=_cfg("fish_speech_tpu.yaml"),
         processors=(f"{_P}.slow_ar2dac",),
-        hf_archs=("LlamaForCausalLM",),
-        notes="Slow-AR semantic tokens → DAC decoder (async_chunk)."),
+        hf_archs=("FishSpeechSlowARForConditionalGeneration",),
+        notes="REAL dual-AR: slow AR = shared decoder with GPT-J "
+              "interleaved rope + semantic logit mask; fast AR = "
+              "re-prefill residual-codebook predictor, vectorized at "
+              "finish (models/fish_speech.py, torch-oracle parity). "
+              "DAC waveform decoder stays role-level "
+              "(vocoder.code2wav_postprocess)."),
     FamilySpec(
         name="voxcpm",
         reference="vllm_omni/model_executor/models/voxcpm/ (1,372)",

@@ -280,11 +280,15 @@ def load_model(model_config: ModelConfig,
         dtype = jnp.bfloat16 if model_config.dtype == "bfloat16" \
             else jnp.dtype(model_config.dtype)
     src = model_config.model
-    if model_config.hf_config_name and os.path.isdir(src):
+    if os.path.isdir(src) and os.path.isfile(
+            os.path.join(src, "config.json")):
         with open(os.path.join(src, "config.json")) as f:
             probe = json.load(f)
-        if "thinker_config" in probe:
+        if model_config.hf_config_name and "thinker_config" in probe:
             return _load_omni_component(model_config, src, dtype)
+        if "audio_decoder_config" in probe or \
+                str(probe.get("model_type", "")).startswith("fish"):
+            return _load_fish_component(model_config, src, dtype)
     if src == "dummy" or not os.path.isdir(src):
         if src != "dummy":
             raise FileNotFoundError(
@@ -325,6 +329,31 @@ def load_model(model_config: ModelConfig,
     params = quantize_params(params, model_config.quantization,
                              model_config.quant_group_size,
                              quantize_lm_head=model_config.quantize_lm_head)
+    return cfg, params, hf
+
+
+def _load_fish_component(model_config: ModelConfig, src: str, dtype
+                         ) -> tuple[DecoderConfig, dict, dict]:
+    """Fish Speech dual-AR checkpoint: the slow AR is this stage's
+    decoder; the fast AR + codebook embeddings + special ids ride under
+    hf["_aux"]["fish"] for the engine to claim (reference
+    fish_speech_slow_ar.py:170)."""
+    from vllm_omni_tpu.models.fish_speech import load_fish_speech_checkpoint
+
+    ck = load_fish_speech_checkpoint(src, dtype=dtype)
+    cfg, params = ck["slow"]
+    cfg = _apply_quant_flags(cfg, model_config)
+    if model_config.fused_qkv:
+        params = fuse_layer_params(params)
+    params = quantize_params(params, model_config.quantization,
+                             model_config.quant_group_size,
+                             quantize_lm_head=model_config.quantize_lm_head)
+    hf = {"vocab_size": cfg.vocab_size,
+          "eos_token_id": ck["special"]["im_end_id"],
+          "_aux": {"fish": {"fast": ck["fast"],
+                            "codebook_embeddings":
+                                ck["codebook_embeddings"],
+                            "special": ck["special"]}}}
     return cfg, params, hf
 
 

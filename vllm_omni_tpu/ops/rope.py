@@ -46,6 +46,25 @@ def apply_rope(x: jnp.ndarray, cos: jnp.ndarray,
     return out.astype(orig_dtype)
 
 
+def apply_rope_interleaved(x: jnp.ndarray, cos: jnp.ndarray,
+                           sin: jnp.ndarray) -> jnp.ndarray:
+    """GPT-J-style interleaved RoPE: rotation pairs are consecutive
+    elements (x[2i], x[2i+1]), not half-split. Fish Speech trains with
+    this style (reference fish_speech_fast_ar.py:88 is_neox_style=False).
+
+    x: [..., num_heads, head_dim]; cos/sin: [..., head_dim//2] broadcast
+    over the heads axis.
+    """
+    orig_dtype = x.dtype
+    x = x.astype(jnp.float32)
+    x1 = x[..., 0::2]
+    x2 = x[..., 1::2]
+    cos = cos[..., None, :]
+    sin = sin[..., None, :]
+    out = jnp.stack([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+    return out.reshape(x.shape).astype(orig_dtype)
+
+
 def compute_mrope_cos_sin(positions: jnp.ndarray, head_dim: int,
                           mrope_section: tuple[int, ...],
                           rope_theta: float = 10000.0
