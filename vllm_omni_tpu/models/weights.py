@@ -280,6 +280,25 @@ def load_model(model_config: ModelConfig,
         dtype = jnp.bfloat16 if model_config.dtype == "bfloat16" \
             else jnp.dtype(model_config.dtype)
     src = model_config.model
+    from vllm_omni_tpu.models.gguf_ar import is_gguf_source
+
+    if is_gguf_source(src):
+        # GGUF (llama.cpp) checkpoint: reader dequantizes Q8_0/Q4_0,
+        # quantize-on-load re-quantizes into the serving layout
+        # (reference quantization/gguf_config.py role)
+        from vllm_omni_tpu.models.gguf_ar import (load_gguf_ar,
+                                                  resolve_gguf_path)
+
+        cfg, params, hf = load_gguf_ar(resolve_gguf_path(src), dtype)
+        hf.update(model_config.hf_overrides)
+        cfg = _apply_quant_flags(cfg, model_config)
+        if model_config.fused_qkv:
+            params = fuse_layer_params(params)
+        params = quantize_params(
+            params, model_config.quantization,
+            model_config.quant_group_size,
+            quantize_lm_head=model_config.quantize_lm_head)
+        return cfg, params, hf
     if os.path.isdir(src) and os.path.isfile(
             os.path.join(src, "config.json")):
         with open(os.path.join(src, "config.json")) as f:
