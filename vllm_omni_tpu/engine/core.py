@@ -233,6 +233,10 @@ class EngineCore:
         kv = self.runner.extract_kv(req.page_ids[:used_pages])
         return {
             "kv": kv,
+            # quantized caches ship their per-head dequant scales: the
+            # receiver adopts or rescales (inject_request_kv) — raw
+            # int8/fp8 levels are meaningless without them
+            "kv_scales": self.runner.kv_scales,
             "prompt_token_ids": list(req.prompt_token_ids),
             "num_computed_tokens": req.num_computed_tokens,
             "first_token": req.output_token_ids[0]
@@ -241,6 +245,39 @@ class EngineCore:
 
     def release_transfer(self, request_id: str) -> None:
         self.scheduler.release_transfer(request_id)
+
+    def _reconcile_kv_scales(self, kv, sender_scales):
+        """Quantized transferred KV is raw int8/fp8 levels under the
+        SENDER's per-head scales. If this engine has no scales yet,
+        adopt the sender's (same checkpoint → same distribution); if it
+        calibrated different ones, rescale the blob host-side so local
+        dequant is exact. Hetero-TP slicing upstream keeps the Hkv wire
+        axis, so per-head scales line up after slicing too."""
+        import numpy as np
+
+        local = self.runner.kv_scales
+        if sender_scales is None or self.runner.kv_quant == "none":
+            return kv
+        if local is None:
+            self.runner.kv_scales = sender_scales
+            self.runner._fn_cache.clear()
+            self.runner._decode_cache = None
+            return kv
+        k_s, v_s = sender_scales
+        k_l, v_l = local
+        if np.allclose(k_s, k_l) and np.allclose(v_s, v_l):
+            return kv
+        hkv = kv.shape[2]
+        # wire [L, 2, Hkv, P, ps, D]; hetero-TP may have sliced heads —
+        # scales slice identically (contiguous head ranges), so a
+        # shape-based alignment is enough when hkv < full
+        sc_send = np.stack([k_s[:, :hkv], v_s[:, :hkv]], axis=1)
+        sc_loc = np.stack([k_l[:, :hkv], v_l[:, :hkv]], axis=1)
+        ratio = (sc_send / sc_loc)[:, :, :, None, None, None]
+        deq = kv.astype(np.float32) * ratio
+        if self.runner.kv_quant == "int8":
+            return np.clip(np.rint(deq), -127, 127).astype(np.int8)
+        return deq.astype(kv.dtype)
 
     def inject_request_kv(self, payload: dict[str, Any],
                           sampling_params: Optional[SamplingParams] = None,
@@ -265,6 +302,7 @@ class EngineCore:
         alloc = self.scheduler.block_manager.allocate(
             max(req.num_tokens, n_computed))
         req.page_ids = alloc.page_ids
+        kv = self._reconcile_kv_scales(kv, payload.get("kv_scales"))
         self.runner.inject_kv(req.page_ids[:kv.shape[3]], kv)
         self.scheduler._all[rid] = req
         req.status = RequestStatus.WAITING

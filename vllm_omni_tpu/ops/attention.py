@@ -282,26 +282,45 @@ def write_kv_pages_pallas(k_pages: jnp.ndarray, v_pages: jnp.ndarray,
     )(slot_ids.astype(jnp.int32), k_rows, v_rows, k_pages, v_pages)
 
 
-def quantize_kv(k: jnp.ndarray, v: jnp.ndarray, dtype: str):
+def quantize_kv(k: jnp.ndarray, v: jnp.ndarray, dtype: str,
+                k_scale: Optional[jnp.ndarray] = None,
+                v_scale: Optional[jnp.ndarray] = None):
     """KV-cache quantization on write (reference: FP8 KV cache,
-    SURVEY.md §2.9). fp8 e4m3 has enough dynamic range for post-rope K/V;
-    int8 uses a fixed 1/16 scale (post-norm K/V are O(1))."""
+    SURVEY.md §2.9). k/v: [T, hkv, D] new rows. k_scale/v_scale:
+    optional per-kv-head scales [hkv] — stored value is x / scale
+    (calibrated by the model runner from real K/V amax, or loaded from
+    a pre-quantized checkpoint). Without scales: int8 falls back to the
+    fixed 1/16 write scale (post-norm K/V are O(1)), fp8 e4m3 to a raw
+    cast (enough dynamic range for post-rope K/V)."""
     if dtype == "fp8":
+        if k_scale is not None:
+            k = k.astype(jnp.float32) / k_scale[None, :, None]
+            v = v.astype(jnp.float32) / v_scale[None, :, None]
         return k.astype(jnp.float8_e4m3fn), v.astype(jnp.float8_e4m3fn)
     if dtype == "int8":
-        kq = jnp.clip(jnp.round(k.astype(jnp.float32) * 16.0), -127,
+        ks = (1.0 / 16.0 if k_scale is None else k_scale[None, :, None])
+        vs = (1.0 / 16.0 if v_scale is None else v_scale[None, :, None])
+        kq = jnp.clip(jnp.round(k.astype(jnp.float32) / ks), -127,
                       127).astype(jnp.int8)
-        vq = jnp.clip(jnp.round(v.astype(jnp.float32) * 16.0), -127,
+        vq = jnp.clip(jnp.round(v.astype(jnp.float32) / vs), -127,
                       127).astype(jnp.int8)
         return kq, vq
     return k, v
 
 
-def dequantize_kv(k: jnp.ndarray, v: jnp.ndarray, compute_dtype=jnp.float32):
-    if k.dtype == jnp.int8:
-        return (k.astype(compute_dtype) / 16.0,
-                v.astype(compute_dtype) / 16.0)
-    return k.astype(compute_dtype), v.astype(compute_dtype)
+def dequantize_kv(k: jnp.ndarray, v: jnp.ndarray, compute_dtype=jnp.float32,
+                  k_scale: Optional[jnp.ndarray] = None,
+                  v_scale: Optional[jnp.ndarray] = None):
+    """k/v: head-major [hkv, B, S, D] (gather_kv_for_seqs output).
+    Per-head scales broadcast over axis 0; int8 without scales uses the
+    legacy fixed 1/16, fp8/bf16 without scales pass through."""
+    was_int8 = k.dtype == jnp.int8
+    k = k.astype(compute_dtype)
+    v = v.astype(compute_dtype)
+    if k_scale is not None:
+        return (k * k_scale[:, None, None, None],
+                v * v_scale[:, None, None, None])
+    return (k / 16.0, v / 16.0) if was_int8 else (k, v)
 
 
 # ---------------------------------------------------------------------------
@@ -332,13 +351,16 @@ def paged_attention_decode_xla(q: jnp.ndarray, k_pages: jnp.ndarray,
                                v_pages: jnp.ndarray,
                                block_tables: jnp.ndarray,
                                context_lens: jnp.ndarray,
-                               scale: float) -> jnp.ndarray:
+                               scale: float,
+                               k_scale: Optional[jnp.ndarray] = None,
+                               v_scale: Optional[jnp.ndarray] = None
+                               ) -> jnp.ndarray:
     """q: [B, H, D] → [B, H, D]. context_lens counts tokens INCLUDING the
     one being decoded (its KV is already written)."""
     b, h, d = q.shape
     k, v = gather_kv_for_seqs(k_pages, v_pages, block_tables,
                               head_dim=d)
-    k, v = dequantize_kv(k, v)
+    k, v = dequantize_kv(k, v, k_scale=k_scale, v_scale=v_scale)
     hkv, _, s_max, _ = k.shape
     g = h // hkv
     qf = q.astype(jnp.float32).reshape(b, hkv, g, d)
@@ -356,7 +378,10 @@ def paged_attention_prefill_xla(q: jnp.ndarray, k_pages: jnp.ndarray,
                                 q_start: jnp.ndarray,
                                 kv_lens: jnp.ndarray,
                                 scale: float,
-                                causal: bool = True) -> jnp.ndarray:
+                                causal: bool = True,
+                                k_scale: Optional[jnp.ndarray] = None,
+                                v_scale: Optional[jnp.ndarray] = None
+                                ) -> jnp.ndarray:
     """Chunked-prefill attention reading context from pages.
 
     q: [B, T, H, D]; token t of row b is at absolute position q_start[b]+t
@@ -366,7 +391,7 @@ def paged_attention_prefill_xla(q: jnp.ndarray, k_pages: jnp.ndarray,
     b, t, h, d = q.shape
     k, v = gather_kv_for_seqs(k_pages, v_pages, block_tables,
                               head_dim=d)
-    k, v = dequantize_kv(k, v)
+    k, v = dequantize_kv(k, v, k_scale=k_scale, v_scale=v_scale)
     hkv, _, s_max, _ = k.shape
     g = h // hkv
     qf = q.astype(jnp.float32).reshape(b, t, hkv, g, d)
@@ -418,14 +443,32 @@ def mha_xla(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float,
 # ---------------------------------------------------------------------------
 
 
-def _decode_kernel(block_tables_ref, num_blocks_ref, context_lens_ref,
-                   q_ref, k_hbm, v_hbm, o_ref,
+def _decode_kernel(block_tables_ref, num_blocks_ref, cum_blocks_ref,
+                   context_lens_ref, q_ref, k_hbm, v_hbm, o_ref,
                    k_buf, v_buf, k_sem, v_sem,
                    *, pages_per_blk: int, page_size: int, hkv: int,
-                   g: int, scale: float, kv_scale: float = 1.0):
+                   g: int, scale: float):
+    """Globally software-pipelined over the flat (seq, block) stream.
+
+    Work items are numbered globally: item ``cum_blocks[b] + blk`` is
+    block ``blk`` of sequence ``b`` (every sequence has >= 1 block —
+    the wrapper clamps — so the stream is gapless). Buffer slot of item
+    g is ``g % 2`` regardless of which sequence it belongs to, and the
+    body of item g issues the DMA for item g+1 — whether that is this
+    sequence's next block or the NEXT sequence's block 0. The round-2
+    kernel reset slots per sequence and issued the next sequence's
+    block 0 only after its own compute loop, leaving one unhidden
+    page-fetch bubble per sequence: at serving shapes (bs=32, ctx=248
+    → 2 blocks/seq) that bubble was ~1/3 of the runtime (53% of the
+    KV-bytes roofline, docs/design/performance.md). Slot safety: item
+    g+1 overwrites slot (g+1)%2, last used by item g-1, whose compute
+    finished before body(g) ran (the grid and fori_loop are serial on
+    one core).
+    """
     b = pl.program_id(0)
     nprog = pl.num_programs(0)
-    n_blocks = num_blocks_ref[b]
+    n_blocks = num_blocks_ref[b]   # >= 1 (wrapper clamps; ctx=0 rows
+    cum = cum_blocks_ref[b]        # fetch one masked block)
     ctx = context_lens_ref[b]
     p_max = block_tables_ref.shape[1]
 
@@ -438,9 +481,6 @@ def _decode_kernel(block_tables_ref, num_blocks_ref, context_lens_ref,
             pltpu.make_async_copy(v_hbm.at[pid], v_buf.at[slot, i],
                                   v_sem.at[slot, i]).start()
 
-    def start_fetch(blk, slot):
-        start_fetch_for(b, blk, slot)
-
     def wait_fetch(slot):
         for i in range(pages_per_blk):
             pltpu.make_async_copy(k_hbm.at[0], k_buf.at[slot, i],
@@ -448,22 +488,10 @@ def _decode_kernel(block_tables_ref, num_blocks_ref, context_lens_ref,
             pltpu.make_async_copy(v_hbm.at[0], v_buf.at[slot, i],
                                   v_sem.at[slot, i]).wait()
 
-    # Cross-program prefetch: every program issues the NEXT sequence's
-    # block 0 into slot 0 at its end (the grid runs sequentially on one
-    # core; VMEM scratch + DMA semaphores persist across programs), so
-    # block 0's data is in flight during the previous program's compute
-    # — removes the per-sequence pipeline bubble. Starts are
-    # unconditional (even for ctx=0 sequences) and matched by exactly
-    # one wait below, keeping semaphore counts balanced.
+    # Item 0 has no predecessor: program 0 issues it itself.
     @pl.when(b == 0)
     def _():
-        start_fetch(0, 0)
-
-    # ctx=0 rows never enter the loop: consume the prefetched block 0
-    # so the start/wait pairing stays balanced for the next program.
-    @pl.when(n_blocks == 0)
-    def _():
-        wait_fetch(0)
+        start_fetch_for(0, 0, 0)
 
     blk_tokens = pages_per_blk * page_size  # logical tokens per head
     q = q_ref[0].astype(jnp.float32)        # [H, D] (H = hkv·g, hkv-major)
@@ -482,22 +510,27 @@ def _decode_kernel(block_tables_ref, num_blocks_ref, context_lens_ref,
 
     def body(blk, carry):
         acc, m, l = carry
-        slot = blk % 2
+        slot = (cum + blk) % 2
 
-        @pl.when(blk + 1 < n_blocks)
+        # issue global item g+1 = (b, blk+1) or (b+1, 0); slot
+        # continuity holds because cum[b+1] = cum[b] + n_blocks
+        nxt_in_seq = blk + 1 < n_blocks
+
+        @pl.when(nxt_in_seq | (b + 1 < nprog))
         def _():
-            start_fetch(blk + 1, (blk + 1) % 2)
+            start_fetch_for(jnp.where(nxt_in_seq, b, b + 1),
+                            jnp.where(nxt_in_seq, blk + 1, 0),
+                            (cum + blk + 1) % 2)
 
         wait_fetch(slot)
-        # int8 KV: dequant in-register right after the DMA lands (the
-        # 1/16 write-scale from quantize_kv); fp8/bf16: kv_scale == 1
+        # KV dequant scales never enter the kernel: per-head K scales
+        # fold into q rows pre-kernel and per-head V scales into output
+        # rows post-kernel (cross-head terms are masked / exp to 0, so
+        # the fold is exact) — see paged_attention_decode_pallas.
         k = k_buf[slot].reshape(n_cols, 128 if pack > 1 else d)
         v = v_buf[slot].reshape(n_cols, 128 if pack > 1 else d)
         k = k.astype(jnp.float32)
         v = v.astype(jnp.float32)
-        if kv_scale != 1.0:
-            k = k * kv_scale
-            v = v * kv_scale
         # small heads (d < 128): each packed 128-lane row holds `pack`
         # tokens. Mosaic cannot shape-cast the lane dim, so extract
         # section `sec` with a selection matmul k_s = k @ E_sec
@@ -537,12 +570,6 @@ def _decode_kernel(block_tables_ref, num_blocks_ref, context_lens_ref,
             jnp.full((h, 1), NEG_INF, jnp.float32),
             jnp.zeros((h, 1), jnp.float32))
     acc, m, l = jax.lax.fori_loop(0, n_blocks, body, init)
-    # prefetch the next sequence's block 0 (see note above); slot 0's
-    # last in-program use was waited before its block's compute
-    @pl.when(b + 1 < nprog)
-    def _():
-        start_fetch_for(b + 1, 0, 0)
-
     o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
@@ -554,20 +581,45 @@ def paged_attention_decode_pallas(q: jnp.ndarray, k_pages: jnp.ndarray,
                                   context_lens: jnp.ndarray,
                                   scale: float,
                                   pages_per_blk: int = 8,
-                                  interpret: bool = False) -> jnp.ndarray:
+                                  interpret: bool = False,
+                                  k_scale: Optional[jnp.ndarray] = None,
+                                  v_scale: Optional[jnp.ndarray] = None
+                                  ) -> jnp.ndarray:
+    """k_scale/v_scale: optional per-kv-head dequant scales [hkv]
+    (quantize_kv wrote k/scale into the cache). They never enter the
+    kernel: scores are linear in K per column and the GQA block-diag
+    mask kills every cross-head term, so scaling q row r by
+    k_scale[r // g] is exact; attention output rows are linear in V
+    with p == 0 off-head, so scaling output rows by v_scale[r // g] is
+    exact. Legacy int8 caches without scales use the fixed 1/16 write
+    scale."""
     b, h, d = q.shape
     n_pages, hkv, rows_per_page, d_phys = k_pages.shape
     page_size = rows_per_page * (d_phys // d)  # logical tokens/page
     g = h // hkv
     p_max = block_tables.shape[1]
     pages_per_blk = min(pages_per_blk, p_max)
-    num_blocks = (cdiv_arr(context_lens, page_size) + pages_per_blk -
-                  1) // pages_per_blk
+    # >= 1 block per row: ctx=0 padding rows fetch one fully-masked
+    # block so the global DMA stream stays gapless (see _decode_kernel)
+    num_blocks = jnp.maximum(
+        (cdiv_arr(context_lens, page_size) + pages_per_blk - 1)
+        // pages_per_blk, 1)
+    cum_blocks = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32),
+         jnp.cumsum(num_blocks, dtype=jnp.int32)[:-1]])
 
-    kv_scale = 1.0 / 16.0 if k_pages.dtype == jnp.int8 else 1.0
+    out_dtype = q.dtype
+    if k_scale is None and k_pages.dtype == jnp.int8:
+        k_scale = jnp.full((hkv,), 1.0 / 16.0, jnp.float32)
+        v_scale = jnp.full((hkv,), 1.0 / 16.0, jnp.float32)
+    if k_scale is not None:
+        # f32 into the kernel: the fold must not round the scaled q
+        # back to bf16 (the kernel upcasts q to f32 anyway)
+        q = (q.astype(jnp.float32) *
+             jnp.repeat(k_scale, g)[None, :, None])
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(b,),
         in_specs=[
             pl.BlockSpec((1, h, d), lambda i, *_: (i, 0, 0),
@@ -588,13 +640,17 @@ def paged_attention_decode_pallas(q: jnp.ndarray, k_pages: jnp.ndarray,
     )
     kernel = functools.partial(_decode_kernel, pages_per_blk=pages_per_blk,
                                page_size=page_size, hkv=hkv, g=g,
-                               scale=scale, kv_scale=kv_scale)
+                               scale=scale)
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, h, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, h, d), out_dtype),
         interpret=interpret,
-    )(block_tables, num_blocks, context_lens, q, k_pages, v_pages)
+    )(block_tables, num_blocks, cum_blocks, context_lens, q,
+      k_pages, v_pages)
+    if v_scale is not None:
+        out = (out.astype(jnp.float32) *
+               jnp.repeat(v_scale, g)[None, :, None]).astype(out_dtype)
     return out
 
 
@@ -618,7 +674,7 @@ def _prefill_kernel(block_tables_ref, num_blocks_ref, q_start_ref,
                     kv_lens_ref, q_ref, k_hbm, v_hbm, o_ref,
                     k_buf, v_buf, k_sem, v_sem,
                     *, pages_per_blk: int, page_size: int, scale: float,
-                    causal: bool, t_blk: int, kv_scale: float = 1.0):
+                    causal: bool, t_blk: int):
     b = pl.program_id(0)
     h = pl.program_id(1)
     tb = pl.program_id(2)  # query tile (bounds VMEM at large T)
@@ -675,13 +731,12 @@ def _prefill_kernel(block_tables_ref, num_blocks_ref, q_start_ref,
             start_fetch(blk + 1, (blk + 1) % 2)
 
         wait_fetch(slot)
+        # dequant scales fold into q / output rows in the wrapper (one
+        # kv head per program), never into the kernel
         k = k_buf[slot].reshape(n_cols, 128 if pack > 1 else d)
         v = v_buf[slot].reshape(n_cols, 128 if pack > 1 else d)
         k = k.astype(jnp.float32)
         v = v.astype(jnp.float32)
-        if kv_scale != 1.0:
-            k = k * kv_scale
-            v = v * kv_scale
         # lane-packed small heads: per-section selection matmuls (see
         # _decode_kernel) — sections act as extra online-softmax blocks
         per_sec = []
@@ -734,9 +789,15 @@ def paged_attention_prefill_pallas(q: jnp.ndarray, k_pages: jnp.ndarray,
                                    kv_lens: jnp.ndarray, scale: float,
                                    causal: bool = True,
                                    pages_per_blk: int = 8,
-                                   interpret: bool = False) -> jnp.ndarray:
+                                   interpret: bool = False,
+                                   k_scale: Optional[jnp.ndarray] = None,
+                                   v_scale: Optional[jnp.ndarray] = None
+                                   ) -> jnp.ndarray:
     """q [B, T, H, D] chunk rows → [B, T, H, D]; context read from pages
-    (which already include the chunk's own freshly written KV)."""
+    (which already include the chunk's own freshly written KV).
+    k_scale/v_scale: per-kv-head dequant scales [hkv], folded into q /
+    output rows exactly (one kv head per program — see the decode
+    wrapper's derivation)."""
     b, t, h, d = q.shape
     n_pages, hkv, rows_per_page, d_phys = k_pages.shape
     page_size = rows_per_page * (d_phys // d)  # logical tokens/page
@@ -748,6 +809,13 @@ def paged_attention_prefill_pallas(q: jnp.ndarray, k_pages: jnp.ndarray,
     limit = jnp.minimum(kv_lens, q_start + t) if causal else kv_lens
     num_blocks = (cdiv_arr(limit, page_size) + pages_per_blk -
                   1) // pages_per_blk
+    out_dtype = q.dtype
+    if k_scale is None and k_pages.dtype == jnp.int8:
+        k_scale = jnp.full((hkv,), 1.0 / 16.0, jnp.float32)
+        v_scale = jnp.full((hkv,), 1.0 / 16.0, jnp.float32)
+    if k_scale is not None:
+        q = (q.astype(jnp.float32) *
+             jnp.repeat(k_scale, g)[None, None, :, None])
     q_r = jnp.transpose(q.reshape(b, t, hkv, g, d), (0, 2, 1, 3, 4))
     # tile the query dim: whole-T q/o blocks VMEM-OOM at T≥1024 with
     # 8B geometry (measured: 20 MB scoped vmem vs the 16 MB limit)
@@ -783,15 +851,16 @@ def paged_attention_prefill_pallas(q: jnp.ndarray, k_pages: jnp.ndarray,
     kernel = functools.partial(_prefill_kernel,
                                pages_per_blk=pages_per_blk,
                                page_size=page_size, scale=scale,
-                               causal=causal, t_blk=t_blk,
-                               kv_scale=1.0 / 16.0
-                               if k_pages.dtype == jnp.int8 else 1.0)
+                               causal=causal, t_blk=t_blk)
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, hkv, t, g, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, hkv, t, g, d), out_dtype),
         interpret=interpret,
     )(block_tables, num_blocks, q_start, kv_lens, q_r, k_pages, v_pages)
+    if v_scale is not None:
+        out = (out.astype(jnp.float32) *
+               v_scale[None, :, None, None, None]).astype(out_dtype)
     return jnp.transpose(out, (0, 2, 1, 3, 4)).reshape(b, t, h, d)
 
 
@@ -812,23 +881,27 @@ def pallas_supported_geometry(k_pages: jnp.ndarray) -> bool:
 
 
 def paged_attention_decode(q, k_pages, v_pages, block_tables, context_lens,
-                           scale):
+                           scale, k_scale=None, v_scale=None):
     from vllm_omni_tpu.ops import use_pallas
 
     if use_pallas() and pallas_supported_geometry(k_pages):
         return paged_attention_decode_pallas(
-            q, k_pages, v_pages, block_tables, context_lens, scale=scale)
+            q, k_pages, v_pages, block_tables, context_lens, scale=scale,
+            k_scale=k_scale, v_scale=v_scale)
     return paged_attention_decode_xla(q, k_pages, v_pages, block_tables,
-                                      context_lens, scale)
+                                      context_lens, scale,
+                                      k_scale=k_scale, v_scale=v_scale)
 
 
 def paged_attention_prefill(q, k_pages, v_pages, block_tables, q_start,
-                            kv_lens, scale, causal=True):
+                            kv_lens, scale, causal=True, k_scale=None,
+                            v_scale=None):
     from vllm_omni_tpu.ops import use_pallas
 
     if use_pallas() and pallas_supported_geometry(k_pages):
         return paged_attention_prefill_pallas(
             q, k_pages, v_pages, block_tables, q_start, kv_lens,
-            scale=scale, causal=causal)
+            scale=scale, causal=causal, k_scale=k_scale, v_scale=v_scale)
     return paged_attention_prefill_xla(q, k_pages, v_pages, block_tables,
-                                       q_start, kv_lens, scale, causal)
+                                       q_start, kv_lens, scale, causal,
+                                       k_scale=k_scale, v_scale=v_scale)

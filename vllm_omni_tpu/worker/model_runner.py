@@ -36,7 +36,8 @@ from vllm_omni_tpu.logger import init_logger
 from vllm_omni_tpu.models.decoder import (DecoderConfig, compute_logits,
                                           decoder_forward, param_shardings)
 from vllm_omni_tpu.ops import sampler as sampler_ops
-from vllm_omni_tpu.ops.attention import (paged_attention_decode_pallas,
+from vllm_omni_tpu.ops.attention import (mha_xla,
+                                         paged_attention_decode_pallas,
                                          paged_attention_decode_xla,
                                          paged_attention_prefill_pallas,
                                          paged_attention_prefill_xla,
@@ -92,6 +93,12 @@ class ModelRunner:
                 params, specs, is_leaf=lambda x: x is None)
         self.params = params
         self.kv_pages = self._alloc_kv()
+        # per-head KV dequant scales [num_layers, hkv] x (K, V), set by
+        # _calibrate_kv_scales on the first real prefill (amax of real
+        # K/V per head x1.5 headroom; reference: vLLM k_scale/v_scale,
+        # checkpoint-calibrated). None = legacy fixed scales. numpy on
+        # purpose: read at trace time, baked as tiny jit constants.
+        self.kv_scales: Optional[tuple] = None
         self._fn_cache: dict[tuple, Any] = {}
         # device-resident decode-chain inputs (see execute_decode_multi)
         self._decode_cache: Optional[dict] = None
@@ -170,11 +177,15 @@ class ModelRunner:
 
         def attn_apply(i, q, k, v):
             kp, vp = kv_list[i]
+            k_sc = v_sc = None
+            if self.kv_scales is not None:
+                k_sc = jnp.asarray(self.kv_scales[0][i])
+                v_sc = jnp.asarray(self.kv_scales[1][i])
             k_flat = k.reshape(b * t, self.cfg.num_kv_heads,
                                self.cfg.head_dim)
             v_flat = v.reshape(b * t, self.cfg.num_kv_heads,
                                self.cfg.head_dim)
-            kq, vq = quantize_kv(k_flat, v_flat, self.kv_quant)
+            kq, vq = quantize_kv(k_flat, v_flat, self.kv_quant, k_sc, v_sc)
             kp, vp = write_kv_pages(kp, vp, kq, vq, slot_ids.reshape(-1),
                                     pallas_ok=self.mesh is None)
             kv_list[i] = (kp, vp)
@@ -182,17 +193,20 @@ class ModelRunner:
                 q2 = q.reshape(b, self.cfg.num_heads, self.cfg.head_dim)
                 if self._use_pallas_decode():
                     o = paged_attention_decode_pallas(
-                        q2, kp, vp, block_tables, kv_lens, scale=self.scale)
+                        q2, kp, vp, block_tables, kv_lens, scale=self.scale,
+                        k_scale=k_sc, v_scale=v_sc)
                 else:
                     o = paged_attention_decode_xla(
-                        q2, kp, vp, block_tables, kv_lens, self.scale)
+                        q2, kp, vp, block_tables, kv_lens, self.scale,
+                        k_scale=k_sc, v_scale=v_sc)
                 return o.reshape(b, 1, self.cfg.num_heads, self.cfg.head_dim)
             if self._use_pallas_decode():  # same constraints apply
                 return paged_attention_prefill_pallas(
                     q, kp, vp, block_tables, q_start, kv_lens,
-                    scale=self.scale)
+                    scale=self.scale, k_scale=k_sc, v_scale=v_sc)
             return paged_attention_prefill_xla(
-                q, kp, vp, block_tables, q_start, kv_lens, self.scale)
+                q, kp, vp, block_tables, q_start, kv_lens, self.scale,
+                k_scale=k_sc, v_scale=v_sc)
 
         hidden = decoder_forward(params, self.cfg, token_ids, positions,
                                  attn_apply, input_embeds=input_embeds)
@@ -335,6 +349,54 @@ class ModelRunner:
             return ids, lps, kv, next_state, hid  # ids/lps [K, B]
         ids, lps = outs
         return ids, lps, kv, next_state
+
+    # -- KV quant calibration -------------------------------------------------
+    def _calibrate_kv_scales(self, token_ids, positions, q_start,
+                             kv_lens) -> None:
+        """One extra forward over the first real prefill's inputs,
+        collecting per-layer per-head amax of pre-quantization K/V →
+        per-head dequant scales with 1.5x headroom (later outliers clip
+        at most mildly; ppl gate: benchmarks/ppl_eval.py --kv-quant).
+        Reference: vLLM kv-cache k_scale/v_scale (per-tensor, from
+        ModelOpt-calibrated checkpoints); ours calibrates online and is
+        per-head. Runs BEFORE any serving variant is traced — the
+        scales are baked into every later jit as [hkv] constants."""
+        denom = 448.0 if self.kv_quant == "fp8" else 127.0
+
+        @jax.jit
+        def calib(params, token_ids, positions, q_start, kv_lens):
+            b, t = token_ids.shape
+            valid = (jnp.arange(t)[None, :] <
+                     (kv_lens - q_start)[:, None])  # [B, T]
+            stats = []
+
+            def attn_apply(i, q, k, v):
+                m = valid[:, :, None, None]
+                stats.append((
+                    jnp.max(jnp.abs(k.astype(jnp.float32)) * m,
+                            axis=(0, 1, 3)),
+                    jnp.max(jnp.abs(v.astype(jnp.float32)) * m,
+                            axis=(0, 1, 3))))
+                return mha_xla(q, k, v, self.scale, causal=True)
+
+            decoder_forward(params, self.cfg, token_ids, positions,
+                            attn_apply)
+            return (jnp.stack([s[0] for s in stats]),
+                    jnp.stack([s[1] for s in stats]))
+
+        k_amax, v_amax = jax.device_get(
+            calib(self.params, token_ids, positions, q_start, kv_lens))
+        floor = 1e-6
+        self.kv_scales = (
+            np.maximum(k_amax * 1.5 / denom, floor).astype(np.float32),
+            np.maximum(v_amax * 1.5 / denom, floor).astype(np.float32))
+        # any fn traced without scales (shouldn't exist — calibration
+        # precedes the first serving trace) must not survive
+        self._fn_cache.clear()
+        self._decode_cache = None
+        logger.info("calibrated per-head KV scales (%s): k amax %.3f, "
+                    "v amax %.3f", self.kv_quant, float(k_amax.max()),
+                    float(v_amax.max()))
 
     # -- jit cache ----------------------------------------------------------
     def _get_fn(self, kind: str, **static) -> Any:
@@ -677,6 +739,9 @@ class ModelRunner:
         else:
             bias = np.zeros((1, 1), np.float32)
 
+        if self.kv_quant != "none" and self.kv_scales is None:
+            self._calibrate_kv_scales(token_ids, positions, q_start,
+                                      kv_lens)
         fn = self._get_fn("prefill", return_hidden=return_hidden,
                           with_embeds=with_embeds, use_bias=use_bias,
                           use_penalties=use_penalties)
