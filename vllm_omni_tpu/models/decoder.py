@@ -486,3 +486,150 @@ def param_shardings(params: Params,
         return P()
 
     return jax.tree_util.tree_map_with_path(walk, params)
+
+
+# ---------------------------------------------------------------------------
+# Pipeline parallelism (AR stages)
+#
+# Reference AR stages inherit vLLM's pipeline parallelism (SURVEY.md
+# §2.5); here PP is a GPipe schedule inside ONE jitted program: decoder
+# layer groups live on "pp" mesh ranks (stacked-leading-dim params and
+# paged KV sharded over dim 0), activations hand off rank→rank via
+# `ppermute` over batch-row microbatches. No host P2P plane, no NCCL
+# send/recv — the handoff is one ICI collective per tick.
+# ---------------------------------------------------------------------------
+
+
+def stack_layer_params(layers: list) -> Params:
+    """Per-layer param dicts → one pytree with a leading [L] axis (the
+    unit PP shards over the "pp" mesh axis)."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+
+
+def decoder_forward_pp(params: Params, cfg: DecoderConfig,
+                       token_ids: Optional[jnp.ndarray],
+                       positions: jnp.ndarray, mesh,
+                       kv_k: jnp.ndarray, kv_v: jnp.ndarray,
+                       slot_ids: jnp.ndarray, block_tables: jnp.ndarray,
+                       q_start: Optional[jnp.ndarray],
+                       kv_lens: jnp.ndarray, scale: float,
+                       kv_quant: str = "none", decode: bool = False,
+                       input_embeds: Optional[jnp.ndarray] = None):
+    """GPipe pipeline-parallel decoder forward.
+
+    params must carry "layers_stacked" (stack_layer_params output).
+    kv_k/kv_v: stacked paged caches [L, n_pages, hkv, ps, D] sharded
+    P("pp") on dim 0 — each rank stores KV only for its own layer
+    group. Batch rows are split into `pp` microbatches (falling back to
+    one when B % pp != 0 — correct, no overlap); fill/drain ticks
+    compute on zero activations and write their KV to the reserved
+    null page (slot 0), which masked attention never reads with
+    nonzero probability. Embedding, RoPE tables, and the LM head stay
+    replicated — at inference the dominant memory (layer weights + KV)
+    scales 1/pp. Returns (hidden [B, T, H], kv_k', kv_v').
+    Constraints (v1): dense layers (no MoE), tp == dp == 1, legacy KV
+    quant scales only.
+    """
+    from vllm_omni_tpu.ops.attention import (paged_attention_decode_xla,
+                                             paged_attention_prefill_xla,
+                                             quantize_kv,
+                                             write_kv_pages_xla)
+
+    if input_embeds is not None:
+        x = input_embeds
+    else:
+        x = jnp.take(params["embed"], token_ids, axis=0)
+    if positions.ndim == 3:
+        positions = positions[:, 0]
+    cos, sin = compute_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
+
+    pp = mesh.shape["pp"]
+    n_layers = cfg.num_layers
+    assert n_layers % pp == 0, (n_layers, pp)
+    stacked = params["layers_stacked"]
+    b, t = x.shape[0], x.shape[1]
+    micro = pp if b % pp == 0 else 1
+    mb = b // micro
+    ticks = micro + pp - 1
+    qs = q_start if q_start is not None else jnp.zeros((b,), jnp.int32)
+    eps = cfg.rms_norm_eps
+
+    def apply_layer(layer, kp, vp, x_mb, cos_mb, sin_mb, slots_mb,
+                    bt_mb, qs_mb, kvl_mb):
+        cell = {}
+
+        def attn(i, q, k, v):
+            del i
+            bq, tq = q.shape[0], q.shape[1]
+            k_flat = k.reshape(bq * tq, cfg.num_kv_heads, cfg.head_dim)
+            v_flat = v.reshape(bq * tq, cfg.num_kv_heads, cfg.head_dim)
+            kq, vq = quantize_kv(k_flat, v_flat, kv_quant)
+            kp2, vp2 = write_kv_pages_xla(kp, vp, kq, vq,
+                                          slots_mb.reshape(-1))
+            cell["kv"] = (kp2, vp2)
+            if decode:
+                o = paged_attention_decode_xla(
+                    q.reshape(bq, cfg.num_heads, cfg.head_dim), kp2, vp2,
+                    bt_mb, kvl_mb, scale)
+                return o.reshape(bq, 1, cfg.num_heads, cfg.head_dim)
+            return paged_attention_prefill_xla(q, kp2, vp2, bt_mb, qs_mb,
+                                               kvl_mb, scale)
+
+        h = rms_norm(x_mb, layer["input_norm"], eps)
+        x_mb = x_mb + _attention_block(layer, cfg, h, cos_mb, sin_mb, 0,
+                                       attn)
+        h = rms_norm(x_mb, layer["post_norm"], eps)
+        x_mb = x_mb + _dense_mlp(layer, h, act8=cfg.act_quant)
+        return x_mb, cell["kv"]
+
+    def rank_fn(layers, kvk, kvv, x_all, cos_a, sin_a, slots_a, bt_a,
+                qs_a, kvl_a):
+        g = jax.lax.axis_index("pp")
+        state = jnp.zeros_like(x_all[:mb])
+        out = jnp.zeros_like(x_all)
+        perm = [(i, (i + 1) % pp) for i in range(pp)]
+
+        def row_slice(a, idx):
+            return jax.lax.dynamic_slice_in_dim(a, idx * mb, mb, 0)
+
+        for tick in range(ticks):
+            incoming = jax.lax.ppermute(state, "pp", perm)
+            my_mb = tick - g
+            valid = (my_mb >= 0) & (my_mb < micro)
+            idx = jnp.clip(my_mb, 0, micro - 1)
+            first = row_slice(x_all, jnp.clip(tick, 0, micro - 1))
+            feed = jnp.where(g == 0, first, incoming)
+            # fill/drain ticks write KV garbage to the null page (finite
+            # values; masked attention multiplies them by exactly 0)
+            slots_mb = jnp.where(valid, row_slice(slots_a, idx), 0)
+            args = (row_slice(cos_a, idx), row_slice(sin_a, idx),
+                    slots_mb, row_slice(bt_a, idx), row_slice(qs_a, idx),
+                    row_slice(kvl_a, idx))
+
+            def one(carry, xs):
+                layer, kp, vp = xs
+                y, (kp2, vp2) = apply_layer(layer, kp, vp, carry[0],
+                                            *args)
+                return (y,), (kp2, vp2)
+
+            (state,), (kvk, kvv) = jax.lax.scan(one, (feed,),
+                                                (layers, kvk, kvv))
+            m_out = tick - (pp - 1)
+            ok = (g == pp - 1) & (m_out >= 0)
+            widx = jnp.clip(m_out, 0, micro - 1)
+            cur = row_slice(out, widx)
+            out = jax.lax.dynamic_update_slice_in_dim(
+                out, jnp.where(ok, state, cur), widx * mb, 0)
+        out = jnp.where(g == pp - 1, out, jnp.zeros_like(out))
+        return jax.lax.psum(out, "pp"), kvk, kvv
+
+    pp_spec = P("pp")
+    fn = jax.shard_map(
+        rank_fn, mesh=mesh,
+        in_specs=(pp_spec, pp_spec, pp_spec, P(), P(), P(), P(), P(),
+                  P(), P()),
+        out_specs=(P(), pp_spec, pp_spec),
+        check_vma=False)
+    hidden, kv_k2, kv_v2 = fn(stacked, kv_k, kv_v, x, cos, sin,
+                              slot_ids, block_tables, qs, kv_lens)
+    return rms_norm(hidden, params["final_norm"], eps), kv_k2, kv_v2

@@ -85,7 +85,30 @@ class ModelRunner:
                          "float32": jnp.float32}[kv_dtype]
         self.scale = decoder_cfg.head_dim ** -0.5
 
-        if mesh is not None:
+        self.pp = mesh.shape.get("pp", 1) if mesh is not None else 1
+        if self.pp > 1:
+            # GPipe AR pipeline parallelism (decoder_forward_pp): layer
+            # groups + their KV pages shard over "pp"; embed/lm_head
+            # stay replicated. v1 constraints below.
+            if mesh.shape.get("tp", 1) > 1:
+                raise ValueError("pipeline_parallel with tp>1 lands "
+                                 "later; use pp-only meshes")
+            if decoder_cfg.is_moe:
+                raise ValueError("pipeline_parallel v1 is dense-only")
+            if decoder_cfg.mrope_section is not None:
+                raise ValueError("pipeline_parallel v1 has no M-RoPE")
+            from vllm_omni_tpu.models.decoder import stack_layer_params
+
+            params = dict(params)
+            params["layers_stacked"] = stack_layer_params(
+                params.pop("layers"))
+            specs = {k: jax.tree.map(
+                lambda _: P("pp") if k == "layers_stacked" else P(), v)
+                for k, v in params.items()}
+            params = jax.tree.map(
+                lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+                params, specs)
+        elif mesh is not None:
             specs = param_shardings(
                 params, expert_parallel=config.parallel.expert_parallel)
             params = jax.tree.map(
@@ -137,6 +160,13 @@ class ModelRunner:
         shape = kv_physical_shape(self.cfg.num_kv_heads, self.num_pages,
                                   self.page_size, self.cfg.head_dim,
                                   self.kv_dtype)
+        if self.pp > 1:
+            # stacked caches [L, ...] sharded over "pp" — each rank
+            # stores only its layer group's pages
+            sh = NamedSharding(self.mesh, P("pp"))
+            full = (self.cfg.num_layers,) + shape
+            return [jax.device_put(jnp.zeros(full, self.kv_dtype), sh),
+                    jax.device_put(jnp.zeros(full, self.kv_dtype), sh)]
         sharding = None
         if self.mesh is not None:
             if self.mesh.shape.get("tp", 1) > self.cfg.num_kv_heads:
@@ -172,6 +202,16 @@ class ModelRunner:
                  input_embeds=None):
         """Shared traced forward. Mutates a local copy of kv_pages via
         closure; returns (hidden [B,T,H], new_kv)."""
+        if self.pp > 1:
+            from vllm_omni_tpu.models.decoder import decoder_forward_pp
+
+            kv_k, kv_v = kv_pages
+            hidden, kv_k2, kv_v2 = decoder_forward_pp(
+                params, self.cfg, token_ids, positions, self.mesh,
+                kv_k, kv_v, slot_ids, block_tables, q_start, kv_lens,
+                self.scale, kv_quant=self.kv_quant, decode=decode,
+                input_embeds=input_embeds)
+            return hidden, [kv_k2, kv_v2]
         kv_list = list(kv_pages)
         b, t = token_ids.shape[0], token_ids.shape[-1]
 
@@ -429,7 +469,15 @@ class ModelRunner:
         return fn
 
     # -- KV extraction / injection (stage disaggregation) --------------------
+    def _no_pp(self, what: str) -> None:
+        if self.pp > 1:
+            raise RuntimeError(
+                f"{what} is not supported with pipeline_parallel yet "
+                "(stacked pp-sharded caches need a gather-by-layer-group "
+                "path)")
+
     def extract_kv(self, page_ids: list[int]) -> np.ndarray:
+        self._no_pp("KV transfer")
         """Gather a request's KV pages off the device →
         [L, 2, Hkv, P, ps, D] (reference kv_transfer_manager.py:274
         extract side). P is padded to a power-of-2 bucket; callers slice
@@ -455,6 +503,7 @@ class ModelRunner:
         return out[:, :, :, :len(page_ids)]
 
     def inject_kv(self, page_ids: list[int], data: np.ndarray) -> None:
+        self._no_pp("KV transfer")
         """Scatter transferred KV into this engine's pages (reference
         receive_kv_cache_for_request :968). data: [L, 2, Hkv, P, ps, D]
         with P == len(page_ids); dtype converts to this engine's KV
@@ -739,7 +788,10 @@ class ModelRunner:
         else:
             bias = np.zeros((1, 1), np.float32)
 
-        if self.kv_quant != "none" and self.kv_scales is None:
+        if self.kv_quant != "none" and self.kv_scales is None \
+                and self.pp == 1:
+            # pp v1 quantizes with the legacy fixed scales (per-layer
+            # stacked scan would need scales riding the scan xs)
             self._calibrate_kv_scales(token_ids, positions, q_start,
                                       kv_lens)
         fn = self._get_fn("prefill", return_hidden=return_hidden,
