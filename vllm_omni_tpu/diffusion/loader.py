@@ -133,6 +133,12 @@ def _family_entry(family: str):
                                                  init_wan_params)
 
         return WanConfig, init_wan_params, assign_wan_tensor
+    if family == "sd3":
+        from vllm_omni_tpu.diffusion.sd3 import (SD3Config,
+                                                 assign_sd3_tensor,
+                                                 init_sd3_params)
+
+        return SD3Config, init_sd3_params, assign_sd3_tensor
     raise KeyError(family)
 
 
@@ -143,6 +149,7 @@ REAL_TRANSFORMER_CLASSES = {
     "QwenImageTransformer2DModel": "qwen_image",
     "FluxTransformer2DModel": "flux",
     "WanTransformer3DModel": "wan",
+    "SD3Transformer2DModel": "sd3",
 }
 
 

@@ -176,6 +176,9 @@ class DiffusionPipeline:
             elif self.family == "wan":
                 from vllm_omni_tpu.diffusion.wan import (
                     wan_param_shardings as _shardings)
+            elif self.family == "sd3":
+                from vllm_omni_tpu.diffusion.sd3 import (
+                    sd3_param_shardings as _shardings)
             else:
                 from vllm_omni_tpu.diffusion.dit import (
                     dit_param_shardings as _shardings)
@@ -449,6 +452,12 @@ class DiffusionPipeline:
 
             def fwd(pp, lat, txt, tt):
                 return wan_forward(pp, self.family_cfg, lat, txt, tt,
+                                   mesh=self.mesh)
+        elif self.family == "sd3":
+            from vllm_omni_tpu.diffusion.sd3 import sd3_forward
+
+            def fwd(pp, lat, txt, tt):
+                return sd3_forward(pp, self.family_cfg, lat, txt, tt,
                                    mesh=self.mesh)
         else:
             def fwd(pp, lat, txt, tt):
