@@ -10,6 +10,8 @@ from __future__ import annotations
 
 import time
 from collections import deque
+
+import numpy as np
 from typing import Optional
 
 from vllm_omni_tpu.core.outputs import DiffusionOutput
@@ -74,10 +76,15 @@ class DiffusionEngine:
             images, state = self.pipeline.run(req)
             req.status = RequestStatus.FINISHED_STOPPED
             is_video = req.params.num_frames > 1
+            audio = getattr(state, "audio_latents", None)
             return [DiffusionOutput(
                 request_id=req.request_id,
                 images=None if is_video else images,
-                video=images if is_video else None, finished=True,
+                video=images if is_video else None,
+                # joint AV families (LTX2) denoise an audio latent
+                # stream alongside the video — hand it downstream raw
+                audio=None if audio is None else np.asarray(audio),
+                finished=True,
                 step_index=state.step_index, num_steps=state.num_steps,
                 stage_durations={"denoise_s": time.monotonic() - t0})]
         except Exception as e:  # per-request error isolation

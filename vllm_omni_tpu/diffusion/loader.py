@@ -139,6 +139,12 @@ def _family_entry(family: str):
                                                  init_sd3_params)
 
         return SD3Config, init_sd3_params, assign_sd3_tensor
+    if family == "ltx2":
+        from vllm_omni_tpu.diffusion.ltx2 import (LTX2Config,
+                                                  assign_ltx2_tensor,
+                                                  init_ltx2_params)
+
+        return LTX2Config, init_ltx2_params, assign_ltx2_tensor
     raise KeyError(family)
 
 
@@ -150,6 +156,7 @@ REAL_TRANSFORMER_CLASSES = {
     "FluxTransformer2DModel": "flux",
     "WanTransformer3DModel": "wan",
     "SD3Transformer2DModel": "sd3",
+    "LTX2VideoTransformer3DModel": "ltx2",
 }
 
 

@@ -45,6 +45,7 @@ class DenoiseState:
     sigmas: np.ndarray
     timesteps: np.ndarray
     step_index: int = 0
+    audio_latents: Any = None  # [B, Ta, Ca] (LTX2 joint AV denoising)
     use_cfg: bool = False
     guidance_scale: float = 1.0
     t_start: float = field(default_factory=time.monotonic)
@@ -108,7 +109,9 @@ class DiffusionPipeline:
                 self.family_cfg, "pack_factor", None) or \
                 self.family_cfg.patch_size
             config.dit.hidden_size = self.family_cfg.inner_dim
-            config.dit.text_dim = self.family_cfg.joint_attention_dim
+            config.dit.text_dim = getattr(
+                self.family_cfg, "joint_attention_dim", None) or \
+                self.family_cfg.caption_channels
             config.dit.latent_channels = config.vae_latent_channels
             config.dit.num_layers = self.family_cfg.num_layers
             config.dit.num_heads = self.family_cfg.num_attention_heads
@@ -212,6 +215,10 @@ class DiffusionPipeline:
         shape = (1, h_lat, w_lat, cfgd.vae_latent_channels) \
             if p.num_frames <= 1 else \
             (1, p.num_frames, h_lat, w_lat, cfgd.vae_latent_channels)
+        if self.family == "ltx2" and p.num_frames <= 1:
+            # LTX2 is inherently a video (audio+video) model: a single
+            # frame still runs the 5D joint path
+            shape = (1, 1, h_lat, w_lat, cfgd.vae_latent_channels)
         latents = jax.random.normal(key, shape, jnp.float32).astype(
             self.dtype)
         text_states = self._resolve_text_states(req)
@@ -275,8 +282,23 @@ class DiffusionPipeline:
             s0 = float(sigmas[0])
             latents = ((1.0 - s0) * x0.astype(jnp.float32) +
                        s0 * latents.astype(jnp.float32)).astype(self.dtype)
+        audio_latents = None
+        if self.family == "ltx2":
+            # joint AV denoising: audio latent frames from the video
+            # duration at audio_latents_per_second = rate/hop/scale
+            # (reference pipeline_ltx2.py audio latent prep)
+            fc = self.family_cfg
+            frames = max(int(p.num_frames), 1)
+            secs = max(frames * fc.vae_scale_factors[0] / 24.0, 0.04)
+            lps = (fc.audio_sampling_rate / fc.audio_hop_length /
+                   fc.audio_scale_factor)
+            ta = max(int(round(secs * lps)), 1)
+            audio_latents = jax.random.normal(
+                jax.random.fold_in(key, 1), (1, ta, fc.audio_in_channels),
+                jnp.float32).astype(self.dtype)
         return DenoiseState(
-            latents=latents, text_states=text_states, sigmas=sigmas,
+            latents=latents, audio_latents=audio_latents,
+            text_states=text_states, sigmas=sigmas,
             timesteps=self.scheduler.timesteps_for(sigmas),
             use_cfg=use_cfg, guidance_scale=p.guidance_scale)
 
@@ -346,6 +368,12 @@ class DiffusionPipeline:
                 jnp.float32(state.guidance_scale), state.cache_mod,
                 state.cache_v, state.cache_accum, state.cache_skips,
                 state.cache_dv, state.cache_gap, force)
+        elif self.family == "ltx2":
+            state.latents, state.audio_latents = fn(
+                self.dit_params, state.latents, state.audio_latents,
+                state.text_states, jnp.float32(t), jnp.float32(sigma),
+                jnp.float32(sigma_next),
+                jnp.float32(state.guidance_scale))
         else:
             state.latents = fn(self.dit_params, state.latents,
                                state.text_states,
@@ -359,7 +387,9 @@ class DiffusionPipeline:
         key = (latent_shape, use_cfg, cached)
         fn = self._step_fns.get(key)
         if fn is None:
-            body = self._cached_step_body if cached else self._step_body
+            body = self._cached_step_body if cached else (
+                self._step_body_ltx2 if self.family == "ltx2"
+                else self._step_body)
             if self._host_layers is not None:
                 # layerwise offload: the step loop runs host-side
                 # (device_put per block); only the pieces are jitted
@@ -520,6 +550,42 @@ class DiffusionPipeline:
                    (sigma_next - sigma) * v_used).astype(latents.dtype)
         return (new_lat, mod, v_anchor, accum_out,
                 skips + skip.astype(jnp.int32), dv_out, gap_out)
+
+    def _step_body_ltx2(self, params, latents, audio, text_states, t,
+                        sigma, sigma_next, guidance, *, use_cfg: bool):
+        """LTX2 joint audio-video Euler step: one transformer forward
+        denoises BOTH streams (reference pipeline_ltx2.py — audio and
+        video share the flow-match schedule)."""
+        from vllm_omni_tpu.diffusion.ltx2 import ltx2_forward
+
+        b, f, h, w, c = latents.shape
+        dims = (f, h, w)
+        ta = audio.shape[1]
+
+        def fwd(lat5, aud, txt):
+            vid = lat5.reshape(lat5.shape[0], f * h * w, c)
+            vv, av = ltx2_forward(params, self.family_cfg, vid, aud,
+                                  txt, txt,
+                                  jnp.full((lat5.shape[0],), t,
+                                           jnp.float32),
+                                  dims, ta, mesh=self.mesh)
+            return vv.reshape(lat5.shape), av
+
+        if use_cfg:
+            vv, av = fwd(jnp.concatenate([latents, latents], 0),
+                         jnp.concatenate([audio, audio], 0),
+                         text_states)
+            vv = vv[1:] + guidance * (vv[:1] - vv[1:])
+            av = av[1:] + guidance * (av[:1] - av[1:])
+        else:
+            vv, av = fwd(latents, audio, text_states[:1])
+        new_lat = (latents.astype(jnp.float32) +
+                   (sigma_next - sigma) * vv.astype(jnp.float32)
+                   ).astype(latents.dtype)
+        new_aud = (audio.astype(jnp.float32) +
+                   (sigma_next - sigma) * av.astype(jnp.float32)
+                   ).astype(audio.dtype)
+        return new_lat, new_aud
 
     def _step_body(self, params, latents, text_states, t, sigma,
                    sigma_next, guidance, *, use_cfg: bool):
