@@ -167,10 +167,19 @@ class EngineCore:
                     prompt_token_ids)
                 kwargs["mrope_positions"] = mp
                 kwargs["mrope_delta"] = delta
+        if "mimo" in self.aux:
+            kwargs = self._mimo_prepare_inputs(prompt_token_ids, kwargs)
         req = Request(request_id=rid, prompt_token_ids=list(prompt_token_ids),
                       sampling_params=params, **kwargs)
         if params.guided is not None:
             req.guided_state = self._make_guided_session()
+        elif "mimo" in self.aux:
+            # mimo global AR: capture hiddens so the finish hook can
+            # expand <|empty|> audio patches into RVQ code groups
+            import dataclasses
+
+            req.sampling_params = dataclasses.replace(
+                req.sampling_params, return_hidden_states=True)
         elif "fish" in self.aux:
             # fish slow AR: constant semantic-range logit mask + hidden
             # capture for residual-code expansion (fish_speech.py)
@@ -455,6 +464,82 @@ class EngineCore:
                                 residual.T.astype(np.int64)], axis=0)
         req.additional_information["codec_codes"] = codec.tolist()
 
+    def _mimo_prepare_inputs(self, prompt_token_ids: list[int],
+                             kwargs: dict) -> dict:
+        """Input-side MiMo-Audio: RVQ code groups riding
+        additional_information["audio_codes"] ([T_groups, G, C] int)
+        become prompt embeddings at the prompt's <|empty|> placeholder
+        positions (reference get_input_embeddings — summed per-channel
+        embeddings → non-causal input local transformer →
+        speech_group_downcast; models/mimo_audio.py encode_groups)."""
+        import numpy as np
+
+        info = kwargs.get("additional_information") or {}
+        codes = info.get("audio_codes")
+        if codes is None:
+            return kwargs
+        from vllm_omni_tpu.models.mimo_audio import encode_groups
+
+        mcfg, maux = self.aux["mimo"]
+        codes = np.asarray(codes, np.int32)
+        emb = np.asarray(encode_groups(maux, mcfg,
+                                       jnp.asarray(codes[None])))[0]
+        empty_id = mcfg.empty_token_id
+        pos = [i for i, t in enumerate(prompt_token_ids)
+               if t == empty_id]
+        if len(pos) != emb.shape[0]:
+            raise ValueError(
+                f"audio_codes has {emb.shape[0]} groups but the prompt "
+                f"has {len(pos)} <|empty|> placeholders")
+        pe = np.zeros((len(prompt_token_ids), emb.shape[-1]), np.float32)
+        mask = np.zeros((len(prompt_token_ids),), bool)
+        for j, p in enumerate(pos):
+            pe[p] = emb[j]
+            mask[p] = True
+        kwargs = dict(kwargs)
+        kwargs["prompt_embeds"] = pe
+        kwargs["embeds_token_mask"] = mask
+        return kwargs
+
+    def _apply_mimo_local_decode(self, req: Request) -> None:
+        """MiMo-Audio finish hook: every sampled <|empty|> audio-patch
+        token expands into a [G, C] group of RVQ codes via the local
+        transformer, batched over patches (reference base_local_forward
+        mimo_audio_llm.py:786 — a patch's codes depend only on the
+        backbone hidden that sampled it). Result lands in
+        additional_information["codec_codes"] as [C, T_patches*G]."""
+        import numpy as np
+
+        from vllm_omni_tpu.models.mimo_audio import local_decode
+        from vllm_omni_tpu.utils import pick_bucket
+
+        if "codec_codes" in req.additional_information:
+            return
+        mcfg, maux = self.aux["mimo"]
+        hs = req.additional_information.get("hidden_states")
+        if not hs or not req.output_token_ids:
+            return
+        all_h = np.concatenate([np.atleast_2d(np.asarray(h))
+                                for h in hs], axis=0)
+        n_prompt_h = all_h.shape[0] - max(0, req.num_output_tokens - 1)
+        patch_h = [all_h[n_prompt_h - 1 + j]
+                   for j, t in enumerate(req.output_token_ids)
+                   if t == mcfg.empty_token_id]
+        if not patch_h:
+            return
+        f = len(patch_h)
+        b = pick_bucket(f, tuple(2 ** i for i in range(13)))
+        hid = np.zeros((b, mcfg.hidden_size), np.float32)
+        hid[:f] = np.stack(patch_h)
+        fn = getattr(self, "_mimo_fns", None)
+        if fn is None or fn[0] != b:
+            jit_fn = jax.jit(lambda aux, h: local_decode(aux, mcfg, h))
+            self._mimo_fns = (b, jit_fn)
+        codes = np.asarray(self._mimo_fns[1](maux, jnp.asarray(hid)))
+        codes = codes[:f]  # [T_patches, G, C]
+        flat = codes.reshape(f * mcfg.group_size, mcfg.audio_channels)
+        req.additional_information["codec_codes"] =             flat.T.astype(np.int64).tolist()
+
     def _apply_fish_fast_ar(self, req: Request) -> None:
         """Fish Speech finish hook: expand the slow AR's semantic tokens
         into all residual codebook codes with the fast AR, vectorized
@@ -735,6 +820,8 @@ class EngineCore:
             self._apply_code_predictor(req)
         if finished and "fish" in self.aux:
             self._apply_fish_fast_ar(req)
+        if finished and "mimo" in self.aux:
+            self._apply_mimo_local_decode(req)
         text = ""
         if finished and self.tokenizer is not None and \
                 req.sampling_params.detokenize:

@@ -108,8 +108,12 @@ AR_FAMILIES: dict[str, FamilySpec] = {f.name: f for f in [
         stage_config=_cfg("mimo_audio_tpu.yaml"),
         processors=(f"{_P}.llm2code2wav",),
         hf_archs=("Qwen2ForCausalLM",),
-        notes="Fused thinker/talker (one AR stage emits interleaved "
-              "text+codec ids; llm2code2wav strips text ids)."),
+        notes="Grouped dual-AR with REAL checkpoint capability "
+              "(models/mimo_audio.py): Qwen2 global backbone over "
+              "group_size x audio_channels RVQ patches, non-causal "
+              "input local transformer encodes code groups into "
+              "prompt embeddings, causal delay-pattern local decode "
+              "expands sampled <|empty|> patches at finish."),
     FamilySpec(
         name="cosyvoice3",
         reference="vllm_omni/model_executor/models/cosyvoice3/ (3,429) "

@@ -308,6 +308,8 @@ def load_model(model_config: ModelConfig,
         if "audio_decoder_config" in probe or \
                 str(probe.get("model_type", "")).startswith("fish"):
             return _load_fish_component(model_config, src, dtype)
+        if "speech_vocab_size" in probe and "local_dim" in probe:
+            return _load_mimo_component(model_config, src, dtype)
     if src == "dummy" or not os.path.isdir(src):
         if src != "dummy":
             raise FileNotFoundError(
@@ -373,6 +375,29 @@ def _load_fish_component(model_config: ModelConfig, src: str, dtype
                             "codebook_embeddings":
                                 ck["codebook_embeddings"],
                             "special": ck["special"]}}}
+    return cfg, params, hf
+
+
+def _load_mimo_component(model_config: ModelConfig, src: str, dtype
+                         ) -> tuple[DecoderConfig, dict, dict]:
+    """MiMo-Audio grouped dual-AR checkpoint: the Qwen2 global backbone
+    is this stage's decoder; the local transformers + RVQ embeddings +
+    heads ride under hf["_aux"]["mimo"] for the engine (reference
+    mimo_audio_llm.py:489)."""
+    from vllm_omni_tpu.models.mimo_audio import load_mimo_audio_checkpoint
+
+    ck = load_mimo_audio_checkpoint(src, dtype=dtype)
+    cfg, params = ck["global"]
+    cfg = _apply_quant_flags(cfg, model_config)
+    if model_config.fused_qkv:
+        params = fuse_layer_params(params)
+    params = quantize_params(params, model_config.quantization,
+                             model_config.quant_group_size,
+                             quantize_lm_head=model_config.quantize_lm_head)
+    hf_src = ck["hf_config"]
+    hf = {"vocab_size": cfg.vocab_size,
+          "eos_token_id": hf_src.get("eos_token_id", 151645),
+          "_aux": {"mimo": ck["aux"]}}
     return cfg, params, hf
 
 
