@@ -39,6 +39,23 @@ def _save_hf(tmp_path, arch: str):
     elif arch == "qwen3":
         cfg = transformers.Qwen3Config(head_dim=32, **common)
         model = transformers.Qwen3ForCausalLM(cfg)
+    elif arch == "glm4":
+        # GLM-4 (GLM-Image AR text core): sandwich norms, partial
+        # rotary 0.5 with the hybrid glm4 application, fused gate_up
+        cfg = transformers.Glm4Config(
+            partial_rotary_factor=0.5, head_dim=16, pad_token_id=0,
+            eos_token_id=3, attention_bias=True,
+            tie_word_embeddings=False, **common)
+        model = transformers.Glm4ForCausalLM(cfg)
+    elif arch == "hunyuan_moe":
+        # HunYuanMoEV1 (HunyuanImage3's AR backbone): per-head qk norms
+        # named query/key_layernorm, softmax top-k routing with renorm,
+        # UNGATED always-on shared MLP, mlp.gate.wg router naming
+        cfg = transformers.HunYuanMoEV1Config(
+            num_experts=4, moe_topk=2, moe_intermediate_size=128,
+            attention_bias=False, tie_word_embeddings=False,
+            pad_token_id=0, eos_token_id=3, head_dim=16, **common)
+        model = transformers.HunYuanMoEV1ForCausalLM(cfg)
     elif arch == "qwen3_moe":
         cfg = transformers.Qwen3MoeConfig(
             head_dim=32, num_experts=4, num_experts_per_tok=2,
@@ -77,7 +94,8 @@ def _jax_logits(path: str, token_ids: np.ndarray,
     return np.asarray(fwd(jnp.asarray(token_ids)))
 
 
-@pytest.mark.parametrize("arch", ["llama", "qwen2", "qwen3", "qwen3_moe"])
+@pytest.mark.parametrize("arch", ["llama", "qwen2", "qwen3", "qwen3_moe",
+                                  "glm4", "hunyuan_moe"])
 def test_hf_checkpoint_golden_logits(tmp_path, arch):
     path, hf_model = _save_hf(tmp_path, arch)
     rng = np.random.default_rng(0)

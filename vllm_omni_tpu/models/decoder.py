@@ -54,6 +54,12 @@ class DecoderConfig:
     tie_word_embeddings: bool = False
     qk_norm: bool = False  # Qwen3 per-head RMSNorm on q/k
     attention_bias: bool = False  # Qwen2 qkv bias
+    # GLM-4 family (GLM-Image AR text core): 4 norms per layer
+    # (post_self_attn / post_mlp sandwich norms) + partial rotary with
+    # the glm4 permuted-interleaved application
+    sandwich_norm: bool = False
+    partial_rotary_factor: float = 1.0
+    glm4_rope: bool = False
     # GPT-J-style interleaved RoPE pairs (Fish Speech; reference
     # fish_speech_slow_ar.py _fix_rope_style). False = NeoX half-split.
     rope_interleaved: bool = False
@@ -163,7 +169,15 @@ def _attention_block(layer: Params, cfg: DecoderConfig, x: jnp.ndarray,
     if cfg.qk_norm:
         q = rms_norm(q, layer["q_norm"], cfg.rms_norm_eps)
         k = rms_norm(k, layer["k_norm"], cfg.rms_norm_eps)
-    if cfg.rope_interleaved:
+    if cfg.glm4_rope:
+        import functools
+
+        from vllm_omni_tpu.ops.rope import apply_rope_glm4
+
+        _rope_fn = functools.partial(
+            apply_rope_glm4,
+            rotary_dim=int(cfg.head_dim * cfg.partial_rotary_factor))
+    elif cfg.rope_interleaved:
         from vllm_omni_tpu.ops.rope import \
             apply_rope_interleaved as _rope_fn
     else:
@@ -227,10 +241,16 @@ def _moe_mlp(layer: Params, cfg: DecoderConfig, x: jnp.ndarray
         up_s = linear(xf, se["up_proj"])
         shared = linear(jax.nn.silu(gate_s.astype(jnp.float32)).astype(
             xf.dtype) * up_s, se["down_proj"])
-        sg = jax.nn.sigmoid(jnp.dot(
-            xf, layer["shared_expert_gate"]["w"].astype(xf.dtype),
-            preferred_element_type=jnp.float32))  # [T, 1]
-        mixed = mixed + sg * shared.astype(jnp.float32)
+        if "shared_expert_gate" in layer:
+            # Qwen2-MoE style: sigmoid-scalar-gated shared expert
+            sg = jax.nn.sigmoid(jnp.dot(
+                xf, layer["shared_expert_gate"]["w"].astype(xf.dtype),
+                preferred_element_type=jnp.float32))  # [T, 1]
+            mixed = mixed + sg * shared.astype(jnp.float32)
+        else:
+            # HunYuan style: always-on shared MLP added unconditionally
+            # (transformers HunYuanMoEV1Moe.forward)
+            mixed = mixed + shared.astype(jnp.float32)
     return mixed.astype(x.dtype).reshape(b, t, h)
 
 
@@ -253,23 +273,36 @@ def decoder_forward(params: Params, cfg: DecoderConfig,
         # positions [B, 3, T]: per-batch-row M-RoPE
         from vllm_omni_tpu.ops.rope import compute_mrope_cos_sin
 
+        # GLM-Image: M-RoPE sections cover only the PARTIAL rotary dims
+        # (mrope_section [8,12,12] sums to rotary_dim/2 at factor 0.5)
+        _rd = int(cfg.head_dim * cfg.partial_rotary_factor) \
+            if cfg.glm4_rope else cfg.head_dim
         cos, sin = jax.vmap(
-            lambda p: compute_mrope_cos_sin(p, cfg.head_dim,
+            lambda p: compute_mrope_cos_sin(p, _rd,
                                             cfg.mrope_section,
                                             cfg.rope_theta))(positions)
     else:
         if positions.ndim == 3:  # mrope ids given but model is 1D-rope
             positions = positions[:, 0]
-        cos, sin = compute_cos_sin(positions, cfg.head_dim,
-                                   cfg.rope_theta)
+        rope_dim = int(cfg.head_dim * cfg.partial_rotary_factor) \
+            if cfg.glm4_rope else cfg.head_dim
+        cos, sin = compute_cos_sin(positions, rope_dim, cfg.rope_theta)
     for i, layer in enumerate(params["layers"]):
         h = rms_norm(x, layer["input_norm"], cfg.rms_norm_eps)
-        x = x + _attention_block(layer, cfg, h, cos, sin, i, attn_apply)
+        att = _attention_block(layer, cfg, h, cos, sin, i, attn_apply)
+        if cfg.sandwich_norm:  # GLM-4: norm BEFORE the residual add
+            att = rms_norm(att, layer["post_self_attn_norm"],
+                           cfg.rms_norm_eps)
+        x = x + att
         h = rms_norm(x, layer["post_norm"], cfg.rms_norm_eps)
         if cfg.is_moe:
-            x = x + _moe_mlp(layer, cfg, h)
+            mlp_out = _moe_mlp(layer, cfg, h)
         else:
-            x = x + _dense_mlp(layer, h, act8=cfg.act_quant)
+            mlp_out = _dense_mlp(layer, h, act8=cfg.act_quant)
+        if cfg.sandwich_norm:
+            mlp_out = rms_norm(mlp_out, layer["post_mlp_norm"],
+                               cfg.rms_norm_eps)
+        x = x + mlp_out
     return rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
 
 
@@ -335,6 +368,11 @@ def init_params(cfg: DecoderConfig, key: jax.Array, dtype=jnp.bfloat16,
         layer: Params = {
             "input_norm": jnp.ones((h,), dtype),
             "post_norm": jnp.ones((h,), dtype),
+        }
+        if cfg.sandwich_norm:
+            layer["post_self_attn_norm"] = jnp.ones((h,), dtype)
+            layer["post_mlp_norm"] = jnp.ones((h,), dtype)
+        layer.update({
             "q_proj": _init_linear(
                 next(keys), h, cfg.q_size, dtype, cfg.attention_bias,
                 quant, group_size),
@@ -346,7 +384,7 @@ def init_params(cfg: DecoderConfig, key: jax.Array, dtype=jnp.bfloat16,
                 quant, group_size),
             "o_proj": _init_linear(next(keys), cfg.q_size, h, dtype,
                                    False, quant, group_size),
-        }
+        })
         if cfg.qk_norm:
             layer["q_norm"] = jnp.ones((d,), dtype)
             layer["k_norm"] = jnp.ones((d,), dtype)

@@ -209,10 +209,12 @@ AR_FAMILIES: dict[str, FamilySpec] = {f.name: f for f in [
         modality="image",
         stage_config=_cfg("glm_image_tpu.yaml"),
         processors=(f"{_P}.ar2diffusion",),
-        hf_archs=("LlamaForCausalLM",),
+        hf_archs=("Glm4ForCausalLM", "GlmImageForConditionalGeneration"),
         diffusers_archs=("GlmImageTransformer2DModel",),
         notes="AR stage plans the image; ar2diffusion packs its tokens "
-              "+ hidden states into DiT conditioning."),
+              "+ hidden states into DiT conditioning. REAL AR backbone: "
+              "GLM-4 (sandwich norms, partial glm4 rotary) loads via "
+              "the shared decoder with HF golden-logit parity."),
     FamilySpec(
         name="mammoth_moda2",
         reference="vllm_omni/model_executor/models/mammoth_moda2/ (858) "
@@ -233,10 +235,12 @@ AR_FAMILIES: dict[str, FamilySpec] = {f.name: f for f in [
         modality="image",
         stage_config=_cfg("hunyuan_image3_tpu.yaml"),
         processors=(f"{_P}.ar2diffusion",),
-        hf_archs=("Qwen2MoeForCausalLM",),
+        hf_archs=("HunYuanMoEV1ForCausalLM",),
         diffusers_archs=("HunyuanImage3Transformer2DModel",),
-        notes="t2i graph of the reference's t2t/t2i/i2t/it2i variants; "
-              "MoE AR tower + DiT. i2t runs stage 0 alone (text final)."),
+        notes="t2i graph of the reference's t2t/t2i/i2t/it2i variants. "
+              "REAL AR backbone: HunYuanMoEV1 (per-head qk norms, "
+              "renormed softmax top-k, ungated shared MLP) loads via "
+              "the shared decoder with HF golden-logit parity."),
 ]}
 
 

@@ -43,7 +43,29 @@ _ARCH_FLAGS = {
     # Omni text towers reuse the qwen3(-moe) block structure (reference
     # model_executor/models/qwen3_omni/)
     "Qwen3OmniMoeForConditionalGeneration": {"qk_norm": True, "moe": True},
+    # GLM-4 family: sandwich norms (4 per layer), partial rotary with
+    # the glm4 hybrid application, qkv bias. GLM-Image's AR text core
+    # is this architecture + M-RoPE (reference glm_image_ar.py:1873).
+    "Glm4ForCausalLM": {"sandwich_norm": True, "glm4_rope": True,
+                        "attention_bias": True},
+    # HunYuan MoE (HunyuanImage3's AR backbone, reference
+    # hunyuan_image3.py:91 HunyuanModel(HunYuanModel)): per-head qk
+    # norms (query/key_layernorm naming), softmax top-k routing with
+    # renorm, always-on UNGATED shared MLP
+    "HunYuanMoEV1ForCausalLM": {"qk_norm": True, "moe": True,
+                                "hunyuan": True},
+    "GlmImageForConditionalGeneration": {"sandwich_norm": True,
+                                         "glm4_rope": True,
+                                         "attention_bias": True},
 }
+
+
+def _scalar(v):
+    """HunYuan configs store some MoE knobs as per-layer lists; our
+    decoder is homogeneous — take the first entry."""
+    if isinstance(v, (list, tuple)):
+        return int(v[0]) if v else 0
+    return int(v) if v is not None else 0
 
 
 def hf_config_to_decoder_config(hf: dict[str, Any]) -> DecoderConfig:
@@ -69,14 +91,24 @@ def hf_config_to_decoder_config(hf: dict[str, Any]) -> DecoderConfig:
         qk_norm=flags.get("qk_norm", False),
         attention_bias=hf.get("attention_bias",
                               flags.get("attention_bias", False)),
+        sandwich_norm=flags.get("sandwich_norm", False),
+        glm4_rope=flags.get("glm4_rope", False),
+        partial_rotary_factor=hf.get("partial_rotary_factor", 1.0),
         max_position_embeddings=hf.get("max_position_embeddings", 4096),
         mrope_section=tuple(hf["rope_scaling"]["mrope_section"])
         if isinstance(hf.get("rope_scaling"), dict)
         and hf["rope_scaling"].get("mrope_section") else None,
-        num_experts=hf.get("num_experts", 0) if flags.get("moe") else 0,
-        num_experts_per_tok=hf.get("num_experts_per_tok", 0),
-        moe_intermediate_size=hf.get("moe_intermediate_size", 0),
+        num_experts=_scalar(hf.get("num_experts", 0))
+        if flags.get("moe") else 0,
+        num_experts_per_tok=_scalar(
+            hf.get("num_experts_per_tok") or hf.get("moe_topk", 0)),
+        moe_intermediate_size=_scalar(
+            hf.get("moe_intermediate_size", 0)),
         norm_topk_prob=hf.get("norm_topk_prob", True),
+        shared_expert_intermediate_size=_scalar(
+            hf.get("shared_expert_intermediate_size")
+            or (hf.get("intermediate_size", 0)
+                if flags.get("hunyuan") else 0)),
     )
 
 
@@ -182,7 +214,10 @@ def _assign(params: dict, hf_name: str, value: np.ndarray, dtype,
     layer = params["layers"][i]
     rest = parts[2:]
     norm_map = {("input_layernorm", "weight"): "input_norm",
-                ("post_attention_layernorm", "weight"): "post_norm"}
+                ("post_attention_layernorm", "weight"): "post_norm",
+                ("post_self_attn_layernorm", "weight"):
+                    "post_self_attn_norm",
+                ("post_mlp_layernorm", "weight"): "post_mlp_norm"}
     if tuple(rest) in norm_map:
         layer[norm_map[tuple(rest)]] = as_dtype(value)
         return True
@@ -190,6 +225,10 @@ def _assign(params: dict, hf_name: str, value: np.ndarray, dtype,
         name = rest[1]
         if name in ("q_norm", "k_norm"):
             layer[name] = as_dtype(value)
+            return True
+        if name in ("query_layernorm", "key_layernorm"):  # HunYuan
+            layer["q_norm" if name == "query_layernorm"
+                  else "k_norm"] = as_dtype(value)
             return True
         if name in ("q_proj", "k_proj", "v_proj", "o_proj"):
             slot = layer.setdefault(name, {})
@@ -200,11 +239,19 @@ def _assign(params: dict, hf_name: str, value: np.ndarray, dtype,
             return True
         return False
     if rest[0] == "mlp":
-        if rest[1] in ("gate_proj", "up_proj", "down_proj"):
+        if rest[1] in ("gate_proj", "up_proj", "down_proj",
+                       "gate_up_proj"):  # GLM-4 ships gate_up fused
             layer.setdefault(rest[1], {})["w"] = as_dtype(value.T)
             return True
         if rest[1] == "gate" and rest[2] == "weight":  # MoE router
             layer["router"] = {"w": as_dtype(value.T)}
+            return True
+        if rest[1] == "gate" and rest[2] == "wg":  # HunYuan router
+            layer["router"] = {"w": as_dtype(value.T)}
+            return True
+        if rest[1] == "shared_mlp":  # HunYuan ungated shared MLP
+            se = layer.setdefault("shared_expert", {})
+            se.setdefault(rest[2], {})["w"] = as_dtype(value.T)
             return True
         if rest[1] == "shared_expert":  # Qwen2MoE/talker shared expert
             se = layer.setdefault("shared_expert", {})

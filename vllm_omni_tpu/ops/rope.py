@@ -65,6 +65,27 @@ def apply_rope_interleaved(x: jnp.ndarray, cos: jnp.ndarray,
     return out.reshape(x.shape).astype(orig_dtype)
 
 
+def apply_rope_glm4(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray,
+                    rotary_dim: int) -> jnp.ndarray:
+    """GLM-4 partial rotary (transformers glm4 apply_rotary_pos_emb):
+    GPT-J-style INTERLEAVED rotation (glm4's rotate_half pairs
+    consecutive elements) applied to only the first ``rotary_dim``
+    dims; the rest pass through. cos/sin: [..., rotary_dim//2] angles
+    (compute_cos_sin with head_dim=rotary_dim);
+    x: [..., num_heads, head_dim]."""
+    orig_dtype = x.dtype
+    x = x.astype(jnp.float32)
+    r = rotary_dim
+    x_rot, x_pass = x[..., :r], x[..., r:]
+    x1 = x_rot[..., 0::2]
+    x2 = x_rot[..., 1::2]
+    cos = cos[..., None, :]
+    sin = sin[..., None, :]
+    out = jnp.stack([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+    out = out.reshape(x_rot.shape)
+    return jnp.concatenate([out, x_pass], -1).astype(orig_dtype)
+
+
 def compute_mrope_cos_sin(positions: jnp.ndarray, head_dim: int,
                           mrope_section: tuple[int, ...],
                           rope_theta: float = 10000.0
