@@ -145,6 +145,13 @@ def _family_entry(family: str):
                                                   init_ltx2_params)
 
         return LTX2Config, init_ltx2_params, assign_ltx2_tensor
+    if family == "hunyuan_video":
+        from vllm_omni_tpu.diffusion.hunyuan_video import (
+            HunyuanVideoConfig, assign_hunyuan_video_tensor,
+            init_hunyuan_video_params)
+
+        return HunyuanVideoConfig, init_hunyuan_video_params, \
+            assign_hunyuan_video_tensor
     raise KeyError(family)
 
 
@@ -157,6 +164,7 @@ REAL_TRANSFORMER_CLASSES = {
     "WanTransformer3DModel": "wan",
     "SD3Transformer2DModel": "sd3",
     "LTX2VideoTransformer3DModel": "ltx2",
+    "HunyuanVideo15Transformer3DModel": "hunyuan_video",
 }
 
 

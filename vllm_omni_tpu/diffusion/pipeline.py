@@ -182,6 +182,9 @@ class DiffusionPipeline:
             elif self.family == "sd3":
                 from vllm_omni_tpu.diffusion.sd3 import (
                     sd3_param_shardings as _shardings)
+            elif self.family == "hunyuan_video":
+                from vllm_omni_tpu.diffusion.hunyuan_video import (
+                    hunyuan_video_param_shardings as _shardings)
             else:
                 from vllm_omni_tpu.diffusion.dit import (
                     dit_param_shardings as _shardings)
@@ -489,6 +492,15 @@ class DiffusionPipeline:
             def fwd(pp, lat, txt, tt):
                 return sd3_forward(pp, self.family_cfg, lat, txt, tt,
                                    mesh=self.mesh)
+        elif self.family == "hunyuan_video":
+            from vllm_omni_tpu.diffusion.hunyuan_video import (
+                hunyuan_video_forward)
+
+            # T2V serving path: ByT5/vision sources absent (zero-length;
+            # reference zeroes them, pipeline_hunyuan_video_1_5.py:437)
+            def fwd(pp, lat, txt, tt):
+                return hunyuan_video_forward(pp, self.family_cfg, lat,
+                                             txt, tt, mesh=self.mesh)
         else:
             def fwd(pp, lat, txt, tt):
                 return dit_forward(pp, self.config.dit, lat, txt, tt,

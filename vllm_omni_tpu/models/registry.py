@@ -298,6 +298,7 @@ DIFFUSERS_ARCH_MAP: dict[str, str] = {
     "DreamIdOmniTransformer2DModel": "mmdit_image",
     "WanTransformer3DModel": "wan",
     "HunyuanVideoTransformer3DModel": "mmdit_video",
+    "HunyuanVideo15Transformer3DModel": "hunyuan_video",
     "LTX2VideoTransformer3DModel": "mmdit_video",
     "MagiHumanTransformer3DModel": "mmdit_video",
     "StableAudioDiTModel": "mmdit_audio",

@@ -408,9 +408,12 @@ def paged_attention_prefill_xla(q: jnp.ndarray, k_pages: jnp.ndarray,
 
 
 def mha_xla(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float,
-            causal: bool = False) -> jnp.ndarray:
+            causal: bool = False,
+            key_mask: jnp.ndarray | None = None) -> jnp.ndarray:
     """Plain dense attention [B,T,H,D] × [B,S,Hkv,D] — encoders and DiT
-    (non-causal full sequence)."""
+    (non-causal full sequence). ``key_mask`` [B, S] bool excludes
+    padded/invalid keys for every query (variable-length context
+    streams, e.g. HunyuanVideo's reordered text sources)."""
     b, t, h, d = q.shape
     s, hkv = k.shape[1], k.shape[2]
     g = h // hkv
@@ -420,6 +423,9 @@ def mha_xla(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float,
     if causal:
         mask = (jnp.arange(s)[None, :] <= jnp.arange(t)[:, None])
         scores = jnp.where(mask[None, :, None, None, :], scores, NEG_INF)
+    if key_mask is not None:
+        scores = jnp.where(key_mask[:, None, None, None, :], scores,
+                           NEG_INF)
     probs = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum("btkgs,bskd->btkgd", probs, v.astype(jnp.float32))
     return out.reshape(b, t, h, d).astype(q.dtype)
