@@ -76,7 +76,10 @@ class DiffusionEngine:
             images, state = self.pipeline.run(req)
             req.status = RequestStatus.FINISHED_STOPPED
             is_video = req.params.num_frames > 1
+            is_audio = self.pipeline.family == "stable_audio"
             audio = getattr(state, "audio_latents", None)
+            if is_audio:  # audio-only family: `images` IS the latent audio
+                audio, images, is_video = images, None, False
             return [DiffusionOutput(
                 request_id=req.request_id,
                 images=None if is_video else images,
@@ -115,6 +118,13 @@ class DiffusionEngine:
             req.status = RequestStatus.FINISHED_STOPPED
             self.running = None
             is_video = req.params.num_frames > 1
+            if self.pipeline.family == "stable_audio":
+                return [DiffusionOutput(
+                    request_id=req.request_id, audio=images,
+                    finished=True, step_index=state.step_index,
+                    num_steps=state.num_steps,
+                    stage_durations={
+                        "denoise_s": time.monotonic() - state.t_start})]
             return [DiffusionOutput(
                 request_id=req.request_id,
                 images=None if is_video else images,

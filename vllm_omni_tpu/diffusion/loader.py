@@ -152,6 +152,13 @@ def _family_entry(family: str):
 
         return HunyuanVideoConfig, init_hunyuan_video_params, \
             assign_hunyuan_video_tensor
+    if family == "stable_audio":
+        from vllm_omni_tpu.diffusion.stable_audio import (
+            StableAudioConfig, assign_stable_audio_tensor,
+            init_stable_audio_params)
+
+        return StableAudioConfig, init_stable_audio_params, \
+            assign_stable_audio_tensor
     raise KeyError(family)
 
 
@@ -165,6 +172,7 @@ REAL_TRANSFORMER_CLASSES = {
     "SD3Transformer2DModel": "sd3",
     "LTX2VideoTransformer3DModel": "ltx2",
     "HunyuanVideo15Transformer3DModel": "hunyuan_video",
+    "StableAudioDiTModel": "stable_audio",
 }
 
 
@@ -211,6 +219,20 @@ def load_scheduler_config(path: str) -> dict[str, Any]:
 
 def load_vae_config(path: str) -> dict[str, Any]:
     cfg = component_config(path, "vae")
+    if "decoder_input_channels" in cfg:
+        # AutoencoderOobleck (stable_audio): 1D waveform VAE. The
+        # "scale factor" is the hop (product of downsampling ratios).
+        ratios = cfg.get("downsampling_ratios") or []
+        hop = 1
+        for r in ratios:
+            hop *= int(r)
+        return {
+            "latent_channels": cfg["decoder_input_channels"],
+            "scale_factor": hop if ratios else 2048,
+            "latents_mean": None,
+            "latents_std": None,
+            "sampling_rate": cfg.get("sampling_rate", 44100),
+        }
     # qwen-image VAE (autoencoder_kl_qwenimage): z_dim 16, 8x spatial
     down = cfg.get("temperal_downsample") or cfg.get("block_out_channels")
     scale = 2 ** (len(cfg["block_out_channels"]) - 1) \

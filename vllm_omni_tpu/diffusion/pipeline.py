@@ -185,6 +185,9 @@ class DiffusionPipeline:
             elif self.family == "hunyuan_video":
                 from vllm_omni_tpu.diffusion.hunyuan_video import (
                     hunyuan_video_param_shardings as _shardings)
+            elif self.family == "stable_audio":
+                from vllm_omni_tpu.diffusion.stable_audio import (
+                    stable_audio_param_shardings as _shardings)
             else:
                 from vllm_omni_tpu.diffusion.dit import (
                     dit_param_shardings as _shardings)
@@ -201,6 +204,8 @@ class DiffusionPipeline:
 
     # -- 1/4: prepare --------------------------------------------------------
     def prepare(self, req: DiffusionRequest) -> DenoiseState:
+        if self.family == "stable_audio":
+            return self._prepare_audio(req)
         p: DiffusionSamplingParams = req.params
         cfgd = self.config
         quantum = cfgd.vae_scale_factor * cfgd.dit.patch_size
@@ -302,6 +307,36 @@ class DiffusionPipeline:
         return DenoiseState(
             latents=latents, audio_latents=audio_latents,
             text_states=text_states, sigmas=sigmas,
+            timesteps=self.scheduler.timesteps_for(sigmas),
+            use_cfg=use_cfg, guidance_scale=p.guidance_scale)
+
+    def _prepare_audio(self, req: DiffusionRequest) -> DenoiseState:
+        """Stable-Audio-class 1D latent prep (reference
+        pipeline_stable_audio.py:419-521 — waveform latents
+        [B, sample_size, C]; audio_end_in_s only trims the decoded
+        waveform, the denoised window is always sample_size). We bucket
+        the latent length instead: frames = seconds·rate/hop rounded up
+        to 64, capped at the trained window — fewer tokens for short
+        clips, one compiled program per bucket."""
+        p: DiffusionSamplingParams = req.params
+        fc = self.family_cfg
+        secs = float((p.extra_args or {}).get(
+            "audio_end_in_s", (p.extra_args or {}).get(
+                "audio_seconds", 10.0)))
+        frames = max(int(round(secs * fc.sampling_rate / fc.hop_length)),
+                     1)
+        frames = min(-(-frames // 64) * 64, fc.sample_size)
+        seed = p.seed if p.seed is not None else 0
+        key = jax.random.PRNGKey(seed)
+        latents = jax.random.normal(
+            key, (1, frames, fc.in_channels), jnp.float32).astype(
+            self.dtype)
+        text_states = self._resolve_text_states(req)
+        use_cfg = p.use_cfg and text_states.shape[0] == 2
+        sigmas = self.scheduler.sigmas_for(p.num_inference_steps,
+                                           image_seq_len=frames)
+        return DenoiseState(
+            latents=latents, text_states=text_states, sigmas=sigmas,
             timesteps=self.scheduler.timesteps_for(sigmas),
             use_cfg=use_cfg, guidance_scale=p.guidance_scale)
 
@@ -501,6 +536,16 @@ class DiffusionPipeline:
             def fwd(pp, lat, txt, tt):
                 return hunyuan_video_forward(pp, self.family_cfg, lat,
                                              txt, tt, mesh=self.mesh)
+        elif self.family == "stable_audio":
+            from vllm_omni_tpu.diffusion.stable_audio import (
+                stable_audio_forward)
+
+            # duration/global conditioning rides in from the upstream
+            # stage when present; zeros otherwise (bias-free global_proj
+            # makes zeros a no-op — module docstring)
+            def fwd(pp, lat, txt, tt):
+                return stable_audio_forward(pp, self.family_cfg, lat,
+                                            txt, tt, mesh=self.mesh)
         else:
             def fwd(pp, lat, txt, tt):
                 return dit_forward(pp, self.config.dit, lat, txt, tt,
@@ -617,6 +662,11 @@ class DiffusionPipeline:
         if output_type == "latent":
             return np.asarray(state.latents)
         lat = state.latents
+        if lat.ndim == 3:
+            # audio-latent family (stable_audio): [B, L, C] float
+            # latents go downstream raw (reference decodes through the
+            # Oobleck VAE; our waveform decode rides the vocoder stage)
+            return np.asarray(lat, np.float32)
         if lat.ndim == 5:  # video: frames decode as a batch
             b, f, h, w, c = lat.shape
             lat = lat.reshape(b * f, h, w, c)

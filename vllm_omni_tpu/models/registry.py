@@ -301,7 +301,7 @@ DIFFUSERS_ARCH_MAP: dict[str, str] = {
     "HunyuanVideo15Transformer3DModel": "hunyuan_video",
     "LTX2VideoTransformer3DModel": "mmdit_video",
     "MagiHumanTransformer3DModel": "mmdit_video",
-    "StableAudioDiTModel": "mmdit_audio",
+    "StableAudioDiTModel": "stable_audio",
     "CosyVoice3AudioDiT": "mmdit_audio",
 }
 
