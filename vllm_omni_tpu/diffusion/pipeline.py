@@ -486,6 +486,13 @@ class DiffusionPipeline:
 
     def _predict_velocity(self, params, latents, text_states, t,
                           guidance, use_cfg: bool):
+        if self.family != "generic":
+            # real-geometry forwards take flow-match σ ∈ [0,1] (each
+            # applies its own diffusers-transformer scaling, e.g. ×1000
+            # sinusoids); scheduler timesteps arrive as σ·num_train
+            # (diffusers pipeline convention) — normalize here. The
+            # generic DiT tier keeps raw train-timestep units.
+            t = t / self.config.num_train_timesteps
         if self._host_layers is not None:
             tt0 = jnp.full((latents.shape[0],), t, jnp.float32)
             if use_cfg:
@@ -615,6 +622,7 @@ class DiffusionPipeline:
         video share the flow-match schedule)."""
         from vllm_omni_tpu.diffusion.ltx2 import ltx2_forward
 
+        t = t / self.config.num_train_timesteps  # σ ∈ [0,1], as above
         b, f, h, w, c = latents.shape
         dims = (f, h, w)
         ta = audio.shape[1]
