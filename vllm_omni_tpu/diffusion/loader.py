@@ -152,6 +152,12 @@ def _family_entry(family: str):
 
         return HunyuanVideoConfig, init_hunyuan_video_params, \
             assign_hunyuan_video_tensor
+    if family == "flux2":
+        from vllm_omni_tpu.diffusion.flux2 import (Flux2Config,
+                                                   assign_flux2_tensor,
+                                                   init_flux2_params)
+
+        return Flux2Config, init_flux2_params, assign_flux2_tensor
     if family == "stable_audio":
         from vllm_omni_tpu.diffusion.stable_audio import (
             StableAudioConfig, assign_stable_audio_tensor,
@@ -173,6 +179,8 @@ REAL_TRANSFORMER_CLASSES = {
     "LTX2VideoTransformer3DModel": "ltx2",
     "HunyuanVideo15Transformer3DModel": "hunyuan_video",
     "StableAudioDiTModel": "stable_audio",
+    # one class serves both Flux2Pipeline and Flux2KleinPipeline
+    "Flux2Transformer2DModel": "flux2",
 }
 
 

@@ -188,6 +188,9 @@ class DiffusionPipeline:
             elif self.family == "stable_audio":
                 from vllm_omni_tpu.diffusion.stable_audio import (
                     stable_audio_param_shardings as _shardings)
+            elif self.family == "flux2":
+                from vllm_omni_tpu.diffusion.flux2 import (
+                    flux2_param_shardings as _shardings)
             else:
                 from vllm_omni_tpu.diffusion.dit import (
                     dit_param_shardings as _shardings)
@@ -543,6 +546,17 @@ class DiffusionPipeline:
             def fwd(pp, lat, txt, tt):
                 return hunyuan_video_forward(pp, self.family_cfg, lat,
                                              txt, tt, mesh=self.mesh)
+        elif self.family == "flux2":
+            from vllm_omni_tpu.diffusion.flux2 import flux2_forward
+
+            # guidance-distilled like flux1: the scale rides the
+            # embedding (reference flux2_transformer.py :676)
+            def fwd(pp, lat, txt, tt):
+                g = None
+                if self.family_cfg.guidance_embeds:
+                    g = jnp.full((lat.shape[0],), guidance, jnp.float32)
+                return flux2_forward(pp, self.family_cfg, lat, txt, tt,
+                                     guidance=g, mesh=self.mesh)
         elif self.family == "stable_audio":
             from vllm_omni_tpu.diffusion.stable_audio import (
                 stable_audio_forward)

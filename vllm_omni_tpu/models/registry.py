@@ -287,7 +287,7 @@ DIFFUSION_FAMILIES: dict[str, FamilySpec] = {f.name: f for f in [
 DIFFUSERS_ARCH_MAP: dict[str, str] = {
     "QwenImageTransformer2DModel": "qwen_image",
     "FluxTransformer2DModel": "flux",
-    "Flux2Transformer2DModel": "mmdit_image",
+    "Flux2Transformer2DModel": "flux2",
     "SD3Transformer2DModel": "mmdit_image",
     "OmniGen2Transformer2DModel": "mmdit_image",
     "ZImageTransformer2DModel": "mmdit_image",
