@@ -158,6 +158,12 @@ def _family_entry(family: str):
                                                    init_flux2_params)
 
         return Flux2Config, init_flux2_params, assign_flux2_tensor
+    if family == "z_image":
+        from vllm_omni_tpu.diffusion.z_image import (ZImageConfig,
+                                                     assign_z_image_tensor,
+                                                     init_z_image_params)
+
+        return ZImageConfig, init_z_image_params, assign_z_image_tensor
     if family == "stable_audio":
         from vllm_omni_tpu.diffusion.stable_audio import (
             StableAudioConfig, assign_stable_audio_tensor,
@@ -181,6 +187,7 @@ REAL_TRANSFORMER_CLASSES = {
     "StableAudioDiTModel": "stable_audio",
     # one class serves both Flux2Pipeline and Flux2KleinPipeline
     "Flux2Transformer2DModel": "flux2",
+    "ZImageTransformer2DModel": "z_image",
 }
 
 

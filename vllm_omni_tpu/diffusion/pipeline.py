@@ -191,6 +191,9 @@ class DiffusionPipeline:
             elif self.family == "flux2":
                 from vllm_omni_tpu.diffusion.flux2 import (
                     flux2_param_shardings as _shardings)
+            elif self.family == "z_image":
+                from vllm_omni_tpu.diffusion.z_image import (
+                    z_image_param_shardings as _shardings)
             else:
                 from vllm_omni_tpu.diffusion.dit import (
                     dit_param_shardings as _shardings)
@@ -557,6 +560,14 @@ class DiffusionPipeline:
                     g = jnp.full((lat.shape[0],), guidance, jnp.float32)
                 return flux2_forward(pp, self.family_cfg, lat, txt, tt,
                                      guidance=g, mesh=self.mesh)
+        elif self.family == "z_image":
+            from vllm_omni_tpu.diffusion.z_image import z_image_forward
+
+            # reference pipeline_z_image.py:702,770 — the transformer
+            # takes t = 1 - σ and returns -velocity
+            def fwd(pp, lat, txt, tt):
+                return -z_image_forward(pp, self.family_cfg, lat, txt,
+                                        1.0 - tt, mesh=self.mesh)
         elif self.family == "stable_audio":
             from vllm_omni_tpu.diffusion.stable_audio import (
                 stable_audio_forward)
@@ -576,6 +587,11 @@ class DiffusionPipeline:
             tt = jnp.full((2,), t, jnp.float32)
             v = fwd(params, lat2, text_states, tt)
             v_cond, v_uncond = v[:1], v[1:]
+            if self.family == "z_image":
+                # reference pipeline_z_image.py:749 — CFG composes
+                # around the POSITIVE branch: pred = pos + s·(pos - neg)
+                return (v_cond + guidance * (v_cond - v_uncond)).astype(
+                    jnp.float32)
             return (v_uncond + guidance * (v_cond - v_uncond)).astype(
                 jnp.float32)
         tt = jnp.full((latents.shape[0],), t, jnp.float32)

@@ -290,7 +290,7 @@ DIFFUSERS_ARCH_MAP: dict[str, str] = {
     "Flux2Transformer2DModel": "flux2",
     "SD3Transformer2DModel": "mmdit_image",
     "OmniGen2Transformer2DModel": "mmdit_image",
-    "ZImageTransformer2DModel": "mmdit_image",
+    "ZImageTransformer2DModel": "z_image",
     "LongcatImageTransformer2DModel": "mmdit_image",
     "NextStepTransformer2DModel": "mmdit_image",
     "OvisImageTransformer2DModel": "mmdit_image",
