@@ -164,6 +164,13 @@ def _family_entry(family: str):
                                                      init_z_image_params)
 
         return ZImageConfig, init_z_image_params, assign_z_image_tensor
+    if family == "ovis_image":
+        from vllm_omni_tpu.diffusion.ovis_image import (
+            OvisImageConfig, assign_ovis_image_tensor,
+            init_ovis_image_params)
+
+        return OvisImageConfig, init_ovis_image_params, \
+            assign_ovis_image_tensor
     if family == "stable_audio":
         from vllm_omni_tpu.diffusion.stable_audio import (
             StableAudioConfig, assign_stable_audio_tensor,
@@ -188,6 +195,7 @@ REAL_TRANSFORMER_CLASSES = {
     # one class serves both Flux2Pipeline and Flux2KleinPipeline
     "Flux2Transformer2DModel": "flux2",
     "ZImageTransformer2DModel": "z_image",
+    "OvisImageTransformer2DModel": "ovis_image",
 }
 
 

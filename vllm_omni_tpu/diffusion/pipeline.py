@@ -194,6 +194,9 @@ class DiffusionPipeline:
             elif self.family == "z_image":
                 from vllm_omni_tpu.diffusion.z_image import (
                     z_image_param_shardings as _shardings)
+            elif self.family == "ovis_image":
+                from vllm_omni_tpu.diffusion.ovis_image import (
+                    ovis_image_param_shardings as _shardings)
             else:
                 from vllm_omni_tpu.diffusion.dit import (
                     dit_param_shardings as _shardings)
@@ -560,6 +563,13 @@ class DiffusionPipeline:
                     g = jnp.full((lat.shape[0],), guidance, jnp.float32)
                 return flux2_forward(pp, self.family_cfg, lat, txt, tt,
                                      guidance=g, mesh=self.mesh)
+        elif self.family == "ovis_image":
+            from vllm_omni_tpu.diffusion.ovis_image import (
+                ovis_image_forward)
+
+            def fwd(pp, lat, txt, tt):
+                return ovis_image_forward(pp, self.family_cfg, lat, txt,
+                                          tt, mesh=self.mesh)
         elif self.family == "z_image":
             from vllm_omni_tpu.diffusion.z_image import z_image_forward
 

@@ -293,7 +293,7 @@ DIFFUSERS_ARCH_MAP: dict[str, str] = {
     "ZImageTransformer2DModel": "z_image",
     "LongcatImageTransformer2DModel": "mmdit_image",
     "NextStepTransformer2DModel": "mmdit_image",
-    "OvisImageTransformer2DModel": "mmdit_image",
+    "OvisImageTransformer2DModel": "ovis_image",
     "HeliosTransformer2DModel": "mmdit_image",
     "DreamIdOmniTransformer2DModel": "mmdit_image",
     "WanTransformer3DModel": "wan",
