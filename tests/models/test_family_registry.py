@@ -35,11 +35,17 @@ def test_every_family_resolves_and_parses():
 
 def test_diffusers_arch_map_covers_reference_archs():
     # reference diffusion/registry.py:19 families — each maps to a
+    # real-geometry family module or (residually) a generic
     # parameterization tag of our DiT towers
-    assert set(DIFFUSERS_ARCH_MAP.values()) <= {
-        "qwen_image", "flux", "wan", "mmdit_image", "mmdit_video",
-        "mmdit_audio"}
+    real = {"qwen_image", "flux", "flux2", "wan", "sd3", "ltx2",
+            "hunyuan_video", "stable_audio", "z_image", "ovis_image",
+            "longcat_image"}
+    assert set(DIFFUSERS_ARCH_MAP.values()) <= real | {
+        "mmdit_image", "mmdit_video", "mmdit_audio"}
     assert len(DIFFUSERS_ARCH_MAP) >= 17
+    # real-geometry coverage must only grow (round-3 floor: 11 archs)
+    n_real = sum(1 for v in DIFFUSERS_ARCH_MAP.values() if v in real)
+    assert n_real >= 11
 
 
 def _shrink(raw: dict) -> dict:

@@ -171,6 +171,13 @@ def _family_entry(family: str):
 
         return OvisImageConfig, init_ovis_image_params, \
             assign_ovis_image_tensor
+    if family == "longcat_image":
+        from vllm_omni_tpu.diffusion.longcat_image import (
+            LongCatImageConfig, assign_longcat_image_tensor,
+            init_longcat_image_params)
+
+        return LongCatImageConfig, init_longcat_image_params, \
+            assign_longcat_image_tensor
     if family == "stable_audio":
         from vllm_omni_tpu.diffusion.stable_audio import (
             StableAudioConfig, assign_stable_audio_tensor,
@@ -196,6 +203,7 @@ REAL_TRANSFORMER_CLASSES = {
     "Flux2Transformer2DModel": "flux2",
     "ZImageTransformer2DModel": "z_image",
     "OvisImageTransformer2DModel": "ovis_image",
+    "LongCatImageTransformer2DModel": "longcat_image",
 }
 
 

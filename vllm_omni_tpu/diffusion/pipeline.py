@@ -197,6 +197,9 @@ class DiffusionPipeline:
             elif self.family == "ovis_image":
                 from vllm_omni_tpu.diffusion.ovis_image import (
                     ovis_image_param_shardings as _shardings)
+            elif self.family == "longcat_image":
+                from vllm_omni_tpu.diffusion.longcat_image import (
+                    longcat_image_param_shardings as _shardings)
             else:
                 from vllm_omni_tpu.diffusion.dit import (
                     dit_param_shardings as _shardings)
@@ -570,6 +573,13 @@ class DiffusionPipeline:
             def fwd(pp, lat, txt, tt):
                 return ovis_image_forward(pp, self.family_cfg, lat, txt,
                                           tt, mesh=self.mesh)
+        elif self.family == "longcat_image":
+            from vllm_omni_tpu.diffusion.longcat_image import (
+                longcat_image_forward)
+
+            def fwd(pp, lat, txt, tt):
+                return longcat_image_forward(pp, self.family_cfg, lat,
+                                             txt, tt, mesh=self.mesh)
         elif self.family == "z_image":
             from vllm_omni_tpu.diffusion.z_image import z_image_forward
 
@@ -602,8 +612,16 @@ class DiffusionPipeline:
                 # around the POSITIVE branch: pred = pos + s·(pos - neg)
                 return (v_cond + guidance * (v_cond - v_uncond)).astype(
                     jnp.float32)
-            return (v_uncond + guidance * (v_cond - v_uncond)).astype(
-                jnp.float32)
+            comb = v_uncond + guidance * (v_cond - v_uncond)
+            if self.family == "longcat_image":
+                # reference cfg_normalize_function (pipeline
+                # _longcat_image.py:467, default-on): cap the combined
+                # prediction's per-token norm at the conditional's
+                from vllm_omni_tpu.diffusion.longcat_image import (
+                    cfg_renormalize)
+
+                comb = cfg_renormalize(v_cond, comb)
+            return comb.astype(jnp.float32)
         tt = jnp.full((latents.shape[0],), t, jnp.float32)
         return fwd(params, latents, text_states[:1], tt).astype(
             jnp.float32)

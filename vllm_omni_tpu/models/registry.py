@@ -288,10 +288,10 @@ DIFFUSERS_ARCH_MAP: dict[str, str] = {
     "QwenImageTransformer2DModel": "qwen_image",
     "FluxTransformer2DModel": "flux",
     "Flux2Transformer2DModel": "flux2",
-    "SD3Transformer2DModel": "mmdit_image",
+    "SD3Transformer2DModel": "sd3",
     "OmniGen2Transformer2DModel": "mmdit_image",
     "ZImageTransformer2DModel": "z_image",
-    "LongcatImageTransformer2DModel": "mmdit_image",
+    "LongCatImageTransformer2DModel": "longcat_image",
     "NextStepTransformer2DModel": "mmdit_image",
     "OvisImageTransformer2DModel": "ovis_image",
     "HeliosTransformer2DModel": "mmdit_image",
@@ -299,7 +299,7 @@ DIFFUSERS_ARCH_MAP: dict[str, str] = {
     "WanTransformer3DModel": "wan",
     "HunyuanVideoTransformer3DModel": "mmdit_video",
     "HunyuanVideo15Transformer3DModel": "hunyuan_video",
-    "LTX2VideoTransformer3DModel": "mmdit_video",
+    "LTX2VideoTransformer3DModel": "ltx2",
     "MagiHumanTransformer3DModel": "mmdit_video",
     "StableAudioDiTModel": "stable_audio",
     "CosyVoice3AudioDiT": "mmdit_audio",
