@@ -178,6 +178,12 @@ def _family_entry(family: str):
 
         return LongCatImageConfig, init_longcat_image_params, \
             assign_longcat_image_tensor
+    if family == "omnigen2":
+        from vllm_omni_tpu.diffusion.omnigen2 import (
+            OmniGen2Config, assign_omnigen2_tensor, init_omnigen2_params)
+
+        return OmniGen2Config, init_omnigen2_params, \
+            assign_omnigen2_tensor
     if family == "stable_audio":
         from vllm_omni_tpu.diffusion.stable_audio import (
             StableAudioConfig, assign_stable_audio_tensor,
@@ -204,6 +210,7 @@ REAL_TRANSFORMER_CLASSES = {
     "ZImageTransformer2DModel": "z_image",
     "OvisImageTransformer2DModel": "ovis_image",
     "LongCatImageTransformer2DModel": "longcat_image",
+    "OmniGen2Transformer2DModel": "omnigen2",
 }
 
 

@@ -200,6 +200,9 @@ class DiffusionPipeline:
             elif self.family == "longcat_image":
                 from vllm_omni_tpu.diffusion.longcat_image import (
                     longcat_image_param_shardings as _shardings)
+            elif self.family == "omnigen2":
+                from vllm_omni_tpu.diffusion.omnigen2 import (
+                    omnigen2_param_shardings as _shardings)
             else:
                 from vllm_omni_tpu.diffusion.dit import (
                     dit_param_shardings as _shardings)
@@ -580,6 +583,14 @@ class DiffusionPipeline:
             def fwd(pp, lat, txt, tt):
                 return longcat_image_forward(pp, self.family_cfg, lat,
                                              txt, tt, mesh=self.mesh)
+        elif self.family == "omnigen2":
+            from vllm_omni_tpu.diffusion.omnigen2 import omnigen2_forward
+
+            # Lumina2 conventions like z_image: t = 1 - σ in,
+            # data-noise out (pipeline_omnigen2.py:150)
+            def fwd(pp, lat, txt, tt):
+                return -omnigen2_forward(pp, self.family_cfg, lat, txt,
+                                         1.0 - tt, mesh=self.mesh)
         elif self.family == "z_image":
             from vllm_omni_tpu.diffusion.z_image import z_image_forward
 

@@ -289,7 +289,7 @@ DIFFUSERS_ARCH_MAP: dict[str, str] = {
     "FluxTransformer2DModel": "flux",
     "Flux2Transformer2DModel": "flux2",
     "SD3Transformer2DModel": "sd3",
-    "OmniGen2Transformer2DModel": "mmdit_image",
+    "OmniGen2Transformer2DModel": "omnigen2",
     "ZImageTransformer2DModel": "z_image",
     "LongCatImageTransformer2DModel": "longcat_image",
     "NextStepTransformer2DModel": "mmdit_image",
