@@ -184,6 +184,12 @@ def _family_entry(family: str):
 
         return OmniGen2Config, init_omnigen2_params, \
             assign_omnigen2_tensor
+    if family == "helios":
+        from vllm_omni_tpu.diffusion.helios import (HeliosConfig,
+                                                    assign_helios_tensor,
+                                                    init_helios_params)
+
+        return HeliosConfig, init_helios_params, assign_helios_tensor
     if family == "stable_audio":
         from vllm_omni_tpu.diffusion.stable_audio import (
             StableAudioConfig, assign_stable_audio_tensor,
@@ -211,6 +217,7 @@ REAL_TRANSFORMER_CLASSES = {
     "OvisImageTransformer2DModel": "ovis_image",
     "LongCatImageTransformer2DModel": "longcat_image",
     "OmniGen2Transformer2DModel": "omnigen2",
+    "HeliosTransformer3DModel": "helios",
 }
 
 

@@ -203,6 +203,9 @@ class DiffusionPipeline:
             elif self.family == "omnigen2":
                 from vllm_omni_tpu.diffusion.omnigen2 import (
                     omnigen2_param_shardings as _shardings)
+            elif self.family == "helios":
+                from vllm_omni_tpu.diffusion.helios import (
+                    helios_param_shardings as _shardings)
             else:
                 from vllm_omni_tpu.diffusion.dit import (
                     dit_param_shardings as _shardings)
@@ -583,6 +586,12 @@ class DiffusionPipeline:
             def fwd(pp, lat, txt, tt):
                 return longcat_image_forward(pp, self.family_cfg, lat,
                                              txt, tt, mesh=self.mesh)
+        elif self.family == "helios":
+            from vllm_omni_tpu.diffusion.helios import helios_forward
+
+            def fwd(pp, lat, txt, tt):
+                return helios_forward(pp, self.family_cfg, lat, txt, tt,
+                                      mesh=self.mesh)
         elif self.family == "omnigen2":
             from vllm_omni_tpu.diffusion.omnigen2 import omnigen2_forward
 

@@ -294,7 +294,7 @@ DIFFUSERS_ARCH_MAP: dict[str, str] = {
     "LongCatImageTransformer2DModel": "longcat_image",
     "NextStepTransformer2DModel": "mmdit_image",
     "OvisImageTransformer2DModel": "ovis_image",
-    "HeliosTransformer2DModel": "mmdit_image",
+    "HeliosTransformer3DModel": "helios",
     "DreamIdOmniTransformer2DModel": "mmdit_image",
     "WanTransformer3DModel": "wan",
     "HunyuanVideoTransformer3DModel": "mmdit_video",
