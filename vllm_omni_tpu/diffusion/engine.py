@@ -76,7 +76,10 @@ class DiffusionEngine:
             images, state = self.pipeline.run(req)
             req.status = RequestStatus.FINISHED_STOPPED
             is_video = req.params.num_frames > 1
-            is_audio = self.pipeline.family == "stable_audio"
+            from vllm_omni_tpu.diffusion.pipeline import (
+                AUDIO_LATENT_FAMILIES)
+
+            is_audio = self.pipeline.family in AUDIO_LATENT_FAMILIES
             audio = getattr(state, "audio_latents", None)
             if is_audio:  # audio-only family: `images` IS the latent audio
                 audio, images, is_video = images, None, False
@@ -118,7 +121,10 @@ class DiffusionEngine:
             req.status = RequestStatus.FINISHED_STOPPED
             self.running = None
             is_video = req.params.num_frames > 1
-            if self.pipeline.family == "stable_audio":
+            from vllm_omni_tpu.diffusion.pipeline import (
+                AUDIO_LATENT_FAMILIES)
+
+            if self.pipeline.family in AUDIO_LATENT_FAMILIES:
                 return [DiffusionOutput(
                     request_id=req.request_id, audio=images,
                     finished=True, step_index=state.step_index,

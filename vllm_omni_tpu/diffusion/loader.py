@@ -190,6 +190,13 @@ def _family_entry(family: str):
                                                     init_helios_params)
 
         return HeliosConfig, init_helios_params, assign_helios_tensor
+    if family == "cosyvoice3_audio":
+        from vllm_omni_tpu.diffusion.cosyvoice3_audio import (
+            Cosy3AudioConfig, assign_cosy3_audio_tensor,
+            init_cosy3_audio_params)
+
+        return Cosy3AudioConfig, init_cosy3_audio_params, \
+            assign_cosy3_audio_tensor
     if family == "stable_audio":
         from vllm_omni_tpu.diffusion.stable_audio import (
             StableAudioConfig, assign_stable_audio_tensor,
@@ -218,6 +225,7 @@ REAL_TRANSFORMER_CLASSES = {
     "LongCatImageTransformer2DModel": "longcat_image",
     "OmniGen2Transformer2DModel": "omnigen2",
     "HeliosTransformer3DModel": "helios",
+    "CosyVoice3AudioDiT": "cosyvoice3_audio",
 }
 
 

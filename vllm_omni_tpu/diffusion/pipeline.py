@@ -34,6 +34,9 @@ from vllm_omni_tpu.logger import init_logger
 
 logger = init_logger(__name__)
 
+# families denoising 1D audio-latent streams [B, L, C] (no image VAE)
+AUDIO_LATENT_FAMILIES = ("stable_audio", "cosyvoice3_audio")
+
 
 @dataclass
 class DenoiseState:
@@ -206,6 +209,9 @@ class DiffusionPipeline:
             elif self.family == "helios":
                 from vllm_omni_tpu.diffusion.helios import (
                     helios_param_shardings as _shardings)
+            elif self.family == "cosyvoice3_audio":
+                from vllm_omni_tpu.diffusion.cosyvoice3_audio import (
+                    cosy3_audio_param_shardings as _shardings)
             else:
                 from vllm_omni_tpu.diffusion.dit import (
                     dit_param_shardings as _shardings)
@@ -222,7 +228,7 @@ class DiffusionPipeline:
 
     # -- 1/4: prepare --------------------------------------------------------
     def prepare(self, req: DiffusionRequest) -> DenoiseState:
-        if self.family == "stable_audio":
+        if self.family in AUDIO_LATENT_FAMILIES:
             return self._prepare_audio(req)
         p: DiffusionSamplingParams = req.params
         cfgd = self.config
@@ -338,18 +344,26 @@ class DiffusionPipeline:
         clips, one compiled program per bucket."""
         p: DiffusionSamplingParams = req.params
         fc = self.family_cfg
-        secs = float((p.extra_args or {}).get(
-            "audio_end_in_s", (p.extra_args or {}).get(
-                "audio_seconds", 10.0)))
-        frames = max(int(round(secs * fc.sampling_rate / fc.hop_length)),
-                     1)
-        frames = min(-(-frames // 64) * 64, fc.sample_size)
+        text_states = self._resolve_text_states(req)
+        if self.family == "cosyvoice3_audio":
+            # conditional flow matching over mel: mu (talker features)
+            # is per-FRAME conditioning, so the mel length is the
+            # conditioning length (reference cosyvoice3_dit.py :426 —
+            # x, cond and mu share the time axis)
+            frames = text_states.shape[1]
+            channels = fc.mel_dim
+        else:
+            secs = float((p.extra_args or {}).get(
+                "audio_end_in_s", (p.extra_args or {}).get(
+                    "audio_seconds", 10.0)))
+            frames = max(
+                int(round(secs * fc.sampling_rate / fc.hop_length)), 1)
+            frames = min(-(-frames // 64) * 64, fc.sample_size)
+            channels = fc.in_channels
         seed = p.seed if p.seed is not None else 0
         key = jax.random.PRNGKey(seed)
         latents = jax.random.normal(
-            key, (1, frames, fc.in_channels), jnp.float32).astype(
-            self.dtype)
-        text_states = self._resolve_text_states(req)
+            key, (1, frames, channels), jnp.float32).astype(self.dtype)
         use_cfg = p.use_cfg and text_states.shape[0] == 2
         sigmas = self.scheduler.sigmas_for(p.num_inference_steps,
                                            image_seq_len=frames)
@@ -608,6 +622,15 @@ class DiffusionPipeline:
             def fwd(pp, lat, txt, tt):
                 return -z_image_forward(pp, self.family_cfg, lat, txt,
                                         1.0 - tt, mesh=self.mesh)
+        elif self.family == "cosyvoice3_audio":
+            from vllm_omni_tpu.diffusion.cosyvoice3_audio import (
+                cosy3_audio_forward)
+
+            # mu = per-frame talker conditioning; cond/spks zero for
+            # plain TTS (prompt-audio cloning feeds them upstream)
+            def fwd(pp, lat, txt, tt):
+                return cosy3_audio_forward(pp, self.family_cfg, lat,
+                                           txt, tt, mesh=self.mesh)
         elif self.family == "stable_audio":
             from vllm_omni_tpu.diffusion.stable_audio import (
                 stable_audio_forward)

@@ -302,7 +302,7 @@ DIFFUSERS_ARCH_MAP: dict[str, str] = {
     "LTX2VideoTransformer3DModel": "ltx2",
     "MagiHumanTransformer3DModel": "mmdit_video",
     "StableAudioDiTModel": "stable_audio",
-    "CosyVoice3AudioDiT": "mmdit_audio",
+    "CosyVoice3AudioDiT": "cosyvoice3_audio",
 }
 
 
