@@ -197,6 +197,13 @@ def _family_entry(family: str):
 
         return Cosy3AudioConfig, init_cosy3_audio_params, \
             assign_cosy3_audio_tensor
+    if family == "omnivoice":
+        from vllm_omni_tpu.diffusion.omnivoice import (
+            OmniVoiceConfig, assign_omnivoice_tensor,
+            init_omnivoice_params)
+
+        return OmniVoiceConfig, init_omnivoice_params, \
+            assign_omnivoice_tensor
     if family == "stable_audio":
         from vllm_omni_tpu.diffusion.stable_audio import (
             StableAudioConfig, assign_stable_audio_tensor,
@@ -226,6 +233,7 @@ REAL_TRANSFORMER_CLASSES = {
     "OmniGen2Transformer2DModel": "omnigen2",
     "HeliosTransformer3DModel": "helios",
     "CosyVoice3AudioDiT": "cosyvoice3_audio",
+    "OmniVoiceGenerator": "omnivoice",
 }
 
 

@@ -34,8 +34,10 @@ from vllm_omni_tpu.logger import init_logger
 
 logger = init_logger(__name__)
 
-# families denoising 1D audio-latent streams [B, L, C] (no image VAE)
-AUDIO_LATENT_FAMILIES = ("stable_audio", "cosyvoice3_audio")
+# families denoising 1D audio-latent streams [B, L, C] (no image VAE);
+# omnivoice emits an 8-codebook token grid on the same audio edge
+AUDIO_LATENT_FAMILIES = ("stable_audio", "cosyvoice3_audio",
+                         "omnivoice")
 
 
 @dataclass
@@ -212,6 +214,9 @@ class DiffusionPipeline:
             elif self.family == "cosyvoice3_audio":
                 from vllm_omni_tpu.diffusion.cosyvoice3_audio import (
                     cosy3_audio_param_shardings as _shardings)
+            elif self.family == "omnivoice":
+                from vllm_omni_tpu.diffusion.omnivoice import (
+                    omnivoice_param_shardings as _shardings)
             else:
                 from vllm_omni_tpu.diffusion.dit import (
                     dit_param_shardings as _shardings)
@@ -225,9 +230,23 @@ class DiffusionPipeline:
             shift=config.flow_shift,
             use_dynamic_shifting=config.use_dynamic_shifting)
         self._step_fns: dict = {}
+        # masked-token families run their own step loop (same
+        # prepare/denoise_step/post_decode contract, no Euler scheduler)
+        self._runner = None
+        if self.family == "omnivoice":
+            from vllm_omni_tpu.diffusion.omnivoice import OmniVoiceRunner
+
+            self._runner = OmniVoiceRunner(self.family_cfg,
+                                           self.dit_params,
+                                           mesh=self.mesh)
 
     # -- 1/4: prepare --------------------------------------------------------
     def prepare(self, req: DiffusionRequest) -> DenoiseState:
+        if self._runner is not None:
+            p = req.params
+            return self._runner.prepare(
+                req, num_steps=p.num_inference_steps,
+                seed=p.seed if p.seed is not None else 0)
         if self.family in AUDIO_LATENT_FAMILIES:
             return self._prepare_audio(req)
         p: DiffusionSamplingParams = req.params
@@ -407,6 +426,9 @@ class DiffusionPipeline:
 
     # -- 2/4: one denoise step ----------------------------------------------
     def denoise_step(self, state: DenoiseState) -> None:
+        if self._runner is not None:
+            self._runner.denoise_step(state)
+            return
         i = state.step_index
         sigma = float(state.sigmas[i])
         sigma_next = float(state.sigmas[i + 1])
@@ -768,6 +790,8 @@ class DiffusionPipeline:
     # -- 4/4: decode ---------------------------------------------------------
     def post_decode(self, state: DenoiseState,
                     output_type: str = "np") -> Any:
+        if self._runner is not None:
+            return self._runner.post_decode(state, output_type)
         if output_type == "latent":
             return np.asarray(state.latents)
         lat = state.latents

@@ -303,6 +303,8 @@ DIFFUSERS_ARCH_MAP: dict[str, str] = {
     "MagiHumanTransformer3DModel": "mmdit_video",
     "StableAudioDiTModel": "stable_audio",
     "CosyVoice3AudioDiT": "cosyvoice3_audio",
+    # masked-token TTS generator (Qwen3 backbone, non-AR unmasking)
+    "OmniVoiceGenerator": "omnivoice",
 }
 
 
