@@ -184,6 +184,13 @@ def _family_entry(family: str):
 
         return OmniGen2Config, init_omnigen2_params, \
             assign_omnigen2_tensor
+    if family == "mammoth_moda2":
+        from vllm_omni_tpu.diffusion.omnigen2 import (
+            MammothModa2Config, assign_omnigen2_tensor,
+            init_omnigen2_params)
+
+        return MammothModa2Config, init_omnigen2_params, \
+            assign_omnigen2_tensor
     if family == "helios":
         from vllm_omni_tpu.diffusion.helios import (HeliosConfig,
                                                     assign_helios_tensor,
@@ -234,6 +241,7 @@ REAL_TRANSFORMER_CLASSES = {
     "HeliosTransformer3DModel": "helios",
     "CosyVoice3AudioDiT": "cosyvoice3_audio",
     "OmniVoiceGenerator": "omnivoice",
+    "MammothModa2Transformer2DModel": "mammoth_moda2",
 }
 
 

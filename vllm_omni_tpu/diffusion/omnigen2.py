@@ -102,6 +102,27 @@ class OmniGen2Config:
         return cls(**kw)
 
 
+@dataclass
+class MammothModa2Config(OmniGen2Config):
+    """MammothModa2 DiT (diffusion/models/mammoth_moda2/
+    mammothmoda2_dit_model.py:493) — the SAME Lumina2 block math,
+    checkpoint naming, rope-id layout, ascending-t scheduler and
+    data-noise output as OmniGen2, with MammothModa2 defaults. The one
+    behavioral knob is timestep_scale (default 1.0 here: the sinusoid
+    takes the raw t ∈ [0,1) — OmniGen2 ships 1000)."""
+
+    patch_size: int = 2
+    in_channels: int = 16
+    hidden_size: int = 2304
+    num_layers: int = 26
+    num_attention_heads: int = 24
+    num_kv_heads: int = 8
+    axes_dim_rope: tuple = (32, 32, 32)
+    axes_lens: tuple = (300, 512, 512)
+    text_feat_dim: int = 1024
+    timestep_scale: float = 1.0
+
+
 # ---------------------------------------------------------------------------
 # Rope — text token i at (i, i, i); image (cap_len, row, col)
 # ---------------------------------------------------------------------------

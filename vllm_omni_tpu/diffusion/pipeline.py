@@ -205,7 +205,7 @@ class DiffusionPipeline:
             elif self.family == "longcat_image":
                 from vllm_omni_tpu.diffusion.longcat_image import (
                     longcat_image_param_shardings as _shardings)
-            elif self.family == "omnigen2":
+            elif self.family in ("omnigen2", "mammoth_moda2"):
                 from vllm_omni_tpu.diffusion.omnigen2 import (
                     omnigen2_param_shardings as _shardings)
             elif self.family == "helios":
@@ -628,11 +628,12 @@ class DiffusionPipeline:
             def fwd(pp, lat, txt, tt):
                 return helios_forward(pp, self.family_cfg, lat, txt, tt,
                                       mesh=self.mesh)
-        elif self.family == "omnigen2":
+        elif self.family in ("omnigen2", "mammoth_moda2"):
             from vllm_omni_tpu.diffusion.omnigen2 import omnigen2_forward
 
             # Lumina2 conventions like z_image: t = 1 - σ in,
-            # data-noise out (pipeline_omnigen2.py:150)
+            # data-noise out (pipeline_omnigen2.py:150; the mammoth
+            # scheduler is the same ascending-t Euler, schedulers.py:47)
             def fwd(pp, lat, txt, tt):
                 return -omnigen2_forward(pp, self.family_cfg, lat, txt,
                                          1.0 - tt, mesh=self.mesh)

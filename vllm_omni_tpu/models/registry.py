@@ -305,6 +305,8 @@ DIFFUSERS_ARCH_MAP: dict[str, str] = {
     "CosyVoice3AudioDiT": "cosyvoice3_audio",
     # masked-token TTS generator (Qwen3 backbone, non-AR unmasking)
     "OmniVoiceGenerator": "omnivoice",
+    # Lumina2 layout shared with omnigen2 (timestep_scale 1.0)
+    "MammothModa2Transformer2DModel": "mammoth_moda2",
 }
 
 
