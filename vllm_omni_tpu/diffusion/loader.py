@@ -211,6 +211,12 @@ def _family_entry(family: str):
 
         return OmniVoiceConfig, init_omnivoice_params, \
             assign_omnivoice_tensor
+    if family == "nextstep":
+        from vllm_omni_tpu.diffusion.nextstep import (
+            NextStepConfig, assign_nextstep_tensor, init_nextstep_params)
+
+        return NextStepConfig, init_nextstep_params, \
+            assign_nextstep_tensor
     if family == "stable_audio":
         from vllm_omni_tpu.diffusion.stable_audio import (
             StableAudioConfig, assign_stable_audio_tensor,
@@ -242,6 +248,9 @@ REAL_TRANSFORMER_CLASSES = {
     "CosyVoice3AudioDiT": "cosyvoice3_audio",
     "OmniVoiceGenerator": "omnivoice",
     "MammothModa2Transformer2DModel": "mammoth_moda2",
+    # AR image generation (llama backbone + flow-matching head)
+    "NextStepModel": "nextstep",
+    "NextStepTransformer2DModel": "nextstep",
 }
 
 

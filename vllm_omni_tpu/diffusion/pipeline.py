@@ -239,6 +239,12 @@ class DiffusionPipeline:
             self._runner = OmniVoiceRunner(self.family_cfg,
                                            self.dit_params,
                                            mesh=self.mesh)
+        elif self.family == "nextstep":
+            from vllm_omni_tpu.diffusion.nextstep import NextStepRunner
+
+            self._runner = NextStepRunner(self.family_cfg,
+                                          self.dit_params,
+                                          mesh=self.mesh)
 
     # -- 1/4: prepare --------------------------------------------------------
     def prepare(self, req: DiffusionRequest) -> DenoiseState:
@@ -792,7 +798,22 @@ class DiffusionPipeline:
     def post_decode(self, state: DenoiseState,
                     output_type: str = "np") -> Any:
         if self._runner is not None:
-            return self._runner.post_decode(state, output_type)
+            out = self._runner.post_decode(state, output_type)
+            if getattr(self._runner, "decode_via_vae", False) and \
+                    output_type != "latent":
+                # runner produced latents — finish through the normal
+                # image VAE path below
+                state2 = DenoiseState(
+                    latents=jnp.asarray(out, self.dtype),
+                    text_states=None,
+                    sigmas=np.zeros(2, np.float32),
+                    timesteps=np.zeros(1, np.float32))
+                saved, self._runner = self._runner, None
+                try:
+                    return self.post_decode(state2, output_type)
+                finally:
+                    self._runner = saved
+            return out
         if output_type == "latent":
             return np.asarray(state.latents)
         lat = state.latents

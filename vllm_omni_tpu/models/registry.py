@@ -292,7 +292,7 @@ DIFFUSERS_ARCH_MAP: dict[str, str] = {
     "OmniGen2Transformer2DModel": "omnigen2",
     "ZImageTransformer2DModel": "z_image",
     "LongCatImageTransformer2DModel": "longcat_image",
-    "NextStepTransformer2DModel": "mmdit_image",
+    "NextStepTransformer2DModel": "nextstep",
     "OvisImageTransformer2DModel": "ovis_image",
     "HeliosTransformer3DModel": "helios",
     "DreamIdOmniTransformer2DModel": "mmdit_image",
