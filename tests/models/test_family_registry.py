@@ -40,13 +40,13 @@ def test_diffusers_arch_map_covers_reference_archs():
     real = {"qwen_image", "flux", "flux2", "wan", "sd3", "ltx2",
             "hunyuan_video", "stable_audio", "z_image", "ovis_image",
             "longcat_image", "omnigen2", "helios", "cosyvoice3_audio",
-            "omnivoice", "mammoth_moda2", "nextstep"}
+            "omnivoice", "mammoth_moda2", "nextstep", "glm_image"}
     assert set(DIFFUSERS_ARCH_MAP.values()) <= real | {
         "mmdit_image", "mmdit_video", "mmdit_audio"}
-    assert len(DIFFUSERS_ARCH_MAP) >= 19
-    # real-geometry coverage must only grow (round-3 floor: 17 archs)
+    assert len(DIFFUSERS_ARCH_MAP) >= 20
+    # real-geometry coverage must only grow (round-3 floor: 18 archs)
     n_real = sum(1 for v in DIFFUSERS_ARCH_MAP.values() if v in real)
-    assert n_real >= 17
+    assert n_real >= 18
 
 
 def _shrink(raw: dict) -> dict:

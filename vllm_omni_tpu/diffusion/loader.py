@@ -217,6 +217,13 @@ def _family_entry(family: str):
 
         return NextStepConfig, init_nextstep_params, \
             assign_nextstep_tensor
+    if family == "glm_image":
+        from vllm_omni_tpu.diffusion.glm_image import (
+            GlmImageConfig, assign_glm_image_tensor,
+            init_glm_image_params)
+
+        return GlmImageConfig, init_glm_image_params, \
+            assign_glm_image_tensor
     if family == "stable_audio":
         from vllm_omni_tpu.diffusion.stable_audio import (
             StableAudioConfig, assign_stable_audio_tensor,
@@ -251,6 +258,7 @@ REAL_TRANSFORMER_CLASSES = {
     # AR image generation (llama backbone + flow-matching head)
     "NextStepModel": "nextstep",
     "NextStepTransformer2DModel": "nextstep",
+    "GlmImageTransformer2DModel": "glm_image",
 }
 
 

@@ -51,6 +51,9 @@ class DenoiseState:
     timesteps: np.ndarray
     step_index: int = 0
     audio_latents: Any = None  # [B, Ta, Ca] (LTX2 joint AV denoising)
+    # per-request extra conditioning pytree (e.g. glm_image AR prior
+    # tokens) threaded into the jitted step as an argument
+    cond_extras: Any = None
     use_cfg: bool = False
     guidance_scale: float = 1.0
     t_start: float = field(default_factory=time.monotonic)
@@ -208,6 +211,9 @@ class DiffusionPipeline:
             elif self.family in ("omnigen2", "mammoth_moda2"):
                 from vllm_omni_tpu.diffusion.omnigen2 import (
                     omnigen2_param_shardings as _shardings)
+            elif self.family == "glm_image":
+                from vllm_omni_tpu.diffusion.glm_image import (
+                    glm_image_param_shardings as _shardings)
             elif self.family == "helios":
                 from vllm_omni_tpu.diffusion.helios import (
                     helios_param_shardings as _shardings)
@@ -353,11 +359,27 @@ class DiffusionPipeline:
             audio_latents = jax.random.normal(
                 jax.random.fold_in(key, 1), (1, ta, fc.audio_in_channels),
                 jnp.float32).astype(self.dtype)
+        cond_extras = None
+        if self.family == "glm_image":
+            # AR prior-VQ tokens from the upstream GLM-Image AR stage;
+            # absent priors run as the reference's dropped-prior branch
+            prior = req.additional_information.get("prior_token_id")
+            npt = (h_lat // cfgd.dit.patch_size) * \
+                (w_lat // cfgd.dit.patch_size)
+            missing = prior is None
+            if missing:
+                prior = np.zeros((1, npt), np.int32)
+            cond_extras = {
+                "prior_token_id": jnp.asarray(
+                    np.asarray(prior, np.int32).reshape(1, -1)),
+                "prior_missing": missing,
+            }
         return DenoiseState(
             latents=latents, audio_latents=audio_latents,
             text_states=text_states, sigmas=sigmas,
             timesteps=self.scheduler.timesteps_for(sigmas),
-            use_cfg=use_cfg, guidance_scale=p.guidance_scale)
+            use_cfg=use_cfg, guidance_scale=p.guidance_scale,
+            cond_extras=cond_extras)
 
     def _prepare_audio(self, req: DiffusionRequest) -> DenoiseState:
         """Stable-Audio-class 1D latent prep (reference
@@ -440,7 +462,13 @@ class DiffusionPipeline:
         sigma_next = float(state.sigmas[i + 1])
         t = float(state.timesteps[i])
         cached = self.config.cache.enabled
-        fn = self._get_step_fn(state.latents.shape, state.use_cfg, cached)
+        extras_key = None
+        if state.cond_extras is not None:
+            extras_key = ("glm", bool(
+                state.cond_extras.get("prior_missing")),
+                state.cond_extras["prior_token_id"].shape)
+        fn = self._get_step_fn(state.latents.shape, state.use_cfg,
+                               cached, extras_key)
         if cached:
             if state.cache_mod is None:
                 b, h, w, c = state.latents.shape
@@ -472,6 +500,13 @@ class DiffusionPipeline:
                 state.text_states, jnp.float32(t), jnp.float32(sigma),
                 jnp.float32(sigma_next),
                 jnp.float32(state.guidance_scale))
+        elif state.cond_extras is not None:
+            state.latents = fn(self.dit_params, state.latents,
+                               state.text_states,
+                               jnp.float32(t), jnp.float32(sigma),
+                               jnp.float32(sigma_next),
+                               jnp.float32(state.guidance_scale),
+                               state.cond_extras["prior_token_id"])
         else:
             state.latents = fn(self.dit_params, state.latents,
                                state.text_states,
@@ -481,13 +516,18 @@ class DiffusionPipeline:
         state.step_index += 1
 
     def _get_step_fn(self, latent_shape, use_cfg: bool,
-                     cached: bool = False):
-        key = (latent_shape, use_cfg, cached)
+                     cached: bool = False, extras_key=None):
+        key = (latent_shape, use_cfg, cached, extras_key)
         fn = self._step_fns.get(key)
         if fn is None:
-            body = self._cached_step_body if cached else (
-                self._step_body_ltx2 if self.family == "ltx2"
-                else self._step_body)
+            if extras_key is not None:
+                body = functools.partial(
+                    self._step_body_extras,
+                    prior_missing=extras_key[1])
+            else:
+                body = self._cached_step_body if cached else (
+                    self._step_body_ltx2 if self.family == "ltx2"
+                    else self._step_body)
             if self._host_layers is not None:
                 # layerwise offload: the step loop runs host-side
                 # (device_put per block); only the pieces are jitted
@@ -781,6 +821,38 @@ class DiffusionPipeline:
                    (sigma_next - sigma) * av.astype(jnp.float32)
                    ).astype(audio.dtype)
         return new_lat, new_aud
+
+    def _step_body_extras(self, params, latents, text_states, t, sigma,
+                          sigma_next, guidance, prior_token_id, *,
+                          use_cfg: bool, prior_missing: bool):
+        """glm_image step: AR prior-VQ tokens condition the forward;
+        the CFG uncond row runs with the prior dropped
+        (pipeline_glm_image.py:505-506). Timestep convention :515:
+        t_model = σ·1000 − 1."""
+        from vllm_omni_tpu.diffusion.glm_image import glm_image_forward
+
+        sig = t / self.config.num_train_timesteps
+        t_model = sig * 1000.0 - 1.0
+
+        def fwd(lat, txt, drop):
+            tt = jnp.full((lat.shape[0],), t_model, jnp.float32)
+            prior = jnp.tile(prior_token_id, (lat.shape[0], 1))
+            return glm_image_forward(params, self.family_cfg, lat, txt,
+                                     tt, prior_token_id=prior,
+                                     prior_token_drop=drop,
+                                     mesh=self.mesh)
+
+        if use_cfg:
+            lat2 = jnp.concatenate([latents, latents], axis=0)
+            drop = jnp.asarray([prior_missing, True])
+            v = fwd(lat2, text_states, drop).astype(jnp.float32)
+            v_cond, v_uncond = v[:1], v[1:]
+            v = v_uncond + guidance * (v_cond - v_uncond)
+        else:
+            drop = jnp.full((latents.shape[0],), prior_missing)
+            v = fwd(latents, text_states[:1], drop).astype(jnp.float32)
+        return (latents.astype(jnp.float32) +
+                (sigma_next - sigma) * v).astype(latents.dtype)
 
     def _step_body(self, params, latents, text_states, t, sigma,
                    sigma_next, guidance, *, use_cfg: bool):

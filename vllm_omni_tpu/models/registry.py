@@ -307,6 +307,8 @@ DIFFUSERS_ARCH_MAP: dict[str, str] = {
     "OmniVoiceGenerator": "omnivoice",
     # Lumina2 layout shared with omnigen2 (timestep_scale 1.0)
     "MammothModa2Transformer2DModel": "mammoth_moda2",
+    # CogView-lineage joint DiT conditioned on AR prior-VQ tokens
+    "GlmImageTransformer2DModel": "glm_image",
 }
 
 
