@@ -303,6 +303,71 @@ def load_scheduler_config(path: str) -> dict[str, Any]:
     }
 
 
+# vae `_class_name` → real-geometry decoder/encoder implementation.
+# "kl": diffusers AutoencoderKL (vae_kl.py) — flux/flux2/sd3/z_image/
+# longcat/ovis/omnigen2/glm_image/nextstep; "wan": the Wan-style 3D
+# causal VAE (vae_wan.py) — AutoencoderKLQwenImage + AutoencoderKLWan.
+# Classes not listed load config-only and decode through the generic
+# random-init VAE (dummy/bench tier only).
+REAL_VAE_CLASSES = {
+    "AutoencoderKL": "kl",
+    "AutoencoderKLQwenImage": "wan",
+    "AutoencoderKLWan": "wan",
+}
+
+
+def load_vae(path: str, dtype=jnp.bfloat16) -> dict[str, Any]:
+    """Load the pipeline's vae/ component: scale/latent metadata always;
+    REAL weights when the class has a real-geometry implementation and
+    the subfolder ships safetensors (reference loads the actual VAE for
+    every family — diffusers_loader.py; pipeline_qwen_image.py:797
+    _decode_latents)."""
+    meta = load_vae_config(path)
+    cfg_json = component_config(path, "vae")
+    kind = REAL_VAE_CLASSES.get(cfg_json.get("_class_name", ""))
+    if kind is None:
+        return meta
+    try:
+        _shard_files(os.path.join(path, "vae"))
+    except FileNotFoundError:
+        logger.warning("vae/: config-only (no weights) — decode falls "
+                       "back to the random generic VAE")
+        return meta
+    if kind == "kl":
+        from vllm_omni_tpu.diffusion.vae_kl import (VAEKLConfig,
+                                                    assign_kl_tensor,
+                                                    init_kl_params)
+
+        cfg = VAEKLConfig.from_json(cfg_json)
+        params = init_kl_params(cfg, dtype)
+        assign = assign_kl_tensor
+        meta["latent_channels"] = cfg.latent_channels
+        meta["scale_factor"] = cfg.spatial_scale
+    else:
+        from vllm_omni_tpu.diffusion.vae_wan import (
+            VAEWanConfig, assign_wan_vae_tensor, init_wan_vae_params)
+
+        cfg = VAEWanConfig.from_json(cfg_json)
+        params = init_wan_vae_params(cfg, dtype)
+        assign = assign_wan_vae_tensor
+        meta["latent_channels"] = cfg.z_dim
+        meta["scale_factor"] = cfg.spatial_scale
+    loaded, unmapped = 0, []
+    for name, arr in iter_component_tensors(path, "vae"):
+        if assign(params, name, arr, dtype):
+            loaded += 1
+        else:
+            unmapped.append(name)
+    if unmapped:
+        logger.warning("vae: %d unmapped tensors, e.g. %s",
+                       len(unmapped), unmapped[:8])
+    if loaded == 0:
+        raise ValueError(f"no vae tensors mapped from {path}/vae")
+    logger.info("vae (%s): %d tensors loaded", kind, loaded)
+    meta.update(kind=kind, vae_cfg=cfg, params=params)
+    return meta
+
+
 def load_vae_config(path: str) -> dict[str, Any]:
     cfg = component_config(path, "vae")
     if "decoder_input_channels" in cfg:
@@ -348,7 +413,7 @@ def load_diffusers_pipeline(path: str, dtype=jnp.bfloat16) -> dict:
         out["scheduler"] = load_scheduler_config(path)
     if "vae" in index:
         try:
-            out["vae"] = load_vae_config(path)
+            out["vae"] = load_vae(path, dtype)
         except FileNotFoundError:
             out["vae"] = None
     return out

@@ -110,6 +110,11 @@ class DiffusionPipeline:
                 config.vae_latent_channels = vae_meta["latent_channels"]
                 config.vae_scale_factor = vae_meta.get(
                     "scale_factor", config.vae_scale_factor)
+            # real VAE weights (loader.py load_vae): "kl" or "wan"
+            # geometry replaces the random generic decoder entirely
+            self.vae_kind = vae_meta.get("kind", "generic")
+            self.vae_cfg = vae_meta.get("vae_cfg")
+            self._loaded_vae_params = vae_meta.get("params")
             # keep derived knobs in sync for bucketing / text padding.
             # flux declares patch_size=1 in config.json but its pipeline
             # packs 2x2 (pack_factor) — the effective latent patch
@@ -133,8 +138,16 @@ class DiffusionPipeline:
                                  "diffusers-loaded families yet")
         else:
             self.dit_params = init_dit_params(config.dit, k1, self.dtype)
-        self.vae_params = init_vae_params(
-            k2, config.vae_latent_channels, dtype=self.dtype)
+        if not hasattr(self, "vae_kind"):
+            self.vae_kind, self.vae_cfg = "generic", None
+            self._loaded_vae_params = None
+        if self._loaded_vae_params is not None:
+            self.vae_params = self._loaded_vae_params
+        else:
+            self.vae_kind = "generic"
+            self.vae_params = init_vae_params(
+                k2, config.vae_latent_channels, dtype=self.dtype)
+        del self._loaded_vae_params
         self._vae_host = None
         self._host_layers = None
         if config.offload in ("model", "layerwise"):
@@ -335,8 +348,18 @@ class DiffusionPipeline:
             # reusing it would make the VAE sampling eps IDENTICAL to
             # that noise (perfectly correlated draws)
             key, enc_key = jax.random.split(key)
-            x0 = vae_encode(vae, jnp.asarray(img, self.dtype)[None],
-                            enc_key)
+            imgj = jnp.asarray(img, self.dtype)[None]
+            if self.vae_kind == "kl":
+                from vllm_omni_tpu.diffusion.vae_kl import kl_encode
+
+                x0 = kl_encode(vae, self.vae_cfg, imgj, enc_key)
+            elif self.vae_kind == "wan":
+                from vllm_omni_tpu.diffusion.vae_wan import wan_encode
+
+                x0 = wan_encode(vae, self.vae_cfg, imgj[:, None],
+                                enc_key)[:, 0]
+            else:
+                x0 = vae_encode(vae, imgj, enc_key)
             if self._vae_host is not None:
                 del vae
             start = min(int(round(p.num_inference_steps * (1 - strength))),
@@ -894,9 +917,14 @@ class DiffusionPipeline:
             # latents go downstream raw (reference decodes through the
             # Oobleck VAE; our waveform decode rides the vocoder stage)
             return np.asarray(lat, np.float32)
-        if lat.ndim == 5:  # video: frames decode as a batch
+        squeeze_t = False
+        if lat.ndim == 5 and self.vae_kind != "wan":
+            # generic/kl 2D VAEs: frames decode as a batch; the wan VAE
+            # decodes the full clip (temporal upsampling is causal 3D)
             b, f, h, w, c = lat.shape
             lat = lat.reshape(b * f, h, w, c)
+        elif lat.ndim == 4 and self.vae_kind == "wan":
+            lat, squeeze_t = lat[:, None], True  # image = 1-frame clip
         if self._vae_host is not None:
             vae = jax.device_put(self._vae_host)  # stage in for decode
             images = self._decode_fn()(vae, lat)
@@ -905,6 +933,10 @@ class DiffusionPipeline:
         else:
             images = self._decode_fn()(self.vae_params, lat)
             arr = np.asarray(images)  # [-1, 1] float
+        if squeeze_t:
+            arr = arr[:, 0]
+        elif arr.ndim == 5:  # decoded video → frame-major like before
+            arr = arr.reshape(-1, *arr.shape[2:])
         if output_type == "np":
             return ((arr + 1.0) * 127.5).clip(0, 255).astype(np.uint8)
         if output_type == "pil":
@@ -916,7 +948,7 @@ class DiffusionPipeline:
 
     @functools.cache
     def _decode_fn(self):
-        mesh = self.mesh
+        mesh, kind, vcfg = self.mesh, self.vae_kind, self.vae_cfg
 
         def decode(params, latents):
             if mesh is not None:
@@ -932,10 +964,20 @@ class DiffusionPipeline:
                 size = 1
                 for a in axes:
                     size *= mesh.shape[a]
-                if axes and latents.shape[1] % size == 0:
+                h_axis = latents.ndim - 3  # [..., H, W, C]
+                if axes and latents.shape[h_axis] % size == 0:
+                    spec = [None] * latents.ndim
+                    spec[h_axis] = axes
                     latents = jax.lax.with_sharding_constraint(
-                        latents, NamedSharding(mesh, P(None, axes, None,
-                                                       None)))
+                        latents, NamedSharding(mesh, P(*spec)))
+            if kind == "kl":
+                from vllm_omni_tpu.diffusion.vae_kl import kl_decode
+
+                return kl_decode(params, vcfg, latents)
+            if kind == "wan":
+                from vllm_omni_tpu.diffusion.vae_wan import wan_decode
+
+                return wan_decode(params, vcfg, latents)
             return vae_decode(params, latents)
 
         return jax.jit(decode)
