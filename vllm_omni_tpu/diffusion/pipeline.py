@@ -50,6 +50,9 @@ class DenoiseState:
     sigmas: np.ndarray
     timesteps: np.ndarray
     step_index: int = 0
+    # pooled CLIP conditioning [rows(text_states), P] for families whose
+    # time embed consumes it (flux/sd3); None when no CLIP tower loaded
+    pooled: Any = None
     audio_latents: Any = None  # [B, Ta, Ca] (LTX2 joint AV denoising)
     # per-request extra conditioning pytree (e.g. glm_image AR prior
     # tokens) threaded into the jitted step as an argument
@@ -264,6 +267,28 @@ class DiffusionPipeline:
             self._runner = NextStepRunner(self.family_cfg,
                                           self.dit_params,
                                           mesh=self.mesh)
+        # real text towers from the pipeline's text_encoder*/ subfolders
+        # (reference: each pipeline's encode_prompt runs the checkpoint's
+        # own encoders, e.g. pipeline_flux.py CLIP+T5). Families whose
+        # encoder is an AR/VLM tower (qwen_image → Qwen2.5-VL) receive
+        # text states from the upstream AR stage instead.
+        self.prompt_encoder = None
+        self._uses_pooled = self.family in ("flux", "sd3")
+        if self.family != "generic":
+            from vllm_omni_tpu.diffusion.prompt_encoder import (
+                PromptEncoder)
+
+            pe = PromptEncoder(config.model, self.dtype)
+            if pe.available:
+                self.prompt_encoder = pe
+                logger.info("prompt encoder: %s",
+                            {s: v[0] for s, v in pe.encoders.items()})
+            else:
+                logger.warning(
+                    "no loadable text encoder in %s — prompts fall back "
+                    "to a HASH embedding unless the upstream stage "
+                    "supplies text_states (dummy/bench tier only)",
+                    config.model)
 
     # -- 1/4: prepare --------------------------------------------------------
     def prepare(self, req: DiffusionRequest) -> DenoiseState:
@@ -297,7 +322,7 @@ class DiffusionPipeline:
             shape = (1, 1, h_lat, w_lat, cfgd.vae_latent_channels)
         latents = jax.random.normal(key, shape, jnp.float32).astype(
             self.dtype)
-        text_states = self._resolve_text_states(req)
+        text_states, pooled = self._resolve_text_states(req)
         # UAA-equivalent: make the joint (text+image) token stream
         # divisible by the SP extent by padding the text bucket, so
         # sequence sharding never silently falls back to replication
@@ -399,7 +424,7 @@ class DiffusionPipeline:
             }
         return DenoiseState(
             latents=latents, audio_latents=audio_latents,
-            text_states=text_states, sigmas=sigmas,
+            text_states=text_states, pooled=pooled, sigmas=sigmas,
             timesteps=self.scheduler.timesteps_for(sigmas),
             use_cfg=use_cfg, guidance_scale=p.guidance_scale,
             cond_extras=cond_extras)
@@ -414,7 +439,7 @@ class DiffusionPipeline:
         clips, one compiled program per bucket."""
         p: DiffusionSamplingParams = req.params
         fc = self.family_cfg
-        text_states = self._resolve_text_states(req)
+        text_states, _ = self._resolve_text_states(req)
         if self.family == "cosyvoice3_audio":
             # conditional flow matching over mel: mu (talker features)
             # is per-FRAME conditioning, so the mel length is the
@@ -442,20 +467,38 @@ class DiffusionPipeline:
             timesteps=self.scheduler.timesteps_for(sigmas),
             use_cfg=use_cfg, guidance_scale=p.guidance_scale)
 
-    def _resolve_text_states(self, req: DiffusionRequest) -> jnp.ndarray:
-        """[1|2, TEXT_LEN, text_dim]: row 0 = conditional, row 1 =
-        unconditional (CFG). Text states come from the upstream stage
-        (hidden-state handoff) or — lacking an encoder — a hash embedding
-        of the prompt string (keeps e2e runnable without a text tower)."""
+    def _resolve_text_states(self, req: DiffusionRequest) -> tuple:
+        """→ (text_states [1|2, T, text_dim], pooled [1|2, P] | None):
+        row 0 = conditional, row 1 = unconditional (CFG). Precedence:
+        upstream-stage hidden-state handoff > the checkpoint's own text
+        towers (prompt_encoder) > a hash embedding of the prompt string
+        (dummy/bench tier only — keeps e2e runnable without a tower)."""
         d = self.config.dit.text_dim
         cond = req.additional_information.get("text_states")
         if cond is None and isinstance(req.prompt, dict):
             cond = req.prompt.get("text_states")
+        pooled_rows = None
+        neg_p = req.negative_prompt or req.params.negative_prompt or ""
         if cond is not None:
             cond = np.asarray(cond, np.float32)
             if cond.ndim == 2:
                 cond = cond[None]
             cond = _pad_or_trim(cond, self.TEXT_LEN)
+            pooled = req.additional_information.get("pooled_text_states")
+            if pooled is not None:
+                pooled_rows = [np.asarray(pooled, np.float32).reshape(
+                    1, -1)]
+        elif self.prompt_encoder is not None:
+            enc = self.prompt_encoder.encode(str(req.prompt),
+                                             self.family, self.TEXT_LEN)
+            # real encoders may exceed the static bucket (sd3: CLIP+T5
+            # concat) — pad up to the next 64 multiple instead of
+            # truncating conditioning
+            tl = max(self.TEXT_LEN,
+                     -(-enc["text_states"].shape[1] // 64) * 64)
+            cond = _pad_or_trim(enc["text_states"], tl)
+            if enc.get("pooled") is not None:
+                pooled_rows = [enc["pooled"]]
         else:
             cond = _hash_embed(str(req.prompt), self.TEXT_LEN, d)[None]
         rows = [cond]
@@ -467,13 +510,36 @@ class DiffusionPipeline:
                 neg = np.asarray(neg, np.float32)
                 if neg.ndim == 2:
                     neg = neg[None]
-                rows.append(_pad_or_trim(neg, self.TEXT_LEN))
+                rows.append(_pad_or_trim(neg, cond.shape[1]))
+                if pooled_rows is not None:
+                    npool = req.additional_information.get(
+                        "negative_pooled_text_states")
+                    if npool is not None:
+                        pooled_rows.append(np.asarray(
+                            npool, np.float32).reshape(1, -1))
+                    else:
+                        pooled_rows.append(np.zeros_like(pooled_rows[0]))
+            elif self.prompt_encoder is not None:
+                enc_n = self.prompt_encoder.encode(str(neg_p),
+                                                   self.family,
+                                                   self.TEXT_LEN)
+                rows.append(_pad_or_trim(enc_n["text_states"],
+                                         cond.shape[1]))
+                if pooled_rows is not None:
+                    pooled_rows.append(
+                        enc_n["pooled"] if enc_n.get("pooled") is not
+                        None else np.zeros_like(pooled_rows[0]))
             else:
-                neg_p = req.negative_prompt or \
-                    req.params.negative_prompt or ""
-                rows.append(_hash_embed(str(neg_p), self.TEXT_LEN,
+                rows.append(_hash_embed(str(neg_p), cond.shape[1],
                                         d)[None])
-        return jnp.asarray(np.concatenate(rows, axis=0), self.dtype)
+                if pooled_rows is not None:
+                    pooled_rows.append(np.zeros_like(pooled_rows[0]))
+        text = jnp.asarray(np.concatenate(rows, axis=0), self.dtype)
+        pooled = None
+        if pooled_rows is not None and self._uses_pooled:
+            pooled = jnp.asarray(np.concatenate(pooled_rows, axis=0),
+                                 self.dtype)
+        return text, pooled
 
     # -- 2/4: one denoise step ----------------------------------------------
     def denoise_step(self, state: DenoiseState) -> None:
@@ -530,6 +596,18 @@ class DiffusionPipeline:
                                jnp.float32(sigma_next),
                                jnp.float32(state.guidance_scale),
                                state.cond_extras["prior_token_id"])
+        elif self._uses_pooled:
+            pooled = state.pooled
+            if pooled is None:
+                pooled = jnp.zeros(
+                    (state.text_states.shape[0],
+                     self.family_cfg.pooled_projection_dim), self.dtype)
+            state.latents = fn(self.dit_params, state.latents,
+                               state.text_states,
+                               jnp.float32(t), jnp.float32(sigma),
+                               jnp.float32(sigma_next),
+                               jnp.float32(state.guidance_scale),
+                               pooled)
         else:
             state.latents = fn(self.dit_params, state.latents,
                                state.text_states,
@@ -608,7 +686,7 @@ class DiffusionPipeline:
                                ).astype(jnp.float32)
 
     def _predict_velocity(self, params, latents, text_states, t,
-                          guidance, use_cfg: bool):
+                          guidance, use_cfg: bool, pooled=None):
         if self.family != "generic":
             # real-geometry forwards take flow-match σ ∈ [0,1] (each
             # applies its own diffusers-transformer scaling, e.g. ×1000
@@ -643,8 +721,10 @@ class DiffusionPipeline:
                 g = None
                 if self.family_cfg.guidance_embeds:
                     g = jnp.full((lat.shape[0],), guidance, jnp.float32)
+                pl = pooled[:lat.shape[0]] if pooled is not None else None
                 return flux_forward(pp, self.family_cfg, lat, txt, tt,
-                                    guidance=g, mesh=self.mesh)
+                                    guidance=g, pooled=pl,
+                                    mesh=self.mesh)
         elif self.family == "wan":
             from vllm_omni_tpu.diffusion.wan import wan_forward
 
@@ -655,8 +735,9 @@ class DiffusionPipeline:
             from vllm_omni_tpu.diffusion.sd3 import sd3_forward
 
             def fwd(pp, lat, txt, tt):
+                pl = pooled[:lat.shape[0]] if pooled is not None else None
                 return sd3_forward(pp, self.family_cfg, lat, txt, tt,
-                                   mesh=self.mesh)
+                                   pooled=pl, mesh=self.mesh)
         elif self.family == "hunyuan_video":
             from vllm_omni_tpu.diffusion.hunyuan_video import (
                 hunyuan_video_forward)
@@ -878,12 +959,12 @@ class DiffusionPipeline:
                 (sigma_next - sigma) * v).astype(latents.dtype)
 
     def _step_body(self, params, latents, text_states, t, sigma,
-                   sigma_next, guidance, *, use_cfg: bool):
+                   sigma_next, guidance, pooled=None, *, use_cfg: bool):
         # CFG rides as batch rows; the "cfg" mesh axis shards them across
         # ranks (reference CFGParallelMixin cfg_parallel.py:56 — here one
         # sharding annotation inside dit_forward)
         v = self._predict_velocity(params, latents, text_states, t,
-                                   guidance, use_cfg)
+                                   guidance, use_cfg, pooled=pooled)
         return (latents.astype(jnp.float32) +
                 (sigma_next - sigma) * v).astype(latents.dtype)
 

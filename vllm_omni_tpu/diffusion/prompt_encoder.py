@@ -39,6 +39,7 @@ class PromptEncoder:
         self.dtype = dtype
         self.encoders: dict[str, tuple] = {}
         self.tokenizers: dict[str, Any] = {}
+        self._cache: dict[tuple, dict] = {}
         index = read_model_index(path)
         for slot in _SLOTS:
             if not isinstance(index.get(slot), (list, tuple)):
@@ -87,12 +88,13 @@ class PromptEncoder:
         # feeding the DiT (prompt_embeds * mask)
         return np.asarray(seq, np.float32) * mask[..., None]
 
-    def _run_clip(self, slot: str, prompt: str) -> tuple:
+    def _run_clip(self, slot: str, prompt: str,
+                  max_len: int = 77) -> tuple:
         from vllm_omni_tpu.diffusion.text_encoder import clip_text_encode
 
         _, cfg, params = self.encoders[slot]
         ids, _ = self._ids(slot, prompt,
-                           min(cfg.max_position_embeddings, 77))
+                           min(cfg.max_position_embeddings, 77, max_len))
         seq, pooled = clip_text_encode(params, cfg, jnp.asarray(ids))
         return np.asarray(seq, np.float32), \
             np.asarray(pooled, np.float32)
@@ -102,6 +104,18 @@ class PromptEncoder:
     def encode(self, prompt: str, family: str,
                text_len: int) -> dict[str, Optional[np.ndarray]]:
         """→ {"text_states": [1, T, D], "pooled": [1, P] | None}."""
+        key = (prompt, family, text_len)
+        hit = self._cache.get(key)
+        if hit is not None:
+            return hit
+        out = self._encode(prompt, family, text_len)
+        if len(self._cache) >= 32:
+            self._cache.pop(next(iter(self._cache)))
+        self._cache[key] = out
+        return out
+
+    def _encode(self, prompt: str, family: str,
+                text_len: int) -> dict[str, Optional[np.ndarray]]:
         kinds = {s: v[0] for s, v in self.encoders.items()}
         t5_slots = [s for s in _SLOTS if kinds.get(s) == "t5"]
         clip_slots = [s for s in _SLOTS if kinds.get(s) == "clip"]
@@ -109,7 +123,8 @@ class PromptEncoder:
             # sd3: concat CLIP-L/G seq on channels, zero-pad to the T5
             # width, then concat with T5 along the sequence
             # (pipeline_stable_diffusion_3 encode_prompt)
-            seqs, pools = zip(*(self._run_clip(s) for s in clip_slots))
+            seqs, pools = zip(*(self._run_clip(s, prompt)
+                                for s in clip_slots))
             clip_seq = np.concatenate(seqs, axis=-1)
             t5_seq = self._run_t5(t5_slots[0], prompt, text_len)
             d = t5_seq.shape[-1]
@@ -126,9 +141,9 @@ class PromptEncoder:
             text = self._run_t5(t5_slots[0], prompt, text_len)
             pooled = None
             if clip_slots:
-                _, pooled = self._run_clip(clip_slots[0])
+                _, pooled = self._run_clip(clip_slots[0], prompt)
             return {"text_states": text, "pooled": pooled}
         if clip_slots:
-            seq, pooled = self._run_clip(clip_slots[0])
+            seq, pooled = self._run_clip(clip_slots[0], prompt)
             return {"text_states": seq, "pooled": pooled}
         raise RuntimeError("no loadable text encoder")
