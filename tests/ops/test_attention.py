@@ -542,3 +542,73 @@ def test_per_head_scales_prefill_paths_agree():
                                          v_scale=v_sc)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_decode_pallas_under_shard_map_tp2():
+    """The exact shard_map contract worker/model_runner._meshed_attn
+    uses for tp>1: q heads + KV heads shard over "tp", tables/lens
+    replicate; the Pallas decode kernel (interpret tier on CPU) runs
+    per shard and the stitched output must match the unsharded XLA
+    oracle. This is the spec that keeps the DMA-pipelined kernel on the
+    serving path in sharded topologies."""
+    from jax.sharding import PartitionSpec as P
+
+    from vllm_omni_tpu.parallel import make_mesh
+
+    case = PagedCase(31, b=4, hkv=2, g=4, d=128, page_size=8, n_pages=32,
+                     ctx_lens=(9, 24, 17, 2))
+    scale = case.d ** -0.5
+    ctx = jnp.asarray(case.ctx)
+    ref = paged_attention_decode_xla(case.q, case.k_pages, case.v_pages,
+                                     case.block_tables, ctx, scale)
+    mesh = make_mesh((1, 2), ("dp", "tp"))
+
+    def local(q, kp, vp, bt, lens):
+        return paged_attention_decode_pallas(q, kp, vp, bt, lens,
+                                             scale=scale, pages_per_blk=2,
+                                             interpret=True)
+
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(None, "tp", None), P(None, "tp", None, None),
+                  P(None, "tp", None, None), P(), P()),
+        out_specs=P(None, "tp", None), check_vma=False)
+    out = fn(case.q, case.k_pages, case.v_pages, case.block_tables, ctx)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_write_kv_pallas_under_shard_map_tp2():
+    """In-place Pallas page writer under the tp shard_map spec: each
+    shard RMWs its own KV-head slice; the stitched cache must equal the
+    unsharded XLA scatter."""
+    from jax.sharding import PartitionSpec as P
+
+    from vllm_omni_tpu.ops.attention import (write_kv_pages_pallas,
+                                             write_kv_pages_xla)
+    from vllm_omni_tpu.parallel import make_mesh
+
+    hkv, ps, d, n_pages, t = 4, 8, 128, 16, 6
+    ks = jax.random.split(jax.random.PRNGKey(3), 4)
+    kp = jax.random.normal(ks[0], (n_pages, hkv, ps, d), jnp.float32)
+    vp = jax.random.normal(ks[1], (n_pages, hkv, ps, d), jnp.float32)
+    k_new = jax.random.normal(ks[2], (t, hkv, d), jnp.float32)
+    v_new = jax.random.normal(ks[3], (t, hkv, d), jnp.float32)
+    slots = jnp.asarray([9, 17, 33, 42, 57, 88], jnp.int32)
+    ref_k, ref_v = write_kv_pages_xla(kp, vp, k_new, v_new, slots)
+    mesh = make_mesh((1, 2), ("dp", "tp"))
+
+    def local(kp, vp, kn, vn, s):
+        return write_kv_pages_pallas(kp, vp, kn, vn, s, interpret=True)
+
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(None, "tp", None, None), P(None, "tp", None, None),
+                  P(None, "tp", None), P(None, "tp", None), P()),
+        out_specs=(P(None, "tp", None, None), P(None, "tp", None, None)),
+        check_vma=False)
+    out_k, out_v = fn(kp, vp, k_new, v_new, slots)
+    np.testing.assert_allclose(np.asarray(out_k), np.asarray(ref_k),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out_v), np.asarray(ref_v),
+                               rtol=1e-6, atol=1e-6)

@@ -123,6 +123,8 @@ class ModelRunner:
         # purpose: read at trace time, baked as tiny jit constants.
         self.kv_scales: Optional[tuple] = None
         self._fn_cache: dict[tuple, Any] = {}
+        # shard_map-wrapped attention ops per (decode, with_scales)
+        self._meshed_attn_cache: dict[tuple, Any] = {}
         # device-resident decode-chain inputs (see execute_decode_multi)
         self._decode_cache: Optional[dict] = None
         self.decode_cache_hits = 0
@@ -188,14 +190,80 @@ class ModelRunner:
 
     # -- traced step bodies -------------------------------------------------
     def _use_pallas_decode(self) -> bool:
-        if self.mesh is not None and self.mesh.shape.get("tp", 1) > 1:
-            return False  # shard_map-wrapped pallas decode lands later
         # int8 KV dequants in-kernel; the physical page layout must be
         # 128-lane aligned — d % 128 == 0 directly, d ∈ {32, 64} via the
         # lane-packed layout (kv_physical_shape; needs a page_size of
-        # at least min_page_size_for_pallas)
+        # at least min_page_size_for_pallas). Meshed topologies reach
+        # the same kernels through _meshed_attn (shard_map over "tp").
         return self.platform.supports_pallas and \
             self.kv_pages[0][0].shape[-1] % 128 == 0
+
+    def _meshed_attn(self, decode: bool) -> Any:
+        """shard_map-wrapped (quantize → page write → paged attention)
+        over the stage mesh: q heads and KV heads shard on "tp"
+        (kv sharding P(None, "tp", ...) — _alloc_kv), block tables /
+        context lens replicate. Per shard every op sees an unsharded
+        local cache, so the in-place Pallas page writer and the
+        DMA-pipelined decode kernel run unchanged in EVERY topology —
+        under plain GSPMD a pallas_call would force a gather of the
+        sharded cache (the round-3 reason tp>1 fell back to XLA
+        attention). The per-head dequant scales ride as explicit args
+        sharded on "tp" (a closed-over constant would arrive
+        full-length inside the shard)."""
+        with_scales = self.kv_scales is not None
+        key = (decode, with_scales)
+        fn = self._meshed_attn_cache.get(key)
+        if fn is not None:
+            return fn
+        use_pallas_attn = self._use_pallas_decode()
+        scale = self.scale
+        kv_quant = self.kv_quant
+
+        def local(q, kp, vp, k_new, v_new, slots, bt, kv_lens,
+                  *rest):
+            if decode:
+                sc = rest
+            else:
+                q_start, sc = rest[0], rest[1:]
+            k_sc, v_sc = sc if sc else (None, None)
+            kq, vq = quantize_kv(k_new, v_new, kv_quant, k_sc, v_sc)
+            kp, vp = write_kv_pages(kp, vp, kq, vq, slots,
+                                    pallas_ok=True)
+            if decode:
+                if use_pallas_attn:
+                    o = paged_attention_decode_pallas(
+                        q, kp, vp, bt, kv_lens, scale=scale,
+                        k_scale=k_sc, v_scale=v_sc)
+                else:
+                    o = paged_attention_decode_xla(
+                        q, kp, vp, bt, kv_lens, scale,
+                        k_scale=k_sc, v_scale=v_sc)
+            elif use_pallas_attn:
+                o = paged_attention_prefill_pallas(
+                    q, kp, vp, bt, q_start, kv_lens, scale=scale,
+                    k_scale=k_sc, v_scale=v_sc)
+            else:
+                o = paged_attention_prefill_xla(
+                    q, kp, vp, bt, q_start, kv_lens, scale,
+                    k_scale=k_sc, v_scale=v_sc)
+            return o, kp, vp
+
+        kv_spec = P(None, "tp", None, None)
+        q_spec = P(None, "tp", None) if decode \
+            else P(None, None, "tp", None)
+        new_spec = P(None, "tp", None)
+        in_specs = [q_spec, kv_spec, kv_spec, new_spec, new_spec,
+                    P(), P(), P()]
+        if not decode:
+            in_specs += [P()]
+        if with_scales:
+            in_specs += [P("tp"), P("tp")]
+        fn = jax.shard_map(local, mesh=self.mesh,
+                           in_specs=tuple(in_specs),
+                           out_specs=(q_spec, kv_spec, kv_spec),
+                           check_vma=False)
+        self._meshed_attn_cache[key] = fn
+        return fn
 
     def _forward(self, params, kv_pages, token_ids, positions, block_tables,
                  q_start, kv_lens, slot_ids, *, decode: bool,
@@ -225,9 +293,24 @@ class ModelRunner:
                                self.cfg.head_dim)
             v_flat = v.reshape(b * t, self.cfg.num_kv_heads,
                                self.cfg.head_dim)
+            if self.mesh is not None:
+                q_in = q.reshape(b, self.cfg.num_heads,
+                                 self.cfg.head_dim) if decode else q
+                args = [q_in, kp, vp, k_flat, v_flat,
+                        slot_ids.reshape(-1), block_tables, kv_lens]
+                if not decode:
+                    args += [q_start]
+                if k_sc is not None:
+                    args += [k_sc, v_sc]
+                o, kp, vp = self._meshed_attn(decode)(*args)
+                kv_list[i] = (kp, vp)
+                if decode:
+                    return o.reshape(b, 1, self.cfg.num_heads,
+                                     self.cfg.head_dim)
+                return o
             kq, vq = quantize_kv(k_flat, v_flat, self.kv_quant, k_sc, v_sc)
             kp, vp = write_kv_pages(kp, vp, kq, vq, slot_ids.reshape(-1),
-                                    pallas_ok=self.mesh is None)
+                                    pallas_ok=True)
             kv_list[i] = (kp, vp)
             if decode:
                 q2 = q.reshape(b, self.cfg.num_heads, self.cfg.head_dim)
