@@ -87,3 +87,36 @@ def test_final_marker_with_empty_remainder():
     out = run(make_pipeline(True, chunk_frames=5), list(range(1, 9)))
     assert out.finished
     assert out.outputs[0].hidden_states.shape == (10, 32)
+
+
+def test_streamed_chunk_outputs_before_finish():
+    """The chunked consumer must EMIT each chunk's product mid-flight
+    (reference async_chunk_design.md:38-50 — audio chunks stream in
+    deltas; this is what TTFP measures). The first streamed chunk must
+    arrive while the producer is still decoding, and the streamed
+    chunks concatenated must equal the final output."""
+    import numpy as np
+
+    runner = make_pipeline(True, chunk_frames=4)
+    sp = SamplingParams(max_tokens=10, temperature=0.0, ignore_eos=True)
+    streamed = []
+    producer_busy_at_first_stream = []
+    runner.on_stream = lambda out: (
+        streamed.append(out.outputs[0].hidden_states),
+        producer_busy_at_first_stream.append(
+            runner.engines[0].has_unfinished())
+        if len(streamed) == 1 else None)
+    runner.submit(list(range(1, 9)), sp, "req0", modality="audio")
+    while runner.has_unfinished():
+        runner.step()
+    final = runner._active["req0"].final_output
+    assert final is not None
+    assert streamed, "no mid-flight chunk outputs were streamed"
+    assert producer_busy_at_first_stream[0], \
+        "first chunk streamed only after the producer finished"
+    got = np.concatenate([s for s in streamed], axis=0)
+    want = final.outputs[0].hidden_states
+    # streamed chunks cover the head of the final product; the final
+    # chunk may only arrive with the finished output
+    np.testing.assert_allclose(got, want[:got.shape[0]], rtol=1e-5,
+                               atol=1e-5)

@@ -759,6 +759,16 @@ class EngineCore:
                     outputs.append(self._make_output(req, finished=True))
                     continue
                 if req.status == RequestStatus.WAITING_FOR_CHUNK:
+                    # stream the chunk's product (hidden states = audio
+                    # for code2wav-role stages) as a mid-flight output:
+                    # the pipeline's first perceivable output (TTFP)
+                    # leaves as soon as the first chunk is decoded
+                    # (reference async_chunk_design.md:38-50 — audio
+                    # chunks in deltas, 6459→523 ms TTFP)
+                    if rid_hidden is not None:
+                        outputs.append(self._make_output(
+                            req, finished=False,
+                            chunk_hidden=rid_hidden))
                     continue  # resumable: wait for more input
                 # sample the first output token from the prefill logits
                 token = result.token_ids[i]
@@ -815,7 +825,8 @@ class EngineCore:
         return True
 
     # -- outputs ------------------------------------------------------------
-    def _make_output(self, req: Request, finished: bool) -> RequestOutput:
+    def _make_output(self, req: Request, finished: bool,
+                     chunk_hidden=None) -> RequestOutput:
         if finished and "code_predictor" in self.aux:
             self._apply_code_predictor(req)
         if finished and "fish" in self.aux:
@@ -841,6 +852,13 @@ class EngineCore:
             hs = req.additional_information["hidden_states"]
             comp.hidden_states = np.concatenate(
                 [np.atleast_2d(h) for h in hs], axis=0)
+        elif chunk_hidden is not None:
+            # mid-flight streamed chunk: ONLY the new chunk's product
+            # (receivers append deltas; the finished output still
+            # carries the full concatenation)
+            import numpy as np
+
+            comp.hidden_states = np.atleast_2d(chunk_hidden)
         return RequestOutput(
             request_id=req.request_id,
             prompt_token_ids=list(req.prompt_token_ids),
