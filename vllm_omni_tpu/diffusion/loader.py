@@ -259,6 +259,10 @@ REAL_TRANSFORMER_CLASSES = {
     "NextStepModel": "nextstep",
     "NextStepTransformer2DModel": "nextstep",
     "GlmImageTransformer2DModel": "glm_image",
+    # HF-layout (not a diffusers model_index dir): dispatched by
+    # hunyuan_image3.is_hunyuan_image3_dir, listed here so the
+    # real-family inventory is complete
+    "HunyuanImage3ForCausalLM": "hunyuan_image3",
 }
 
 

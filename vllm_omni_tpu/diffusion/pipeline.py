@@ -95,7 +95,31 @@ class DiffusionPipeline:
         self.family_cfg = None
         from vllm_omni_tpu.diffusion.loader import is_diffusers_pipeline
 
-        if is_diffusers_pipeline(config.model):
+        from vllm_omni_tpu.diffusion.hunyuan_image3 import (
+            is_hunyuan_image3_dir)
+
+        if is_hunyuan_image3_dir(config.model):
+            # HF-layout unified AR+diffusion checkpoint (config.json at
+            # the root, VAE config embedded) — not a diffusers
+            # model_index pipeline (reference pipeline_hunyuan_image3)
+            from vllm_omni_tpu.diffusion.hunyuan_image3 import (
+                load_hunyuan_image3)
+
+            cfg_h, params_h = load_hunyuan_image3(config.model,
+                                                  self.dtype)
+            self.family = "hunyuan_image3"
+            self.family_cfg = cfg_h
+            self.dit_params = params_h
+            config.vae_latent_channels = cfg_h.vae_latent_channels
+            config.vae_scale_factor = cfg_h.vae_downsample
+            if config.cache.enabled:
+                logger.warning("cache accel not wired for "
+                               "hunyuan_image3; disabling")
+                config.cache.backend = "none"
+            if config.offload == "layerwise":
+                raise ValueError("layerwise offload not wired for "
+                                 "hunyuan_image3")
+        elif is_diffusers_pipeline(config.model):
             from vllm_omni_tpu.diffusion.loader import (
                 load_diffusers_pipeline)
 
@@ -239,6 +263,9 @@ class DiffusionPipeline:
             elif self.family == "omnivoice":
                 from vllm_omni_tpu.diffusion.omnivoice import (
                     omnivoice_param_shardings as _shardings)
+            elif self.family == "hunyuan_image3":
+                from vllm_omni_tpu.diffusion.hunyuan_image3 import (
+                    hi3_param_shardings as _shardings)
             else:
                 from vllm_omni_tpu.diffusion.dit import (
                     dit_param_shardings as _shardings)
@@ -267,6 +294,23 @@ class DiffusionPipeline:
             self._runner = NextStepRunner(self.family_cfg,
                                           self.dit_params,
                                           mesh=self.mesh)
+        elif self.family == "hunyuan_image3":
+            from vllm_omni_tpu.diffusion.hunyuan_image3 import (
+                HunyuanImage3Runner)
+
+            self._runner = HunyuanImage3Runner(
+                self.family_cfg, self.dit_params,
+                num_train_timesteps=config.num_train_timesteps,
+                flow_shift=config.flow_shift, mesh=self.mesh)
+            try:
+                from transformers import AutoTokenizer
+
+                self._runner.tokenizer = AutoTokenizer.from_pretrained(
+                    config.model)
+            except Exception as e:  # noqa: BLE001 — HF raises broadly
+                logger.warning(
+                    "hunyuan_image3: tokenizer not loadable (%s) — "
+                    "prompts hash into the vocab (dummy tier)", e)
         # real text towers from the pipeline's text_encoder*/ subfolders
         # (reference: each pipeline's encode_prompt runs the checkpoint's
         # own encoders, e.g. pipeline_flux.py CLIP+T5). Families whose
@@ -283,7 +327,7 @@ class DiffusionPipeline:
                 self.prompt_encoder = pe
                 logger.info("prompt encoder: %s",
                             {s: v[0] for s, v in pe.encoders.items()})
-            else:
+            elif self._runner is None:
                 logger.warning(
                     "no loadable text encoder in %s — prompts fall back "
                     "to a HASH embedding unless the upstream stage "

@@ -40,7 +40,10 @@ class PromptEncoder:
         self.encoders: dict[str, tuple] = {}
         self.tokenizers: dict[str, Any] = {}
         self._cache: dict[tuple, dict] = {}
-        index = read_model_index(path)
+        try:
+            index = read_model_index(path)
+        except (OSError, ValueError):  # HF-layout dir (no model_index)
+            index = {}
         for slot in _SLOTS:
             if not isinstance(index.get(slot), (list, tuple)):
                 continue

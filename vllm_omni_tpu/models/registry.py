@@ -239,8 +239,12 @@ AR_FAMILIES: dict[str, FamilySpec] = {f.name: f for f in [
         diffusers_archs=("HunyuanImage3Transformer2DModel",),
         notes="t2i graph of the reference's t2t/t2i/i2t/it2i variants. "
               "REAL AR backbone: HunYuanMoEV1 (per-head qk norms, "
-              "renormed softmax top-k, ungated shared MLP) loads via "
-              "the shared decoder with HF golden-logit parity."),
+              "renormed softmax top-k, shared MLP) loads via the "
+              "shared decoder with HF golden-logit parity. REAL "
+              "unified t2i transformer: diffusion/hunyuan_image3.py "
+              "(UNet patch embed, centered 2D rope, text-KV-cached "
+              "denoise loop) with torch-oracle parity; the conv3d VAE "
+              "decode is the remaining gap."),
 ]}
 
 
