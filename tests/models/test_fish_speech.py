@@ -312,3 +312,84 @@ def test_engine_fish_multistep_chains(ckpt_dir):
     assert all(SEM_LO <= t <= SEM_HI or t == IM_END for t in toks)
     # chains ran multi-step: fewer forward passes than tokens
     assert engine.runner.forward_passes < len(toks) + 4
+
+
+def test_in_loop_conditioning_per_step_parity(ckpt_dir):
+    """The engine's decode chain must reproduce the reference per-step
+    loop EXACTLY (talker_mtp, fish_speech_slow_ar.py:646): at step t
+    the fast AR runs on (hidden_{t-1}, token_t) and the slow AR's input
+    embedding becomes (embed + sum_q codebook_embed(code_q +
+    q*cb_size)) / sqrt(Q+1). Oracle = full-recompute torch loop with
+    the same greedy fast AR and semantic logit mask, compared over >=4
+    steps (tokens AND streamed codec columns).
+
+    CPU tier only: random-weight greedy argmax over 64 near-tied logits
+    flips under TPU accumulation order (verified: the TPU chain is
+    self-consistent — multi_step 1 and 2 produce identical sequences —
+    it just resolves ties differently from the torch CPU oracle)."""
+    import torch.nn.functional as F  # noqa: F401
+
+    from vllm_omni_tpu.config.engine import EngineConfig
+    from vllm_omni_tpu.core.sampling_params import SamplingParams
+    from vllm_omni_tpu.engine.core import EngineCore
+
+    if jax.devices()[0].platform != "cpu":
+        pytest.skip("exact-argmax oracle parity is a CPU-tier test")
+
+    sd = _tiny_state_dict()
+    prompt = list(range(10, 18))
+    steps = 5
+
+    # ---- torch oracle: per-step loop with in-loop conditioning ----
+    emb_t = sd["text_model.model.embeddings.weight"].float()
+    cb_t = sd["audio_decoder.codebook_embeddings.weight"].float()
+    mask_row = torch.full((VOCAB,), -1e30)
+    mask_row[SEM_LO:SEM_HI + 1] = 0.0
+    mask_row[IM_END] = 0.0
+    norm = 1.0 / math.sqrt(NUM_CB + 1)
+    offsets = torch.arange(NUM_CB) * FAST_VOCAB
+
+    def slow_step(embeds):
+        x = _oracle_tower(sd, "text_model.model", embeds[None], N_LAYER,
+                          N_HEAD, N_KV, HEAD_DIM, qk_norm=True)[0]
+        # the model's output hidden (and thus hidden_{t-1} fed to the
+        # fast AR) is POST final-norm — reference Qwen3Model.forward
+        h_last = _rms(x[-1:], sd["text_model.model.norm.weight"])[0]
+        logits = h_last @ emb_t.T
+        return h_last, int((logits + mask_row).argmax())
+
+    embeds = emb_t[torch.tensor(prompt)]
+    h, tok = slow_step(embeds)
+    want_tokens, want_codes = [tok], []
+    for _ in range(steps - 1):
+        codes = _oracle_fast_codes(sd, h.numpy()[None],
+                                   np.asarray([tok - SEM_LO]))[0]
+        want_codes.append(codes)
+        cbsum = cb_t[torch.from_numpy(codes) + offsets].sum(0)
+        step_emb = (emb_t[tok] + cbsum) * norm
+        embeds = torch.cat([embeds, step_emb[None]], dim=0)
+        h, tok = slow_step(embeds)
+        want_tokens.append(tok)
+
+    # ---- engine ----
+    config = EngineConfig.from_kwargs(
+        model=ckpt_dir, dtype="float32", max_model_len=128,
+        num_pages=32, page_size=16, max_num_seqs=2,
+        max_num_batched_tokens=64, multi_step=2)
+    engine = EngineCore(config)
+    assert engine.runner.step_conditioner is not None
+    sp = SamplingParams(max_tokens=steps, temperature=0.0,
+                        ignore_eos=True)
+    engine.add_request(prompt, sp, request_id="c1")
+    out = engine.run_to_completion()[0]
+    got_tokens = out.outputs[0].token_ids
+    assert got_tokens == want_tokens, (got_tokens, want_tokens)
+    codec = out.additional_information.get("codec_codes")
+    assert codec is not None
+    got = np.asarray(codec)  # [Q, T]
+    want = np.stack(want_codes).T  # oracle columns for fed tokens
+    # the final sampled token is fed on the step that samples the next
+    # one; with max_tokens met its column comes from the finish hook —
+    # identical math (greedy), so all columns must match
+    n = min(got.shape[1], want.shape[1])
+    np.testing.assert_array_equal(got[:, :n], want[:, :n])

@@ -17,6 +17,7 @@ from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from vllm_omni_tpu.config.engine import EngineConfig
 from vllm_omni_tpu.core.outputs import CompletionOutput, RequestOutput
@@ -67,6 +68,8 @@ class EngineCore:
             self.hf_config, dict) else {}
         self.runner = ModelRunner(config, self.decoder_cfg, params,
                                   mesh=mesh)
+        if "fish" in self.aux:
+            self._install_fish_conditioner()
         self.scheduler = Scheduler(config.scheduler, config.cache,
                                    num_pages=self.runner.num_pages)
         self.eos_token_ids = self._resolve_eos()
@@ -364,6 +367,8 @@ class EngineCore:
         if sc.spec_gamma <= 0 or self.scheduler.waiting or \
                 not self.scheduler.running:
             return False
+        if self.runner.step_conditioner is not None:
+            return False  # spec verify bypasses in-loop conditioning
         for r in self.scheduler.running:
             p = r.sampling_params
             if p.temperature != 0.0 or p.return_hidden_states or \
@@ -540,6 +545,50 @@ class EngineCore:
         flat = codes.reshape(f * mcfg.group_size, mcfg.audio_channels)
         req.additional_information["codec_codes"] =             flat.T.astype(np.int64).tolist()
 
+    def _install_fish_conditioner(self) -> None:
+        """In-loop slow-AR conditioning (reference talker_mtp,
+        fish_speech_slow_ar.py:646): at decode step t the fast AR runs
+        on (hidden_{t-1}, token_t) INSIDE the chained scan; the slow
+        AR's input embedding for a semantic token becomes
+        ``(embed + Σ_q codebook_embed(code_q + q·cb_size)) /
+        sqrt(Q+1)`` and the residual codes stream out per step.
+        Codes are greedy in-loop (the reference samples at temp 0.8 —
+        determinism is chosen here; chain-seeded sampling is a later
+        knob)."""
+        from vllm_omni_tpu.models.fish_speech import fast_ar_predict
+
+        fast_cfg, fast_params = self.aux["fish"]["fast"]
+        special = self.aux["fish"]["special"]
+        cb = self.aux["fish"].get("codebook_embeddings")
+        if cb is None:
+            logger.warning("fish: no codebook_embeddings — in-loop "
+                           "conditioning disabled (finish-hook only)")
+            return
+        lo = special["semantic_start_token_id"]
+        hi = special["semantic_end_token_id"]
+        q = fast_cfg.num_codebooks
+        cb_size = int(cb.shape[0]) // q
+        norm = 1.0 / float(np.sqrt(q + 1))
+        offsets = jnp.arange(q, dtype=jnp.int32) * cb_size
+
+        def fn(tok, emb, ph, ctr):
+            del ctr
+            sem = jnp.clip(tok - lo, 0, fast_cfg.vocab_size - 1)
+            codes = fast_ar_predict(fast_params, fast_cfg,
+                                    ph.astype(emb.dtype), sem,
+                                    key=None)  # [B, Q]
+            idx = jnp.clip(codes, 0, cb_size - 1) + offsets[None]
+            s = jnp.take(cb, idx, axis=0).sum(axis=1)
+            valid = ((tok >= lo) & (tok <= hi))[:, None]
+            new_emb = jnp.where(
+                valid, (emb.astype(jnp.float32) +
+                        s.astype(jnp.float32)) * norm,
+                emb.astype(jnp.float32))
+            out_codes = jnp.where(valid, codes, -1)
+            return new_emb, out_codes
+
+        self.runner.set_step_conditioner(fn, q)
+
     def _apply_fish_fast_ar(self, req: Request) -> None:
         """Fish Speech finish hook: expand the slow AR's semantic tokens
         into all residual codebook codes with the fast AR, vectorized
@@ -558,6 +607,15 @@ class EngineCore:
         special = self.aux["fish"]["special"]
         lo = special["semantic_start_token_id"]
         hi = special["semantic_end_token_id"]
+        n_sem = sum(1 for t in req.output_token_ids if lo <= t <= hi)
+        rows = req.additional_information.get("codec_codes_rows")
+        if rows and len(rows) >= n_sem > 0:
+            # in-loop conditioner already produced every frame's column
+            # (and conditioned the slow AR on it — the reference
+            # behavior); nothing left to expand
+            req.additional_information["codec_codes"] = np.stack(
+                rows[:n_sem]).T.astype(np.int64).tolist()
+            return
         hs = req.additional_information.get("hidden_states")
         if not hs or not req.output_token_ids:
             return
@@ -572,6 +630,16 @@ class EngineCore:
             frame_h.append(all_h[n_prompt_h - 1 + j])
         if not frames:
             return
+        if rows:
+            # streamed columns cover a prefix (max_tokens cutoff left
+            # the final fed-never token without a chain step) — expand
+            # only the remainder and concatenate
+            done = len(rows)
+            frames, frame_h = frames[done:], frame_h[done:]
+            if not frames:
+                req.additional_information["codec_codes"] = np.stack(
+                    rows[:n_sem]).T.astype(np.int64).tolist()
+                return
         f = len(frames)
         b = pick_bucket(f, tuple(2 ** i for i in range(13)))
         codes0 = np.zeros((b,), np.int32)
@@ -593,6 +661,8 @@ class EngineCore:
             self._fish_fns[(b, sampled)] = fn
         key = jax.random.PRNGKey(req.sampling_params.seed or 0)
         codes = np.asarray(fn(fast_params, hid, codes0, key))[:f]
+        if rows:
+            codes = np.concatenate([np.stack(rows), codes], axis=0)
         req.additional_information["codec_codes"] = \
             codes.T.astype(np.int64).tolist()  # [Q, T]
 
@@ -715,6 +785,13 @@ class EngineCore:
                 if h is not None:
                     req.additional_information.setdefault(
                         "hidden_states", []).append(h)
+                cd = step_res.codes.get(req.request_id)
+                if cd is not None and int(cd[0]) >= 0:
+                    # in-loop conditioner: this step FED a semantic
+                    # token; cd holds that frame's full codebook column
+                    req.additional_information.setdefault(
+                        "codec_codes_rows", []).append(
+                        np.asarray(cd, np.int32))
                 fin = self._check_stop(req, token)
             outputs.append(self._make_output(req, finished=fin))
         return outputs
@@ -748,6 +825,13 @@ class EngineCore:
                 if rid_hidden is not None:
                     req.additional_information.setdefault(
                         "hidden_states", []).append(rid_hidden)
+                    if self.runner.step_conditioner is not None:
+                        # hidden of the last prompt position = the
+                        # state that samples the first output token
+                        # (hidden_{t-1} for the conditioner's step 1)
+                        req.additional_information[
+                            "_cond_prev_hidden"] = np.asarray(
+                            rid_hidden)[-1]
                 self.scheduler.complete_prefill(s)
                 if not req.prefill_done:
                     continue  # more chunks to go

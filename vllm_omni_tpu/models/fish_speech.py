@@ -22,13 +22,15 @@ TPU-native design:
   ≤ step exact regardless of the not-yet-filled suffix), mirroring the
   reference's KV-cache-free re-prefill (fast_ar.py:6-9) but as a single
   compiled program instead of 9 eager dispatches;
-* residual expansion runs VECTORIZED over all frames at request finish
-  (the engine's talker-MTP hook pattern) — per-frame codes match the
-  reference's per-step path because code_t depends only on
-  (hidden_{t-1}, token_t). The reference additionally feeds the codebook
-  embedding sum back into the slow AR's next-step input embedding
-  (talker_mtp :646); that in-loop conditioning is the one behavior this
-  engine path does not yet reproduce.
+* in-loop conditioning runs INSIDE the chained decode scan (the
+  engine's step-conditioner surface, worker/model_runner.py
+  set_step_conditioner): at step t the fast AR expands
+  (hidden_{t-1}, token_t) into the frame's codebook column and the slow
+  AR's input embedding becomes (embed + Σ codebook_embed)/√(Q+1) —
+  exactly the reference's talker_mtp :646 behavior, verified per-step
+  against a torch oracle (tests/models/test_fish_speech.py). Columns
+  stream out per frame; a vectorized finish-hook expansion covers only
+  a max_tokens-truncated tail frame.
 """
 
 from __future__ import annotations

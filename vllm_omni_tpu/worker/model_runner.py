@@ -59,6 +59,9 @@ class StepResult:
     # rows whose prompt completed this step)
     logprobs: list[float]
     hidden_states: dict[str, Any] = field(default_factory=dict)
+    # in-loop conditioner outputs: req_id → [G] codec codes produced
+    # alongside this step's token (see set_step_conditioner)
+    codes: dict[str, Any] = field(default_factory=dict)
 
 
 class ModelRunner:
@@ -125,6 +128,9 @@ class ModelRunner:
         self._fn_cache: dict[tuple, Any] = {}
         # shard_map-wrapped attention ops per (decode, with_scales)
         self._meshed_attn_cache: dict[tuple, Any] = {}
+        # in-loop per-step conditioning (dual-AR families): traced
+        # inside the decode scan — see set_step_conditioner
+        self.step_conditioner: Optional[dict] = None
         # device-resident decode-chain inputs (see execute_decode_multi)
         self._decode_cache: Optional[dict] = None
         self.decode_cache_hits = 0
@@ -407,11 +413,35 @@ class ModelRunner:
             out = out + (last_h,)
         return out
 
+    def set_step_conditioner(self, fn, num_groups: int,
+                             aux_builder=None) -> None:
+        """Install an in-loop per-step conditioner for dual-AR families
+        (reference talker_mtp fast path, fish_speech_slow_ar.py:646 /
+        qwen3_tts talker mtp_inputs): inside the decode scan, step t's
+        input embedding is rewritten by ``fn(aux, tok, emb,
+        prev_hidden, ctr) → (new_emb [B, H], codes [B, G])`` where
+        prev_hidden is the hidden state that SAMPLED tok
+        (hidden_{t-1}). The codes ride out of the chain as per-step
+        outputs (StepResult.codes) — this is what lets residual
+        codebooks stream per frame AND condition the slow AR exactly
+        like the reference. fn must be traceable (it runs inside the
+        jitted chain). aux_builder(reqs, b) → dict of np arrays with a
+        leading batch dim: per-request conditioning data (e.g. a
+        precomputed text-hidden queue) passed to fn as traced args;
+        None → fn is called without the aux argument."""
+        self.step_conditioner = {"fn": fn, "groups": num_groups,
+                                 "aux_builder": aux_builder}
+        self._fn_cache = {k: v for k, v in self._fn_cache.items()
+                          if k[0] != "decode_multi"}
+        self._decode_cache = None
+
     def _decode_multi_body(self, params, kv_pages, state, bt, f_sampling,
                            i_sampling, out_tokens, logit_bias,
-                           prompt_tokens, *, k: int,
+                           prompt_tokens, prev_hidden=None,
+                           cond_aux=None, *, k: int,
                            use_penalties: bool, return_hidden: bool,
-                           greedy_only: bool, use_bias: bool = False):
+                           greedy_only: bool, use_bias: bool = False,
+                           use_cond: bool = False):
         """K chained decode steps in one program — the TPU serving hot
         loop. Sampled tokens feed the next step on device; the host syncs
         once per K tokens (amortizes dispatch/transfer latency K×, the
@@ -435,7 +465,7 @@ class ModelRunner:
             (b,), jnp.int32)
 
         def one_step(carry, _):
-            kv, tok, pos, ctr, counts = carry
+            kv, tok, pos, ctr, counts, ph = carry
             kv_lens = pos + 1
             page = bt[rows, pos // self.page_size]
             slot = page * self.page_size + pos % self.page_size
@@ -446,9 +476,20 @@ class ModelRunner:
                     (pos + delta)[:, None, None], (b, 3, 1))
             else:
                 rope_pos = pos[:, None]
+            codes = None
+            input_embeds = None
+            if use_cond:
+                emb = jnp.take(params["embed"], tok, axis=0)
+                if cond_aux is not None:
+                    new_emb, codes = self.step_conditioner["fn"](
+                        cond_aux, tok, emb, ph, ctr)
+                else:
+                    new_emb, codes = self.step_conditioner["fn"](
+                        tok, emb, ph, ctr)
+                input_embeds = new_emb.astype(emb.dtype)[:, None]
             hidden, kv = self._forward(
                 params, kv, tok[:, None], rope_pos, bt, None, kv_lens,
-                slot[:, None], decode=True)
+                slot[:, None], decode=True, input_embeds=input_embeds)
             last_h = hidden[:, 0]
             logits = compute_logits(params, self.cfg, last_h)
             if use_bias:
@@ -458,20 +499,29 @@ class ModelRunner:
                                          prompt_counts=prompt_counts)
             if use_penalties:
                 counts = counts.at[rows, ids].add(1)
-            out = (ids, lp, last_h) if return_hidden else (ids, lp)
-            return (kv, ids, pos + 1, ctr + 1, counts), out
+            out = (ids, lp)
+            if return_hidden:
+                out = out + (last_h,)
+            if use_cond:
+                out = out + (codes,)
+            new_ph = last_h.astype(jnp.float32) if use_cond else ph
+            return (kv, ids, pos + 1, ctr + 1, counts, new_ph), out
 
-        init = (list(kv_pages), state[0], state[1], state[2], counts0)
-        (kv, tok_f, pos_f, ctr_f, _), outs = jax.lax.scan(
+        ph0 = prev_hidden if use_cond else jnp.zeros((), jnp.float32)
+        init = (list(kv_pages), state[0], state[1], state[2], counts0,
+                ph0)
+        (kv, tok_f, pos_f, ctr_f, _, ph_f), outs = jax.lax.scan(
             one_step, init, None, length=k)
         # next-chain state stays ON DEVICE: steady-state decode needs no
         # host→device uploads at all (the engine feeds this straight back)
         next_state = jnp.stack([tok_f, pos_f, ctr_f, delta])
+        ret = list(outs[:2]) + [kv, next_state]
         if return_hidden:
-            ids, lps, hid = outs
-            return ids, lps, kv, next_state, hid  # ids/lps [K, B]
-        ids, lps = outs
-        return ids, lps, kv, next_state
+            ret.append(outs[2])
+        if use_cond:
+            ret.append(outs[-1])  # codes [K, B, G]
+            ret.append(ph_f)
+        return tuple(ret)
 
     # -- KV quant calibration -------------------------------------------------
     def _calibrate_kv_scales(self, token_ids, positions, q_start,
@@ -540,7 +590,8 @@ class ModelRunner:
                     use_penalties=static["use_penalties"],
                     return_hidden=static["return_hidden"],
                     greedy_only=static["greedy_only"],
-                    use_bias=static.get("use_bias", False))
+                    use_bias=static.get("use_bias", False),
+                    use_cond=static.get("use_cond", False))
                 fn = jax.jit(body, donate_argnums=(1,))
             else:
                 body = functools.partial(
@@ -997,12 +1048,39 @@ class ModelRunner:
             bias = np.zeros((1, 1), np.float32)
         prompt_buf = self._prompt_token_buffer(reqs, b) if use_penalties \
             else np.full((1, 1), -1, np.int32)
+        use_cond = self.step_conditioner is not None
+        aux = None
+        if use_cond:
+            if reuse and "ph" in (c or {}):
+                ph = c["ph"]
+                aux = c.get("aux")
+            else:
+                # hidden_{t-1} for each row's pending token: captured at
+                # prefill end (engine stores it) or pulled back at the
+                # previous chain's collect
+                ph = np.zeros((b, self.cfg.hidden_size), np.float32)
+                for i, r in enumerate(reqs):
+                    h = r.additional_information.get("_cond_prev_hidden")
+                    if h is not None:
+                        ph[i] = np.asarray(h, np.float32)
+                ab = self.step_conditioner.get("aux_builder")
+                if ab is not None:
+                    aux = jax.device_put(ab(reqs, b))
+        else:
+            ph = None
         fn = self._get_fn("decode_multi", k=k,
                           use_penalties=use_penalties,
                           return_hidden=return_hidden,
-                          greedy_only=greedy_only, use_bias=use_bias)
-        out = fn(self.params, self.kv_pages, state, bt_arg, f_s, i_s,
-                 out_tokens, bias, prompt_buf)
+                          greedy_only=greedy_only, use_bias=use_bias,
+                          use_cond=use_cond)
+        args = (self.params, self.kv_pages, state, bt_arg, f_s, i_s,
+                out_tokens, bias, prompt_buf)
+        if use_cond:
+            args = args + (ph, aux)
+        out = fn(*args)
+        codes = ph_f = None
+        if use_cond:
+            *out, codes, ph_f = out
         if return_hidden:
             ids, lps, self.kv_pages, next_state, hid = out
         else:
@@ -1020,10 +1098,14 @@ class ModelRunner:
                 "o": out_tokens, "bt": bt_dev, "bt_np": bt,
                 "expect_tokens": [v + k for v in virtual],
             }
+            if use_cond:
+                self._decode_cache["ph"] = ph_f
+                self._decode_cache["aux"] = aux
         else:
             self._decode_cache = None
         return {"ids": ids, "lps": lps, "hid": hid, "k": k, "n": n,
-                "reqs": reqs, "want_lps": want_lps}
+                "reqs": reqs, "want_lps": want_lps, "codes": codes,
+                "ph": ph_f}
 
     def collect_decode_multi(self, handle) -> list[StepResult]:
         """Block on a launch_decode_multi handle and unpack per-step
@@ -1033,6 +1115,14 @@ class ModelRunner:
         lps_np = np.asarray(handle["lps"]) if handle["want_lps"] else None
         hid_np = np.asarray(handle["hid"]) \
             if handle["hid"] is not None else None
+        codes_np = np.asarray(handle["codes"]) \
+            if handle.get("codes") is not None else None
+        if handle.get("ph") is not None:
+            # keep hidden_{t-1} current host-side so the next chain can
+            # rebuild the conditioner carry on a cache miss
+            ph_np = np.asarray(handle["ph"])
+            for i, r in enumerate(reqs):
+                r.additional_information["_cond_prev_hidden"] = ph_np[i]
         results = []
         for step in range(k):
             hs = {}
@@ -1040,12 +1130,16 @@ class ModelRunner:
                 for i, r in enumerate(reqs):
                     if r.sampling_params.return_hidden_states:
                         hs[r.request_id] = hid_np[step, i]
+            cd = {}
+            if codes_np is not None:
+                for i, r in enumerate(reqs):
+                    cd[r.request_id] = codes_np[step, i]
             results.append(StepResult(
                 req_ids=[r.request_id for r in reqs],
                 token_ids=[int(x) for x in ids_np[step, :n]],
                 logprobs=[float(x) for x in lps_np[step, :n]]
                 if lps_np is not None else [0.0] * n,
-                hidden_states=hs))
+                hidden_states=hs, codes=cd))
         return results
 
     def execute_decode_multi(self, reqs: list[Request], k: int,
