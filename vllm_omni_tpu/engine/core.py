@@ -68,8 +68,27 @@ class EngineCore:
             self.hf_config, dict) else {}
         self.runner = ModelRunner(config, self.decoder_cfg, params,
                                   mesh=mesh)
+        kvs = self.hf_config.pop("_kv_scales", None) if isinstance(
+            self.hf_config, dict) else None
+        if kvs is not None and self.runner.kv_quant != "none":
+            # checkpoint-calibrated per-tensor KV scales (ModelOpt FP8)
+            # broadcast per head; presence here suppresses the online
+            # amax calibration (model_runner gates on kv_scales is None)
+            k_sc, v_sc = kvs
+            hkv = self.decoder_cfg.num_kv_heads
+            self.runner.kv_scales = (
+                np.repeat(np.asarray(k_sc, np.float32)[:, None], hkv, 1),
+                np.repeat(np.asarray(v_sc, np.float32)[:, None], hkv, 1))
         if "fish" in self.aux:
             self._install_fish_conditioner()
+        if "qwen3_tts" in self.aux:
+            from vllm_omni_tpu.models.qwen3_tts import (
+                make_talker_conditioner)
+
+            tts = self.aux["qwen3_tts"]
+            fn, groups, aux_builder = make_talker_conditioner(
+                tts["spec"], tts["aux"])
+            self.runner.set_step_conditioner(fn, groups, aux_builder)
         self.scheduler = Scheduler(config.scheduler, config.cache,
                                    num_pages=self.runner.num_pages)
         self.eos_token_ids = self._resolve_eos()
@@ -152,7 +171,6 @@ class EngineCore:
             proj = self.aux["projections"][
                 "text_projection" if which == "text"
                 else "hidden_projection"]
-            import numpy as np
 
             kwargs["prompt_embeds"] = np.asarray(
                 resize_mlp(proj, jnp.asarray(embeds, jnp.float32)))
@@ -196,6 +214,28 @@ class EngineCore:
                     self.decoder_cfg.vocab_size,
                     self.aux["fish"]["special"])
             req.guided_state = FixedLogitMask(self._fish_mask)
+            req.sampling_params = dataclasses.replace(
+                req.sampling_params, return_hidden_states=True)
+        elif "qwen3_tts" in self.aux:
+            # talker: only real codec ids [1, codebook_vocab) + codec
+            # EOS may be sampled (reference _codec_allowed_mask,
+            # qwen3_tts_talker.py:395); hidden capture feeds the
+            # in-loop code predictor
+            import dataclasses
+
+            from vllm_omni_tpu.models.fish_speech import FixedLogitMask
+
+            if not hasattr(self, "_tts_mask"):
+                spec = self.aux["qwen3_tts"]["spec"]
+                row = np.full((self.decoder_cfg.vocab_size,), -1e30,
+                              np.float32)
+                hi = min(spec.codebook_vocab_size,
+                         self.decoder_cfg.vocab_size)
+                row[1:hi] = 0.0
+                if 0 <= spec.codec_eos_token_id < row.shape[0]:
+                    row[spec.codec_eos_token_id] = 0.0
+                self._tts_mask = row
+            req.guided_state = FixedLogitMask(self._tts_mask)
             req.sampling_params = dataclasses.replace(
                 req.sampling_params, return_hidden_states=True)
         self.scheduler.add_request(req)
@@ -265,7 +305,6 @@ class EngineCore:
         calibrated different ones, rescale the blob host-side so local
         dequant is exact. Hetero-TP slicing upstream keeps the Hkv wire
         axis, so per-head scales line up after slicing too."""
-        import numpy as np
 
         local = self.runner.kv_scales
         if sender_scales is None or self.runner.kv_quant == "none":
@@ -419,7 +458,6 @@ class EngineCore:
         code_predictor_forward, qwen3_omni_moe_talker.py:141). All codec
         frames run as ONE batched jit; result lands in
         additional_information["codec_codes"] as [G, T]."""
-        import numpy as np
 
         from vllm_omni_tpu.models.qwen3_omni import code_predictor_generate
         from vllm_omni_tpu.utils import pick_bucket
@@ -477,7 +515,6 @@ class EngineCore:
         positions (reference get_input_embeddings — summed per-channel
         embeddings → non-causal input local transformer →
         speech_group_downcast; models/mimo_audio.py encode_groups)."""
-        import numpy as np
 
         info = kwargs.get("additional_information") or {}
         codes = info.get("audio_codes")
@@ -513,7 +550,6 @@ class EngineCore:
         mimo_audio_llm.py:786 — a patch's codes depend only on the
         backbone hidden that sampled it). Result lands in
         additional_information["codec_codes"] as [C, T_patches*G]."""
-        import numpy as np
 
         from vllm_omni_tpu.models.mimo_audio import local_decode
         from vllm_omni_tpu.utils import pick_bucket
@@ -596,7 +632,6 @@ class EngineCore:
         code_t depends only on (hidden_{t-1}, token_t), so the batched
         expansion reproduces the per-step path's codes). Result:
         additional_information["codec_codes"] [Q, T]."""
-        import numpy as np
 
         from vllm_omni_tpu.models.fish_speech import fast_ar_predict
         from vllm_omni_tpu.utils import pick_bucket
@@ -666,12 +701,53 @@ class EngineCore:
         req.additional_information["codec_codes"] = \
             codes.T.astype(np.int64).tolist()  # [Q, T]
 
+    def _step_code2wav_tok12(self) -> list[RequestOutput]:
+        """Qwen3-TTS code2wav stage: codec columns → 24 kHz waveform
+        through the REAL 12hz tokenizer decoder
+        (models/qwen3_tts_tokenizer.py; reference
+        qwen3_tts_code2wav.py + tokenizer_12hz V2 decoder). Chunked
+        streaming decode (chunk 300, left context 25 — the reference's
+        serving configuration) keeps per-chunk programs bucketed."""
+        t_cfg, t_params = self.aux["code2wav_tok12"]
+        dec = getattr(self, "_tok12_dec", None)
+        if dec is None:
+            from vllm_omni_tpu.models.qwen3_tts_tokenizer import (
+                Tok12Decoder)
+
+            dec = self._tok12_dec = Tok12Decoder(t_cfg, t_params)
+        outputs: list[RequestOutput] = []
+        ready = [r for r in list(self.scheduler.waiting)
+                 if not r.resumable]
+        for req in ready:
+            codes = req.additional_information.get("codec_codes")
+            if codes is not None:
+                arr = np.asarray(codes, np.int32)  # [G, T]
+            else:  # layer-0-only fallback (dummy tier)
+                arr = np.zeros((t_cfg.num_quantizers,
+                                max(len(req.prompt_token_ids), 1)),
+                               np.int32)
+                if req.prompt_token_ids:
+                    arr[0] = np.clip(req.prompt_token_ids, 0,
+                                     t_cfg.codebook_size - 1)
+            g = min(arr.shape[0], t_cfg.num_quantizers)
+            full = np.zeros((1, t_cfg.num_quantizers, arr.shape[1]),
+                            np.int32)
+            full[0, :g] = np.clip(arr[:g], 0, t_cfg.codebook_size - 1)
+            wav = dec.chunked_decode(full)[0]
+            self.scheduler.finish_request(req,
+                                          RequestStatus.FINISHED_STOPPED)
+            out = self._make_output(req, finished=True)
+            out.multimodal_output = {"audio": {
+                "data": wav.astype(np.float32),
+                "sample_rate": t_cfg.output_sample_rate}}
+            outputs.append(out)
+        return outputs
+
     def _step_code2wav(self) -> list[RequestOutput]:
         """code2wav stage: codec codes → waveform, bypassing the
         decoder entirely (reference runs code2wav as a generation-worker
         stage, qwen3_omni_code2wav.py:122; batched decode is the 30%
         E2E win of async_chunk_design.md:51)."""
-        import numpy as np
 
         from vllm_omni_tpu.models.qwen3_omni import code2wav_forward
         from vllm_omni_tpu.utils import pick_bucket
@@ -799,6 +875,8 @@ class EngineCore:
     def step(self) -> list[RequestOutput]:
         if "code2wav" in self.aux:
             return self._step_code2wav()
+        if "code2wav_tok12" in self.aux:
+            return self._step_code2wav_tok12()
         if self._inflight is not None:
             return self._collect_inflight()
         if self._spec_applicable():
@@ -917,6 +995,13 @@ class EngineCore:
             self._apply_fish_fast_ar(req)
         if finished and "mimo" in self.aux:
             self._apply_mimo_local_decode(req)
+        if finished and "qwen3_tts" in self.aux:
+            rows = req.additional_information.get("codec_codes_rows")
+            if rows and "codec_codes" not in req.additional_information:
+                # each decode step fed one codec frame; the in-loop
+                # predictor streamed its full column (talker_mtp)
+                req.additional_information["codec_codes"] = np.stack(
+                    rows).T.astype(np.int64).tolist()  # [G, T]
         text = ""
         if finished and self.tokenizer is not None and \
                 req.sampling_params.detokenize:
@@ -931,7 +1016,6 @@ class EngineCore:
                              zip(req.output_token_ids,
                                  req.output_logprobs)]
         if finished and req.additional_information.get("hidden_states"):
-            import numpy as np
 
             hs = req.additional_information["hidden_states"]
             comp.hidden_states = np.concatenate(
@@ -940,7 +1024,6 @@ class EngineCore:
             # mid-flight streamed chunk: ONLY the new chunk's product
             # (receivers append deltas; the finished output still
             # carries the full concatenation)
-            import numpy as np
 
             comp.hidden_states = np.atleast_2d(chunk_hidden)
         return RequestOutput(

@@ -98,8 +98,17 @@ AR_FAMILIES: dict[str, FamilySpec] = {f.name: f for f in [
         modality="audio",
         stage_config=_cfg("qwen3_tts_tpu.yaml"),
         processors=(f"{_P}.talker2code2wav",),
-        hf_archs=("Qwen3ForCausalLM",),
-        notes="AR talker → streamed (async_chunk) code2wav."),
+        hf_archs=("Qwen3TTSForConditionalGeneration",
+                  "Qwen3ForCausalLM"),
+        notes="REAL checkpoint capability (models/qwen3_tts.py): "
+              "talker backbone + text towers + per-group code "
+              "predictor load real talker.* checkpoints; in-loop "
+              "talker_mtp conditioning via the decode-scan step "
+              "conditioner; CustomVoice/VoiceDesign/Base(x-vector, "
+              "ECAPA speaker encoder) prompt builders; REAL 12hz "
+              "tokenizer V2 decoder (models/qwen3_tts_tokenizer.py) "
+              "as the code2wav stage. ICL voice-clone prompts not yet "
+              "wired."),
     FamilySpec(
         name="mimo_audio",
         reference="vllm_omni/model_executor/models/mimo_audio/ (5,564)",
@@ -313,6 +322,21 @@ DIFFUSERS_ARCH_MAP: dict[str, str] = {
     "MammothModa2Transformer2DModel": "mammoth_moda2",
     # CogView-lineage joint DiT conditioned on AR prior-VQ tokens
     "GlmImageTransformer2DModel": "glm_image",
+}
+
+# pipeline-level `_class_name` VARIANTS served on the same transformer
+# family via reference-image conditioning (extra_args.ref_image /
+# edit_image → Kontext frame-1 / Edit frame-−1 rope ids) or init_image
+# img2img (reference diffusion/registry.py:26-120 variant archs)
+DIFFUSERS_PIPELINE_VARIANTS: dict[str, str] = {
+    "FluxKontextPipeline": "flux",
+    "QwenImageEditPipeline": "qwen_image",
+    "QwenImageEditPlusPipeline": "qwen_image",
+    "QwenImageImg2ImgPipeline": "qwen_image",
+    "FluxImg2ImgPipeline": "flux",
+    "WanImageToVideoPipeline": "wan",
+    "HunyuanVideo15ImageToVideoPipeline": "hunyuan_video",
+    "LTX2ImageToVideoPipeline": "ltx2",
 }
 
 

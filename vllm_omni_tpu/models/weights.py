@@ -57,6 +57,13 @@ _ARCH_FLAGS = {
     "GlmImageForConditionalGeneration": {"sandwich_norm": True,
                                          "glm4_rope": True,
                                          "attention_bias": True},
+    # Qwen2.5-VL TEXT tower (the reference qwen_image pipeline's text
+    # encoder, pipeline_qwen_image.py:418 encode_prompt): qwen2 block
+    # with qkv bias; vision tower (visual.*) is skipped — the serving
+    # graph encodes text prompts only, image conditioning rides the
+    # diffusion stage's latent stream
+    "Qwen2_5_VLForConditionalGeneration": {"attention_bias": True,
+                                           "vl_text": True},
 }
 
 
@@ -192,6 +199,9 @@ def _assign(params: dict, hf_name: str, value: np.ndarray, dtype,
     parts = hf_name.split(".")
     if parts[0] == "model":
         parts = parts[1:]
+    if parts and parts[0] == "language_model":
+        # transformers ≥4.52 VL layout: model.language_model.layers.*
+        parts = parts[1:]
 
     def as_dtype(v):
         return jnp.asarray(v).astype(dtype)
@@ -293,6 +303,8 @@ def load_safetensors_params(path: str, cfg: DecoderConfig,
     for f in _collect_safetensor_files(path):
         with safe_open(f, framework="numpy") as st:
             for name in st.keys():
+                if name.startswith(("visual.", "model.visual.")):
+                    continue  # VL vision tower: not part of this stage
                 arr = st.get_tensor(name)
                 if arr.dtype == np.uint16:  # bf16 stored as raw uint16
                     arr = arr.view(np.uint16)
@@ -357,6 +369,13 @@ def load_model(model_config: ModelConfig,
             return _load_fish_component(model_config, src, dtype)
         if "speech_vocab_size" in probe and "local_dim" in probe:
             return _load_mimo_component(model_config, src, dtype)
+        from vllm_omni_tpu.models.qwen3_tts import is_qwen3_tts_config
+        if is_qwen3_tts_config(probe):
+            return _load_qwen3_tts_component(model_config, src, dtype)
+        if "decoder_config" in probe and (
+                "decode_upsample_rate" in probe or
+                "encoder_config" in probe):
+            return _load_tok12_component(model_config, src, dtype)
     if src == "dummy" or not os.path.isdir(src):
         if src != "dummy":
             raise FileNotFoundError(
@@ -389,8 +408,34 @@ def load_model(model_config: ModelConfig,
         with open(os.path.join(src, "config.json")) as f:
             hf = json.load(f)
         hf.update(model_config.hf_overrides)
+        arch0 = (hf.get("architectures") or
+                 (hf.get("text_config") or {}).get("architectures")
+                 or [""])[0]
+        if isinstance(hf.get("text_config"), dict) and (
+                _ARCH_FLAGS.get(arch0, {}).get("vl_text") or
+                hf.get("model_type") == "qwen2_5_vl"):
+            # VL configs nest the decoder fields under text_config
+            # (and sometimes the architectures list too)
+            hf = {**hf["text_config"], **{
+                k: v for k, v in hf.items() if k != "text_config"}}
+            hf["architectures"] = [
+                "Qwen2_5_VLForConditionalGeneration"]
         cfg = hf_config_to_decoder_config(hf)
         cfg = _apply_quant_flags(cfg, model_config)
+        if _is_modelopt_fp8(hf):
+            # pre-quantized ModelOpt FP8 checkpoint (the reference's
+            # anchor config, quantization/component_config.py:51):
+            # fp8 weights + scales land DIRECTLY on the fp8 serving
+            # path — no dequant/requant round trip
+            params, kv_scales = load_modelopt_fp8_params(src, cfg,
+                                                         dtype)
+            if kv_scales is not None:
+                hf["_kv_scales"] = kv_scales
+            if model_config.fused_qkv:
+                logger.info("fused_qkv skipped: pre-quantized fp8 "
+                            "slots keep the checkpoint's per-tensor "
+                            "scales separate")
+            return cfg, params, hf
         params = load_safetensors_params(src, cfg, dtype)
         if model_config.fused_qkv:
             params = fuse_layer_params(params)
@@ -398,6 +443,114 @@ def load_model(model_config: ModelConfig,
                              model_config.quant_group_size,
                              quantize_lm_head=model_config.quantize_lm_head)
     return cfg, params, hf
+
+
+def _is_modelopt_fp8(hf: dict) -> bool:
+    qc = hf.get("quantization_config") or {}
+    algo = str(qc.get("quant_algo") or qc.get("quant_method") or "")
+    return algo.upper() in ("FP8", "MODELOPT_FP8") or (
+        str(qc.get("quant_method", "")).lower() == "modelopt" and
+        "FP8" in str(qc.get("quant_algo", "")).upper())
+
+
+def load_modelopt_fp8_params(path: str, cfg: DecoderConfig,
+                             dtype=jnp.bfloat16
+                             ) -> tuple[dict, Optional[tuple]]:
+    """Load a ModelOpt-exported FP8 checkpoint: every quantized linear
+    ships ``*.weight`` (float8_e4m3fn, torch [N, K]) plus a per-tensor
+    ``*.weight_scale`` (dequant w = w_q·scale). The fp8 payload is
+    bit-cast through uint8 (numpy has no fp8) and lands as
+    {"w_q" fp8 [K, N], "scale" f32 [N]} — exactly the serving layout
+    decoder.linear dispatches on. Optional per-layer attention
+    ``k_scale``/``v_scale`` return as ([L], [L]) for the KV cache.
+    ``input_scale`` (static activation quant) is ignored — the serving
+    path quantizes activations per-token dynamically, which is at
+    least as accurate."""
+    from safetensors import safe_open
+
+    params: dict = {"layers": [dict() for _ in range(cfg.num_layers)]}
+    scales: dict[str, float] = {}
+    fp8_slots: dict[str, Any] = {}
+    k_sc = np.zeros((cfg.num_layers,), np.float32)
+    v_sc = np.zeros((cfg.num_layers,), np.float32)
+    have_kv = False
+    unmapped: list[str] = []
+    for f in _collect_safetensor_files(path):
+        with safe_open(f, framework="pt") as st:
+            for name in st.keys():
+                t = st.get_tensor(name)
+                if name.endswith(".weight_scale"):
+                    scales[name[:-len(".weight_scale")]] = float(t)
+                    continue
+                if name.endswith(".input_scale"):
+                    continue  # dynamic per-token act quant serves this
+                if name.endswith((".k_scale", ".v_scale")):
+                    parts = name.split(".")
+                    li = int(parts[parts.index("layers") + 1])
+                    (k_sc if name.endswith("k_scale") else v_sc)[li] = \
+                        float(t)
+                    have_kv = True
+                    continue
+                if str(t.dtype) == "torch.float8_e4m3fn":
+                    import torch as _torch
+
+                    # keep raw bytes; bitcast + transpose at assign
+                    fp8_slots[name] = t.view(_torch.uint8).numpy()
+                    continue
+                arr = t.float().numpy()
+                if not _assign(params, name, arr, dtype, cfg):
+                    unmapped.append(name)
+    for name, raw in fp8_slots.items():
+        base = name[:-len(".weight")]
+        scalar = scales.pop(base, None)
+        if scalar is None:
+            unmapped.append(name)
+            continue
+        w_q = jnp.asarray(raw.T).view(jnp.float8_e4m3fn)  # [K, N]
+        slot = _resolve_linear_slot(params, name, cfg)
+        if slot is None:
+            unmapped.append(name)
+            continue
+        slot["w_q"] = w_q
+        slot["scale"] = jnp.full((w_q.shape[1],), scalar, jnp.float32)
+    _finalize_experts(params, cfg)
+    if cfg.tie_word_embeddings:
+        params.pop("lm_head", None)
+    if unmapped:
+        logger.warning("modelopt fp8: unmapped tensors: %s",
+                       unmapped[:10])
+    logger.info("modelopt fp8 checkpoint: %d pre-quantized linears, "
+                "kv scales=%s", len(fp8_slots), have_kv)
+    return params, ((k_sc, v_sc) if have_kv else None)
+
+
+def _resolve_linear_slot(params: dict, weight_name: str,
+                         cfg: DecoderConfig) -> Optional[dict]:
+    """name of a ``*.weight`` linear → its (possibly fresh) slot dict
+    in the param pytree (mirrors the _assign layout for the quantized
+    linear set)."""
+    parts = weight_name.split(".")
+    if parts[0] == "model":
+        parts = parts[1:]
+    if parts[:2] == ["lm_head", "weight"] or \
+            weight_name == "lm_head.weight":
+        return params.setdefault("lm_head", {})
+    if parts[0] != "layers":
+        return None
+    layer = params["layers"][int(parts[1])]
+    rest = parts[2:]
+    if rest[0] == "self_attn" and rest[1] in (
+            "q_proj", "k_proj", "v_proj", "o_proj"):
+        return layer.setdefault(rest[1], {})
+    if rest[0] == "mlp":
+        if rest[1] in ("gate_proj", "up_proj", "down_proj",
+                       "gate_up_proj"):
+            return layer.setdefault(rest[1], {})
+        if rest[1] in ("shared_expert", "shared_mlp") and rest[2] in (
+                "gate_proj", "up_proj", "down_proj"):
+            se = layer.setdefault("shared_expert", {})
+            return se.setdefault(rest[2], {})
+    return None
 
 
 def _load_fish_component(model_config: ModelConfig, src: str, dtype
@@ -422,6 +575,51 @@ def _load_fish_component(model_config: ModelConfig, src: str, dtype
                             "codebook_embeddings":
                                 ck["codebook_embeddings"],
                             "special": ck["special"]}}}
+    return cfg, params, hf
+
+
+def _load_qwen3_tts_component(model_config: ModelConfig, src: str, dtype
+                              ) -> tuple[DecoderConfig, dict, dict]:
+    """Qwen3-TTS talker checkpoint: the talker backbone is this stage's
+    decoder (codec vocab); the code predictor + text towers + special
+    ids ride under hf["_aux"]["qwen3_tts"] for the engine's in-loop
+    step conditioner (reference qwen3_tts_talker.py talker_mtp)."""
+    from vllm_omni_tpu.models.qwen3_tts import load_qwen3_tts_checkpoint
+
+    ck = load_qwen3_tts_checkpoint(src, dtype=dtype)
+    cfg, params = ck["backbone"]
+    cfg = _apply_quant_flags(cfg, model_config)
+    if model_config.fused_qkv:
+        params = fuse_layer_params(params)
+    params = quantize_params(params, model_config.quantization,
+                             model_config.quant_group_size,
+                             quantize_lm_head=model_config.quantize_lm_head)
+    spec = ck["spec"]
+    hf = {"vocab_size": cfg.vocab_size,
+          "eos_token_id": spec.codec_eos_token_id,
+          "_aux": {"qwen3_tts": {"spec": spec, "aux": ck["aux"],
+                                 "backbone_embed": params["embed"]}}}
+    return cfg, params, hf
+
+
+def _load_tok12_component(model_config: ModelConfig, src: str, dtype
+                          ) -> tuple[DecoderConfig, dict, dict]:
+    """Qwen3-TTS 12hz speech-tokenizer checkpoint as a code2wav stage:
+    the real V2 codec decoder (models/qwen3_tts_tokenizer.py) rides
+    under hf["_aux"]["code2wav_tok12"]; the engine bypasses the
+    decoder entirely (same shape as the qwen3_omni code2wav stage)."""
+    del model_config
+    from vllm_omni_tpu.models.qwen3_tts_tokenizer import load_tok12
+
+    t_cfg, t_params = load_tok12(src, dtype=jnp.float32)
+    cfg = DecoderConfig(
+        vocab_size=t_cfg.codebook_size * t_cfg.num_quantizers,
+        hidden_size=max(t_cfg.latent_dim, 8), intermediate_size=8,
+        num_layers=0, num_heads=1, num_kv_heads=1, head_dim=8)
+    params = {"embed": jnp.zeros((8, 8), dtype), "layers": [],
+              "final_norm": jnp.ones((8,), dtype),
+              "lm_head": {"w": jnp.zeros((8, 8), dtype)}}
+    hf = {"_aux": {"code2wav_tok12": (t_cfg, t_params)}}
     return cfg, params, hf
 
 
