@@ -127,8 +127,10 @@ def pipeline_dir(tmp_path_factory):
 # ---------------------------------------------------------------------------
 
 
-def _oracle_rope(cfg, h_tok, w_tok, txt_len):
-    """FluxPosEmbed: plain grid ids, txt ids zero, complex freqs."""
+def _oracle_rope(cfg, h_tok, w_tok, txt_len, ref_hw=None):
+    """FluxPosEmbed: plain grid ids, txt ids zero, complex freqs.
+    ref_hw: Kontext reference grid with frame id 1
+    (pipeline_flux_kontext.py:427)."""
     axes = cfg["axes_dims_rope"]
 
     def rope_params(index, dim):
@@ -137,15 +139,21 @@ def _oracle_rope(cfg, h_tok, w_tok, txt_len):
             torch.arange(0, dim, 2).float() / dim))
         return torch.polar(torch.ones_like(freqs), freqs)
 
-    rows = torch.arange(h_tok).repeat_interleave(w_tok).float()
-    cols = torch.arange(w_tok).repeat(h_tok).float()
-    zeros = torch.zeros(h_tok * w_tok)
-    vid = torch.cat([rope_params(zeros, axes[0]),
-                     rope_params(rows, axes[1]),
-                     rope_params(cols, axes[2])], dim=-1)
+    def grid(h, w, frame):
+        rows = torch.arange(h).repeat_interleave(w).float()
+        cols = torch.arange(w).repeat(h).float()
+        fr = torch.full((h * w,), float(frame))
+        return torch.cat([rope_params(fr, axes[0]),
+                          rope_params(rows, axes[1]),
+                          rope_params(cols, axes[2])], dim=-1)
+
+    vid = grid(h_tok, w_tok, 0)
     zt = torch.zeros(txt_len)
     txt = torch.cat([rope_params(zt, d) for d in axes], dim=-1)
-    return torch.cat([txt, vid], dim=0)
+    parts = [txt, vid]
+    if ref_hw is not None:
+        parts.append(grid(ref_hw[0], ref_hw[1], 1))
+    return torch.cat(parts, dim=0)
 
 
 def _oracle_apply_rope(x, freqs):
@@ -155,7 +163,8 @@ def _oracle_apply_rope(x, freqs):
     return torch.view_as_real(out).reshape(b, t, h, d)
 
 
-def _oracle_forward(sd, cfg, latents_np, txt_np, t_np, pooled_np, g_np):
+def _oracle_forward(sd, cfg, latents_np, txt_np, t_np, pooled_np, g_np,
+                    ref_np=None):
     T = torch.from_numpy
     lat, txt, tt = T(latents_np).float(), T(txt_np).float(), \
         T(t_np).float()
@@ -170,9 +179,19 @@ def _oracle_forward(sd, cfg, latents_np, txt_np, t_np, pooled_np, g_np):
         return x @ sd[f"{name}.weight"].float().T + \
             sd[f"{name}.bias"].float()
 
-    zc = lat.permute(0, 3, 1, 2).view(b, c, h // p, p, w // p, p)
-    img = zc.permute(0, 2, 4, 1, 3, 5).reshape(b, (h // p) * (w // p),
-                                               c * p * p)
+    def pack(z):
+        bb, hh, ww, cc = z.shape
+        zc = z.permute(0, 3, 1, 2).view(bb, cc, hh // p, p, ww // p, p)
+        return zc.permute(0, 2, 4, 1, 3, 5).reshape(
+            bb, (hh // p) * (ww // p), cc * p * p)
+
+    img = pack(lat)
+    n_target = img.shape[1]
+    ref_hw = None
+    if ref_np is not None:
+        ref = T(ref_np).float()
+        ref_hw = (ref.shape[1] // p, ref.shape[2] // p)
+        img = torch.cat([img, pack(ref)], dim=1)
     img = lin(img, "x_embedder")
     txt_h = lin(txt, "context_embedder")
 
@@ -193,7 +212,7 @@ def _oracle_forward(sd, cfg, latents_np, txt_np, t_np, pooled_np, g_np):
         embed(sinusoid(gg), "guidance_embedder") + \
         embed(pooled, "text_embedder")
 
-    fr = _oracle_rope(cfg, h // p, w // p, txt.shape[1])
+    fr = _oracle_rope(cfg, h // p, w // p, txt.shape[1], ref_hw=ref_hw)
 
     def rms(x, wname):
         return x / torch.sqrt((x ** 2).mean(-1, keepdim=True) + eps) \
@@ -267,7 +286,7 @@ def _oracle_forward(sd, cfg, latents_np, txt_np, t_np, pooled_np, g_np):
     fin = lin(st, "norm_out.linear")
     sc, sh = fin[:, :hs], fin[:, hs:]
     out = ada(x_img, sh, sc)
-    out = lin(out, "proj_out")
+    out = lin(out, "proj_out")[:, :n_target]
     oc = cfg["out_channels"] // (p * p)
     out = out.view(b, h // p, w // p, oc, p, p)
     out = out.permute(0, 3, 1, 4, 2, 5).reshape(b, oc, h, w)
@@ -348,3 +367,67 @@ def test_pipeline_end_to_end_with_diffusers_dir(pipeline_dir):
                                 output_type="np"))])[0]
     assert out.finished and out.error is None
     assert out.images.shape == (1, 32, 32, 3)
+
+
+def test_kontext_ref_conditioning_parity(pipeline_dir):
+    """FluxKontext: a reference image's latents append to the image
+    stream with frame-1 rope ids and drop from the prediction
+    (pipeline_flux_kontext.py:653,681 + image_ids[..., 0] = 1 :427).
+    Parity vs the oracle running the same extended stream."""
+    loaded = load_diffusers_pipeline(pipeline_dir, dtype=jnp.float32)
+    cfg, params = loaded["transformer_cfg"], loaded["params"]
+    rng = np.random.default_rng(17)
+    lat = rng.standard_normal((1, 8, 8, 4), dtype=np.float32)
+    ref = rng.standard_normal((1, 12, 8, 4), dtype=np.float32)
+    txt = rng.standard_normal((1, 5, TINY["joint_attention_dim"]),
+                              dtype=np.float32)
+    pooled = rng.standard_normal((1, TINY["pooled_projection_dim"]),
+                                 dtype=np.float32)
+    t = np.asarray([0.4], np.float32)
+    g = np.asarray([3.0], np.float32)
+    ours = np.asarray(flux_forward(
+        params, cfg, jnp.asarray(lat), jnp.asarray(txt), jnp.asarray(t),
+        pooled=jnp.asarray(pooled), guidance=jnp.asarray(g),
+        ref_latents=jnp.asarray(ref)))
+    golden = _oracle_forward(_tiny_state_dict(), TINY, lat, txt, t,
+                             pooled, g, ref_np=ref)
+    assert ours.shape == golden.shape == (1, 8, 8, 4)
+    np.testing.assert_allclose(ours, golden, rtol=3e-4, atol=3e-4)
+    # the reference image must actually influence the prediction
+    base = np.asarray(flux_forward(
+        params, cfg, jnp.asarray(lat), jnp.asarray(txt), jnp.asarray(t),
+        pooled=jnp.asarray(pooled), guidance=jnp.asarray(g)))
+    assert np.abs(ours - base).max() > 1e-4
+
+
+def test_pipeline_end_to_end_kontext_ref_image(pipeline_dir):
+    """Engine e2e with extra_args.ref_image (the /v1/images/edits
+    Kontext path): the reference image is VAE-encoded once
+    (deterministic, posterior mean) and rides every denoise step."""
+    from vllm_omni_tpu.core.request import DiffusionRequest
+    from vllm_omni_tpu.core.sampling_params import DiffusionSamplingParams
+    from vllm_omni_tpu.diffusion.config import DiffusionConfig
+    from vllm_omni_tpu.diffusion.engine import DiffusionEngine
+
+    config = DiffusionConfig(model=pipeline_dir, dtype="float32",
+                             resolution_buckets=((32, 32),),
+                             flow_shift=1.0)
+    eng = DiffusionEngine(config)
+    rng = np.random.default_rng(3)
+    ref = (rng.random((32, 32, 3)) * 255).astype(np.uint8)
+    out = eng.generate([DiffusionRequest(
+        "r0", "make it blue",
+        DiffusionSamplingParams(num_inference_steps=2, height=32,
+                                width=32, guidance_scale=3.5, seed=0,
+                                output_type="np",
+                                extra_args={"ref_image": ref}))])[0]
+    assert out.finished and out.error is None
+    assert out.images.shape == (1, 32, 32, 3)
+    # and the conditioning changed the result vs no-ref
+    out2 = eng.generate([DiffusionRequest(
+        "r1", "make it blue",
+        DiffusionSamplingParams(num_inference_steps=2, height=32,
+                                width=32, guidance_scale=3.5, seed=0,
+                                output_type="np"))])[0]
+    assert np.abs(np.asarray(out.images, np.float32) -
+                  np.asarray(out2.images, np.float32)).max() > 1e-6

@@ -135,7 +135,7 @@ def pipeline_dir(tmp_path_factory):
 # ---------------------------------------------------------------------------
 
 
-def _oracle_rope(cfg, h_tok, w_tok, txt_len):
+def _oracle_rope(cfg, h_tok, w_tok, txt_len, cond_hw=None):
     """QwenEmbedRope(scale_rope=True) via torch.polar, the reference's
     own pos/neg-index construction."""
     out = []
@@ -163,9 +163,26 @@ def _oracle_rope(cfg, h_tok, w_tok, txt_len):
     vid = torch.cat([f_t, f_h, f_w], dim=-1).reshape(h_tok * w_tok, -1)
 
     start = max(h_tok // 2, w_tok // 2)
+    if cond_hw is not None:
+        start = max(start, cond_hw[0] // 2, cond_hw[1] // 2)
     tpos = torch.arange(start, start + txt_len).float()
     txt = torch.cat([rope_params(tpos, d) for d in axes], dim=-1)
-    out = torch.cat([txt, vid], dim=0)
+    parts = [txt, vid]
+    if cond_hw is not None:
+        # Edit condition image: frame position -1
+        # (QwenEmbedRope._compute_condition_freqs neg_freqs[-1])
+        ch, cw = cond_hw
+        ch_pos = torch.arange(-(ch - ch // 2), ch // 2).float()
+        cw_pos = torch.arange(-(cw - cw // 2), cw // 2).float()
+        f_t = rope_params(torch.tensor([-1.0]), axes[0]).view(
+            1, 1, 1, -1).expand(1, ch, cw, -1)
+        f_h = rope_params(ch_pos, axes[1]).view(1, ch, 1, -1).expand(
+            1, ch, cw, -1)
+        f_w = rope_params(cw_pos, axes[2]).view(1, 1, cw, -1).expand(
+            1, ch, cw, -1)
+        parts.append(torch.cat([f_t, f_h, f_w], dim=-1).reshape(
+            ch * cw, -1))
+    out = torch.cat(parts, dim=0)
     return out
 
 
@@ -178,7 +195,7 @@ def _oracle_apply_rope(x, freqs):
     return torch.view_as_real(out).reshape(b, t, h, d)
 
 
-def _oracle_forward(sd, cfg, latents_np, txt_np, t_np):
+def _oracle_forward(sd, cfg, latents_np, txt_np, t_np, cond_np=None):
     """Full transformer forward in torch from the raw state dict."""
     T = torch.from_numpy
     lat, txt, tt = T(latents_np).float(), T(txt_np).float(), T(t_np).float()
@@ -193,10 +210,19 @@ def _oracle_forward(sd, cfg, latents_np, txt_np, t_np):
 
     # diffusers _pack_latents: BCHW view → (0,2,4,1,3,5) permute.
     # Our test tensors are NHWC; go through NCHW to match exactly.
-    zc = lat.permute(0, 3, 1, 2)  # B C H W
-    zc = zc.view(b, c, h // p, p, w // p, p)
-    img = zc.permute(0, 2, 4, 1, 3, 5).reshape(b, (h // p) * (w // p),
-                                               c * p * p)
+    def pack(z):
+        bb, hh, ww, cc = z.shape
+        zz = z.permute(0, 3, 1, 2).view(bb, cc, hh // p, p, ww // p, p)
+        return zz.permute(0, 2, 4, 1, 3, 5).reshape(
+            bb, (hh // p) * (ww // p), cc * p * p)
+
+    img = pack(lat)
+    n_target = img.shape[1]
+    cond_hw = None
+    if cond_np is not None:
+        cond = T(cond_np).float()
+        cond_hw = (cond.shape[1] // p, cond.shape[2] // p)
+        img = torch.cat([img, pack(cond)], dim=1)
     img = lin(img, "img_in")
     tn = txt * (sd["txt_norm.weight"].float() /
                 torch.sqrt((txt ** 2).mean(-1, keepdim=True) + eps))
@@ -215,7 +241,8 @@ def _oracle_forward(sd, cfg, latents_np, txt_np, t_np):
     te = lin(torch.nn.functional.silu(te),
              "time_text_embed.timestep_embedder.linear_2")
 
-    fr = _oracle_rope(cfg, h // p, w // p, txt.shape[1])
+    fr = _oracle_rope(cfg, h // p, w // p, txt.shape[1],
+                      cond_hw=cond_hw)
 
     def rms(x, wname):
         return x / torch.sqrt((x ** 2).mean(-1, keepdim=True) + eps) \
@@ -285,7 +312,7 @@ def _oracle_forward(sd, cfg, latents_np, txt_np, t_np):
     fin = lin(torch.nn.functional.silu(te), "norm_out.linear")
     sc, sh = fin[:, :hs], fin[:, hs:]
     out = ada(x_img, sh, sc)
-    out = lin(out, "proj_out")  # [B, Tv, out*p*p]
+    out = lin(out, "proj_out")[:, :n_target]  # [B, Tv, out*p*p]
     # unpack (inverse of diffusers packing) → NHWC
     oc = cfg["out_channels"]
     out = out.view(b, h // p, w // p, oc, p, p)
@@ -384,3 +411,33 @@ def test_pipeline_end_to_end_with_diffusers_dir(pipeline_dir):
                                 output_type="np"))])[0]
     assert out.finished and out.error is None
     assert out.images.shape == (1, 32, 32, 3)
+
+
+def test_edit_cond_conditioning_parity(pipeline_dir):
+    """QwenImageEdit: a condition image's latents append to the image
+    stream with frame-position -1 rope ids and drop from the
+    prediction (pipeline_qwen_image_edit.py:757 img_shapes +
+    QwenEmbedRope._compute_condition_freqs)."""
+    import numpy as np
+
+    from vllm_omni_tpu.diffusion.qwen_image import qwen_image_forward
+
+    loaded = load_diffusers_pipeline(pipeline_dir, dtype=jnp.float32)
+    cfg, params = loaded["transformer_cfg"], loaded["params"]
+    rng = np.random.default_rng(23)
+    lat = rng.standard_normal((1, 8, 8, 4), dtype=np.float32)
+    cond = rng.standard_normal((1, 12, 8, 4), dtype=np.float32)
+    txt = rng.standard_normal((1, 5, TINY["joint_attention_dim"]),
+                              dtype=np.float32)
+    t = np.asarray([0.35], np.float32)
+    ours = np.asarray(qwen_image_forward(
+        params, cfg, jnp.asarray(lat), jnp.asarray(txt), jnp.asarray(t),
+        cond_latents=jnp.asarray(cond)))
+    golden = _oracle_forward(_tiny_state_dict(), TINY, lat, txt, t,
+                             cond_np=cond)
+    assert ours.shape == golden.shape == lat.shape
+    np.testing.assert_allclose(ours, golden, rtol=3e-4, atol=3e-4)
+    base = np.asarray(qwen_image_forward(
+        params, cfg, jnp.asarray(lat), jnp.asarray(txt),
+        jnp.asarray(t)))
+    assert np.abs(ours - base).max() > 1e-4

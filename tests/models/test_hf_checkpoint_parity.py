@@ -62,6 +62,20 @@ def _save_hf(tmp_path, arch: str):
             moe_intermediate_size=96, decoder_sparse_step=1,
             norm_topk_prob=True, **common)
         model = transformers.Qwen3MoeForCausalLM(cfg)
+    elif arch == "qwen25_vl":
+        # Qwen2.5-VL (qwen_image's text encoder): decoder fields nested
+        # under text_config, vision tower under visual.* (skipped), and
+        # language weights under model.language_model.* in transformers
+        # ≥4.52
+        vis = dict(depth=2, hidden_size=32, intermediate_size=64,
+                   num_heads=2, out_hidden_size=64, patch_size=14,
+                   spatial_merge_size=2, temporal_patch_size=2)
+        cfg = transformers.Qwen2_5_VLConfig(
+            text_config=dict(common, tie_word_embeddings=False,
+                             rope_scaling={"type": "mrope",
+                                           "mrope_section": [2, 3, 3]}),
+            vision_config=vis)
+        model = transformers.Qwen2_5_VLForConditionalGeneration(cfg)
     else:
         raise ValueError(arch)
     model = model.eval().to(torch.float32)
@@ -95,7 +109,7 @@ def _jax_logits(path: str, token_ids: np.ndarray,
 
 
 @pytest.mark.parametrize("arch", ["llama", "qwen2", "qwen3", "qwen3_moe",
-                                  "glm4", "hunyuan_moe"])
+                                  "glm4", "hunyuan_moe", "qwen25_vl"])
 def test_hf_checkpoint_golden_logits(tmp_path, arch):
     path, hf_model = _save_hf(tmp_path, arch)
     rng = np.random.default_rng(0)

@@ -91,10 +91,14 @@ class FluxConfig:
 
 
 def flux_rope(cfg: FluxConfig, h_tokens: int, w_tokens: int,
-              txt_len: int) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Joint-stream cos/sin [Ttxt+Tvis, head_dim//2], stream order
-    [txt; img]. ids = (frame=0, row, col) for image tokens, (0,0,0) for
-    every text token (diffusers FluxPipeline txt_ids=zeros)."""
+              txt_len: int, ref_hw=None
+              ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Joint-stream cos/sin [Ttxt+Tvis(+Tref), head_dim//2], stream
+    order [txt; img; ref]. ids = (frame=0, row, col) for image tokens,
+    (0,0,0) for every text token (diffusers FluxPipeline
+    txt_ids=zeros). ref_hw = (h2, w2) token grid of a Kontext
+    reference image appended with frame coordinate 1
+    (pipeline_flux_kontext.py:427 `image_ids[..., 0] = 1`)."""
     d_t, d_h, d_w = cfg.axes_dims_rope
     assert d_t + d_h + d_w == cfg.attention_head_dim
 
@@ -103,16 +107,22 @@ def flux_rope(cfg: FluxConfig, h_tokens: int, w_tokens: int,
                                    / dim))
         return pos.astype(np.float64)[:, None] * inv[None, :]
 
-    rows = np.repeat(np.arange(h_tokens, dtype=np.float64), w_tokens)
-    cols = np.tile(np.arange(w_tokens, dtype=np.float64), h_tokens)
-    zeros_vis = np.zeros_like(rows)
-    vis = np.concatenate([axis_freqs(zeros_vis, d_t),
-                          axis_freqs(rows, d_h),
-                          axis_freqs(cols, d_w)], axis=-1)
+    def grid(h, w, frame):
+        rows = np.repeat(np.arange(h, dtype=np.float64), w)
+        cols = np.tile(np.arange(w, dtype=np.float64), h)
+        fr = np.full_like(rows, float(frame))
+        return np.concatenate([axis_freqs(fr, d_t),
+                               axis_freqs(rows, d_h),
+                               axis_freqs(cols, d_w)], axis=-1)
+
+    vis = grid(h_tokens, w_tokens, 0)
     zt = np.zeros((txt_len,), np.float64)
     txt = np.concatenate([axis_freqs(zt, d_t), axis_freqs(zt, d_h),
                           axis_freqs(zt, d_w)], axis=-1)
-    freqs = np.concatenate([txt, vis], axis=0)
+    parts = [txt, vis]
+    if ref_hw is not None:
+        parts.append(grid(ref_hw[0], ref_hw[1], 1))
+    freqs = np.concatenate(parts, axis=0)
     return (jnp.asarray(np.cos(freqs), jnp.float32),
             jnp.asarray(np.sin(freqs), jnp.float32))
 
@@ -261,15 +271,25 @@ def flux_forward(params: Params, cfg: FluxConfig, latents: jnp.ndarray,
                  text_states: jnp.ndarray, timesteps: jnp.ndarray,
                  pooled: Optional[jnp.ndarray] = None,
                  guidance: Optional[jnp.ndarray] = None,
+                 ref_latents: Optional[jnp.ndarray] = None,
                  mesh=None) -> jnp.ndarray:
     """latents [B, H, W, C_latent] (unpacked), text_states
     [B, Tt, joint_attention_dim] (T5), timesteps [B] (flow-match
     t ∈ [0,1]), pooled [B, pooled_projection_dim] (CLIP — zeros when the
     serving path has no CLIP tower), guidance [B] (distilled guidance
-    scale) → velocity prediction, same shape as latents."""
+    scale), ref_latents [B, H2, W2, C] (Kontext reference image,
+    appended to the image stream with frame-1 rope ids and dropped from
+    the prediction — pipeline_flux_kontext.py:653,681)
+    → velocity prediction, same shape as latents."""
     b, h, w, c = latents.shape
     p = cfg.pack_factor
     img = pack_latents(latents, p)  # channel-major, matches _pack_latents
+    n_target = img.shape[1]
+    ref_hw = None
+    if ref_latents is not None:
+        ref_hw = (ref_latents.shape[1] // p, ref_latents.shape[2] // p)
+        img = jnp.concatenate([img, pack_latents(ref_latents, p)],
+                              axis=1)
     img = linear(img, params["x_embedder"])
     txt = linear(text_states, params["context_embedder"])
     img = _constrain(img, mesh, P("cfg", "ulysses", None))
@@ -278,7 +298,8 @@ def flux_forward(params: Params, cfg: FluxConfig, latents: jnp.ndarray,
         pooled = jnp.zeros((b, cfg.pooled_projection_dim), img.dtype)
     temb = flux_time_embed(params, cfg, timesteps, pooled, guidance,
                            img.dtype)
-    cos, sin = flux_rope(cfg, h // p, w // p, text_states.shape[1])
+    cos, sin = flux_rope(cfg, h // p, w // p, text_states.shape[1],
+                         ref_hw=ref_hw)
 
     for blk in params["double_blocks"]:
         img, txt = flux_double_block(blk, cfg, img, txt, temb, cos, sin,
@@ -295,6 +316,8 @@ def flux_forward(params: Params, cfg: FluxConfig, latents: jnp.ndarray,
     scale_o, shift_o = fin[:, :hs], fin[:, hs:]
     out = _ada_norm(img, shift_o, scale_o, cfg.eps)
     out = linear(out, params["proj_out"])
+    if ref_latents is not None:
+        out = out[:, :n_target]  # reference tokens carry no prediction
     return unpack_latents(out, h, w, p)
 
 

@@ -53,6 +53,10 @@ class DenoiseState:
     # pooled CLIP conditioning [rows(text_states), P] for families whose
     # time embed consumes it (flux/sd3); None when no CLIP tower loaded
     pooled: Any = None
+    # Kontext/Edit reference-image latents [1, h2, w2, C]: appended to
+    # the image token stream every step (flux frame-1 / qwen frame−1
+    # rope ids), never noised, dropped from the prediction
+    ref_latents: Any = None
     audio_latents: Any = None  # [B, Ta, Ca] (LTX2 joint AV denoising)
     # per-request extra conditioning pytree (e.g. glm_image AR prior
     # tokens) threaded into the jitted step as an argument
@@ -437,6 +441,45 @@ class DiffusionPipeline:
             s0 = float(sigmas[0])
             latents = ((1.0 - s0) * x0.astype(jnp.float32) +
                        s0 * latents.astype(jnp.float32)).astype(self.dtype)
+        ref_latents = None
+        ref_img = (p.extra_args or {}).get(
+            "ref_image", (p.extra_args or {}).get("edit_image"))
+        if ref_img is not None and p.num_frames <= 1:
+            if self.family not in ("flux", "qwen_image"):
+                raise ValueError(
+                    "reference-image conditioning (Kontext/Edit) is "
+                    f"wired for flux/qwen_image, not {self.family}")
+            # reference FluxKontext / QwenImageEdit: deterministic VAE
+            # encode (sample_mode="argmax" → the posterior mean), full
+            # strength — the reference image is CONTEXT, not an init
+            rimg = np.asarray(ref_img, np.float32)
+            if rimg.ndim == 2:
+                rimg = rimg[..., None].repeat(3, axis=-1)
+            if rimg.max() > 2.0:
+                rimg = rimg / 127.5 - 1.0
+            rh, rw = rimg.shape[:2]
+            if rh % quantum or rw % quantum:
+                raise ValueError(
+                    f"ref_image dims must be multiples of {quantum}")
+            vae = (jax.device_put(self._vae_host)
+                   if self._vae_host is not None else self.vae_params)
+            rj = jnp.asarray(rimg, self.dtype)[None]
+            if self.vae_kind == "kl":
+                from vllm_omni_tpu.diffusion.vae_kl import kl_encode
+
+                ref_latents = kl_encode(vae, self.vae_cfg, rj,
+                                        sample=False)
+            elif self.vae_kind == "wan":
+                from vllm_omni_tpu.diffusion.vae_wan import wan_encode
+
+                ref_latents = wan_encode(vae, self.vae_cfg, rj[:, None],
+                                         sample=False)[:, 0]
+            else:
+                ref_latents = vae_encode(vae, rj,
+                                         jax.random.PRNGKey(0))
+            if self._vae_host is not None:
+                del vae
+            ref_latents = ref_latents.astype(self.dtype)
         audio_latents = None
         if self.family == "ltx2":
             # joint AV denoising: audio latent frames from the video
@@ -468,7 +511,8 @@ class DiffusionPipeline:
             }
         return DenoiseState(
             latents=latents, audio_latents=audio_latents,
-            text_states=text_states, pooled=pooled, sigmas=sigmas,
+            text_states=text_states, pooled=pooled,
+            ref_latents=ref_latents, sigmas=sigmas,
             timesteps=self.scheduler.timesteps_for(sigmas),
             use_cfg=use_cfg, guidance_scale=p.guidance_scale,
             cond_extras=cond_extras)
@@ -600,6 +644,8 @@ class DiffusionPipeline:
             extras_key = ("glm", bool(
                 state.cond_extras.get("prior_missing")),
                 state.cond_extras["prior_token_id"].shape)
+        elif state.ref_latents is not None:
+            extras_key = ("ref", tuple(state.ref_latents.shape))
         fn = self._get_step_fn(state.latents.shape, state.use_cfg,
                                cached, extras_key)
         if cached:
@@ -640,6 +686,18 @@ class DiffusionPipeline:
                                jnp.float32(sigma_next),
                                jnp.float32(state.guidance_scale),
                                state.cond_extras["prior_token_id"])
+        elif state.ref_latents is not None:
+            pooled = state.pooled
+            if pooled is None and self._uses_pooled:
+                pooled = jnp.zeros(
+                    (state.text_states.shape[0],
+                     self.family_cfg.pooled_projection_dim), self.dtype)
+            state.latents = fn(self.dit_params, state.latents,
+                               state.text_states,
+                               jnp.float32(t), jnp.float32(sigma),
+                               jnp.float32(sigma_next),
+                               jnp.float32(state.guidance_scale),
+                               pooled, state.ref_latents)
         elif self._uses_pooled:
             pooled = state.pooled
             if pooled is None:
@@ -665,7 +723,9 @@ class DiffusionPipeline:
         key = (latent_shape, use_cfg, cached, extras_key)
         fn = self._step_fns.get(key)
         if fn is None:
-            if extras_key is not None:
+            if extras_key is not None and extras_key[0] == "ref":
+                body = self._step_body_ref
+            elif extras_key is not None:
                 body = functools.partial(
                     self._step_body_extras,
                     prior_missing=extras_key[1])
@@ -730,7 +790,8 @@ class DiffusionPipeline:
                                ).astype(jnp.float32)
 
     def _predict_velocity(self, params, latents, text_states, t,
-                          guidance, use_cfg: bool, pooled=None):
+                          guidance, use_cfg: bool, pooled=None,
+                          ref_latents=None):
         if self.family != "generic":
             # real-geometry forwards take flow-match σ ∈ [0,1] (each
             # applies its own diffusers-transformer scaling, e.g. ×1000
@@ -754,8 +815,13 @@ class DiffusionPipeline:
                 qwen_image_forward)
 
             def fwd(pp, lat, txt, tt):
+                cl = None
+                if ref_latents is not None:
+                    cl = jnp.concatenate(
+                        [ref_latents] * lat.shape[0], axis=0)
                 return qwen_image_forward(pp, self.family_cfg, lat, txt,
-                                          tt, mesh=self.mesh)
+                                          tt, cond_latents=cl,
+                                          mesh=self.mesh)
         elif self.family == "flux":
             from vllm_omni_tpu.diffusion.flux import flux_forward
 
@@ -766,9 +832,13 @@ class DiffusionPipeline:
                 if self.family_cfg.guidance_embeds:
                     g = jnp.full((lat.shape[0],), guidance, jnp.float32)
                 pl = pooled[:lat.shape[0]] if pooled is not None else None
+                rl = None
+                if ref_latents is not None:
+                    rl = jnp.concatenate(
+                        [ref_latents] * lat.shape[0], axis=0)
                 return flux_forward(pp, self.family_cfg, lat, txt, tt,
                                     guidance=g, pooled=pl,
-                                    mesh=self.mesh)
+                                    ref_latents=rl, mesh=self.mesh)
         elif self.family == "wan":
             from vllm_omni_tpu.diffusion.wan import wan_forward
 
@@ -999,6 +1069,17 @@ class DiffusionPipeline:
         else:
             drop = jnp.full((latents.shape[0],), prior_missing)
             v = fwd(latents, text_states[:1], drop).astype(jnp.float32)
+        return (latents.astype(jnp.float32) +
+                (sigma_next - sigma) * v).astype(latents.dtype)
+
+    def _step_body_ref(self, params, latents, text_states, t, sigma,
+                       sigma_next, guidance, pooled, ref, *,
+                       use_cfg: bool):
+        """Kontext/Edit step: the reference image's latents ride the
+        joint stream every step (never noised)."""
+        v = self._predict_velocity(params, latents, text_states, t,
+                                   guidance, use_cfg, pooled=pooled,
+                                   ref_latents=ref)
         return (latents.astype(jnp.float32) +
                 (sigma_next - sigma) * v).astype(latents.dtype)
 

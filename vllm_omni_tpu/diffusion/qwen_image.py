@@ -16,7 +16,7 @@ reference hand-writes)."""
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Any
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -71,7 +71,7 @@ class QwenImageConfig:
 
 
 def qwen_image_rope(cfg: QwenImageConfig, h_tokens: int, w_tokens: int,
-                    txt_len: int, frame_idx: int = 0
+                    txt_len: int, frame_idx: int = 0, cond_hw=None
                     ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Joint-stream cos/sin [Ttxt+Tvis, head_dim//2], stream order
     [txt; img].
@@ -91,29 +91,36 @@ def qwen_image_rope(cfg: QwenImageConfig, h_tokens: int, w_tokens: int,
                                  / dim))
         return pos.astype(np.float64)[:, None] * inv[None, :]
 
-    h_pos = np.arange(-(h_tokens - h_tokens // 2), h_tokens // 2,
-                      dtype=np.float64)
-    w_pos = np.arange(-(w_tokens - w_tokens // 2), w_tokens // 2,
-                      dtype=np.float64)
-    t_pos = np.asarray([float(frame_idx)])
-    # broadcast to the [1, H, W] visual grid, row-major (h outer, w inner)
-    ff = np.broadcast_to(axis_freqs(t_pos, d_t)[:, None, None, :],
-                         (1, h_tokens, w_tokens, d_t // 2))
-    fh = np.broadcast_to(axis_freqs(h_pos, d_h)[None, :, None, :],
-                         (1, h_tokens, w_tokens, d_h // 2))
-    fw = np.broadcast_to(axis_freqs(w_pos, d_w)[None, None, :, :],
-                         (1, h_tokens, w_tokens, d_w // 2))
-    vis = np.concatenate([ff.reshape(-1, d_t // 2),
-                          fh.reshape(-1, d_h // 2),
-                          fw.reshape(-1, d_w // 2)], axis=-1)
+    def grid(h, w, frame):
+        h_pos = np.arange(-(h - h // 2), h // 2, dtype=np.float64)
+        w_pos = np.arange(-(w - w // 2), w // 2, dtype=np.float64)
+        t_pos = np.asarray([float(frame)])
+        ff = np.broadcast_to(axis_freqs(t_pos, d_t)[:, None, None, :],
+                             (1, h, w, d_t // 2))
+        fh = np.broadcast_to(axis_freqs(h_pos, d_h)[None, :, None, :],
+                             (1, h, w, d_h // 2))
+        fw = np.broadcast_to(axis_freqs(w_pos, d_w)[None, None, :, :],
+                             (1, h, w, d_w // 2))
+        return np.concatenate([ff.reshape(-1, d_t // 2),
+                               fh.reshape(-1, d_h // 2),
+                               fw.reshape(-1, d_w // 2)], axis=-1)
 
+    vis = grid(h_tokens, w_tokens, frame_idx)
     txt_start = max(h_tokens // 2, w_tokens // 2)
+    if cond_hw is not None:
+        # condition image of the Edit pipelines: frame position −1
+        # (QwenEmbedRope _compute_condition_freqs — neg_freqs[-1]);
+        # text positions start past the LARGEST image extent
+        txt_start = max(txt_start, cond_hw[0] // 2, cond_hw[1] // 2)
     txt_pos = np.arange(txt_start, txt_start + txt_len, dtype=np.float64)
     txt = np.concatenate([axis_freqs(txt_pos, d_t),
                           axis_freqs(txt_pos, d_h),
                           axis_freqs(txt_pos, d_w)], axis=-1)
 
-    freqs = np.concatenate([txt, vis], axis=0)
+    parts = [txt, vis]
+    if cond_hw is not None:
+        parts.append(grid(cond_hw[0], cond_hw[1], -1))
+    freqs = np.concatenate(parts, axis=0)
     return (jnp.asarray(np.cos(freqs), jnp.float32),
             jnp.asarray(np.sin(freqs), jnp.float32))
 
@@ -263,9 +270,15 @@ def unpack_latents(x: jnp.ndarray, h: int, w: int, patch: int = 2
 
 def qwen_image_forward(params: Params, cfg: QwenImageConfig,
                        latents: jnp.ndarray, text_states: jnp.ndarray,
-                       timesteps: jnp.ndarray, mesh=None) -> jnp.ndarray:
+                       timesteps: jnp.ndarray,
+                       cond_latents: Optional[jnp.ndarray] = None,
+                       mesh=None) -> jnp.ndarray:
     """latents [B, H, W, C_latent] (unpacked), text_states
-    [B, Tt, joint_attention_dim], timesteps [B] (flow-match t ∈ [0,1])
+    [B, Tt, joint_attention_dim], timesteps [B] (flow-match t ∈ [0,1]),
+    cond_latents [B, H2, W2, C] (QwenImageEdit reference image —
+    appended to the image stream with frame-position −1 rope ids and
+    dropped from the prediction, pipeline_qwen_image_edit.py:757
+    img_shapes + QwenEmbedRope condition freqs)
     → velocity prediction, same shape as latents.
 
     Packing: 2×2 patchify to in_channels (reference pipeline
@@ -274,13 +287,21 @@ def qwen_image_forward(params: Params, cfg: QwenImageConfig,
     b, h, w, c = latents.shape
     p = cfg.patch_size
     img = pack_latents(latents, p)  # [B, Tv, C·p²] channel-major
+    n_target = img.shape[1]
+    cond_hw = None
+    if cond_latents is not None:
+        cond_hw = (cond_latents.shape[1] // p,
+                   cond_latents.shape[2] // p)
+        img = jnp.concatenate([img, pack_latents(cond_latents, p)],
+                              axis=1)
     img = linear(img, params["img_in"])
     txt = rms_norm(text_states, params["txt_norm"], eps=cfg.eps)
     txt = linear(txt, params["txt_in"])
     img = _constrain(img, mesh, P("cfg", "ulysses", None))
 
     temb = qwen_time_embed(params, timesteps, img.dtype)
-    cos, sin = qwen_image_rope(cfg, h // p, w // p, text_states.shape[1])
+    cos, sin = qwen_image_rope(cfg, h // p, w // p,
+                               text_states.shape[1], cond_hw=cond_hw)
 
     for blk in params["blocks"]:
         img, txt = qwen_image_block(blk, cfg, img, txt, temb, cos, sin,
@@ -295,6 +316,8 @@ def qwen_image_forward(params: Params, cfg: QwenImageConfig,
     scale_o, shift_o = fin[:, :hs], fin[:, hs:]
     out = _ada_norm(img, shift_o, scale_o, cfg.eps)
     out = linear(out, params["proj_out"])  # [B, Tv, out_channels·p²]
+    if cond_latents is not None:
+        out = out[:, :n_target]  # condition tokens carry no prediction
     return unpack_latents(out, h, w, p)
 
 
