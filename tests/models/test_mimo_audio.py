@@ -246,6 +246,9 @@ def test_engine_loads_and_expands_audio_patches(ckpt_dir):
         max_num_batched_tokens=64))
     assert "mimo" in eng.aux
     eng.aux["mimo"][0].empty_token_id = empty
+    # the in-loop conditioner closed over the original empty id —
+    # reinstall after the test remap
+    eng._install_mimo_conditioner()
 
     mcfg = eng.aux["mimo"][0]
     rng = np.random.default_rng(2)
@@ -272,3 +275,129 @@ def test_engine_loads_and_expands_audio_patches(ckpt_dir):
         assert req_codes[i].max() < mcfg.speech_vocab_sizes[i]
         # the empty id is banned per channel
         assert (req_codes[i] != mcfg.speech_empty_ids[i]).all()
+
+
+def _torch_global_tower(sd, hf, embeds):
+    """Qwen2 global backbone oracle (GQA + qkv bias), post final norm,
+    last position."""
+    import torch.nn.functional as F
+
+    h = hf["hidden_size"]
+    nh, kv, hd = (hf["num_attention_heads"], hf["num_key_value_heads"],
+                  hf["head_dim"])
+    eps = 1e-6
+    x = embeds[None].float()
+
+    def rms(v, name):
+        return v / torch.sqrt((v ** 2).mean(-1, keepdim=True) + eps) \
+            * sd[name].float()
+
+    def lin(v, name, bias):
+        y = v @ sd[f"{name}.weight"].float().T
+        if bias:
+            y = y + sd[f"{name}.bias"].float()
+        return y
+
+    for i in range(hf["num_hidden_layers"]):
+        p = f"model.layers.{i}"
+        b, s, _ = x.shape
+        xn = rms(x, f"{p}.input_layernorm.weight")
+        q = lin(xn, f"{p}.self_attn.q_proj", True).view(b, s, nh, hd)
+        k = lin(xn, f"{p}.self_attn.k_proj", True).view(b, s, kv, hd)
+        v = lin(xn, f"{p}.self_attn.v_proj", True).view(b, s, kv, hd)
+        q = _torch_rope(q, hf["rope_theta"], hd)
+        k = _torch_rope(k, hf["rope_theta"], hd)
+        k = k.repeat_interleave(nh // kv, dim=2)
+        v = v.repeat_interleave(nh // kv, dim=2)
+        o = F.scaled_dot_product_attention(
+            q.transpose(1, 2), k.transpose(1, 2), v.transpose(1, 2),
+            is_causal=True).transpose(1, 2).reshape(b, s, nh * hd)
+        x = x + lin(o, f"{p}.self_attn.o_proj", False)
+        xn = rms(x, f"{p}.post_attention_layernorm.weight")
+        gate = lin(xn, f"{p}.mlp.gate_proj", False)
+        up = lin(xn, f"{p}.mlp.up_proj", False)
+        x = x + lin(torch.nn.functional.silu(gate) * up,
+                    f"{p}.mlp.down_proj", False)
+    return rms(x, "model.norm.weight")[0, -1]
+
+
+def test_in_loop_patch_conditioning_per_step_parity(ckpt_dir):
+    """Reference behavior (mimo_audio_llm.py:917,951): an <|empty|>
+    patch token FED at step t carries the input-local encoding of the
+    codes local-decoded from hidden_{t-1} — not the static embed.
+    Oracle = full-recompute torch loop; codes of every fed patch must
+    match. CPU tier (argmax ties under TPU accumulation)."""
+    from vllm_omni_tpu.config.engine import EngineConfig
+    from vllm_omni_tpu.core.sampling_params import SamplingParams
+    from vllm_omni_tpu.engine.core import EngineCore
+
+    if jax.devices()[0].platform != "cpu":
+        pytest.skip("exact-argmax oracle parity is a CPU-tier test")
+
+    empty = 7
+    sd = _tiny_state_dict()
+    prompt = [5, 6, 9, 11]
+    steps = 4
+
+    eng = EngineCore(EngineConfig.from_kwargs(
+        model=ckpt_dir, dtype="float32", max_model_len=128,
+        num_pages=32, page_size=16, max_num_seqs=2,
+        max_num_batched_tokens=64, multi_step=2))
+    eng.aux["mimo"][0].empty_token_id = empty
+    eng._install_mimo_conditioner()
+    mcfg = eng.aux["mimo"][0]
+    sp = SamplingParams(max_tokens=steps, temperature=0.0,
+                        ignore_eos=True, logit_bias={empty: 1e9})
+    rid = eng.add_request(prompt, sp)
+    outs = {}
+    while eng.has_unfinished():
+        for o in eng.step():
+            if o.finished:
+                outs[o.request_id] = o
+    got = np.asarray(outs[rid].additional_information["codec_codes"])
+    got = got.T.reshape(steps, mcfg.group_size, mcfg.audio_channels)
+
+    # ---- torch oracle ----
+    g, c = mcfg.group_size, mcfg.audio_channels
+    lcfg = {"layers": HF_TINY["local_layers"],
+            "heads": HF_TINY["local_attn_heads"]}
+    ilcfg = {"layers": HF_TINY["input_local_layers"],
+             "heads": HF_TINY["local_attn_heads"]}
+    embeds = sd["model.embed_tokens.weight"].float()[
+        torch.tensor(prompt)]
+    want = []
+    for s in range(steps):
+        h = _torch_global_tower(sd, HF_TINY, embeds)
+        # local decode from this hidden (greedy delay pattern)
+        x0 = h[None] @ sd["hidden_states_downcast.weight"].float().T
+        buf = x0[:, None]
+        codes = np.zeros((1, g, c), np.int64)
+        for t in range(g + max(mcfg.delay_pattern)):
+            hid = _torch_local_forward(sd, "local_transformer", lcfg,
+                                       buf, causal=True)[:, t]
+            nxt = torch.zeros(1, mcfg.input_local.hidden_size)
+            for i in range(c):
+                d = mcfg.delay_pattern[i]
+                if not (d <= t < d + g):
+                    continue
+                sc = hid @ sd[f"local_transformer_lm_heads.{i}"
+                              ".weight"].float().T
+                sc[:, mcfg.speech_empty_ids[i]] = float("-inf")
+                tok = sc.argmax(-1)
+                codes[:, t - d, i] = tok.numpy()
+                nxt = nxt + sd[f"speech_embeddings.{i}.weight"
+                               ].float()[tok]
+            nxt = nxt @ sd["speech_embeddings_to_local.weight"
+                           ].float().T
+            buf = torch.cat([buf, nxt[:, None]], dim=1)
+        want.append(codes[0])
+        # patch embedding feeds the next step
+        x = torch.zeros(1, g, mcfg.input_local.hidden_size)
+        for i in range(c):
+            x = x + sd[f"speech_embeddings.{i}.weight"].float()[
+                torch.from_numpy(codes[0, :, i])]
+        ph = _torch_local_forward(sd, "input_local_transformer", ilcfg,
+                                  x, causal=False).reshape(1, -1)
+        ph = ph @ sd["speech_group_downcast.weight"].float().T
+        embeds = torch.cat([embeds, ph], dim=0)
+    np.testing.assert_array_equal(got, np.stack(want))

@@ -81,6 +81,8 @@ class EngineCore:
                 np.repeat(np.asarray(v_sc, np.float32)[:, None], hkv, 1))
         if "fish" in self.aux:
             self._install_fish_conditioner()
+        if "mimo" in self.aux:
+            self._install_mimo_conditioner()
         if "qwen3_tts" in self.aux:
             from vllm_omni_tpu.models.qwen3_tts import (
                 make_talker_conditioner)
@@ -557,6 +559,19 @@ class EngineCore:
         if "codec_codes" in req.additional_information:
             return
         mcfg, maux = self.aux["mimo"]
+        rows = req.additional_information.get("codec_codes_rows")
+        n_patches = sum(1 for t in req.output_token_ids
+                        if t == mcfg.empty_token_id)
+        if rows and len(rows) >= n_patches > 0:
+            # in-loop conditioner streamed every patch's codes (and fed
+            # the encoded patch back — the reference behavior)
+            codes = np.stack(rows[:n_patches]).reshape(
+                n_patches, mcfg.group_size, mcfg.audio_channels)
+            flat = codes.reshape(n_patches * mcfg.group_size,
+                                 mcfg.audio_channels)
+            req.additional_information["codec_codes"] = \
+                flat.T.astype(np.int64).tolist()
+            return
         hs = req.additional_information.get("hidden_states")
         if not hs or not req.output_token_ids:
             return
@@ -580,6 +595,37 @@ class EngineCore:
         codes = codes[:f]  # [T_patches, G, C]
         flat = codes.reshape(f * mcfg.group_size, mcfg.audio_channels)
         req.additional_information["codec_codes"] =             flat.T.astype(np.int64).tolist()
+
+    def _install_mimo_conditioner(self) -> None:
+        """In-loop audio-patch conditioning (reference
+        mimo_audio_llm.py:951 _generate_speech_tokens_and_audio
+        _embeddings + :917 merge_mm_embedding): when an <|empty|> patch
+        token is FED at step t, its input embedding is the
+        input-local-transformer encoding of the codes the local decoder
+        produced from hidden_{t-1} — not the static <|empty|> embed.
+        The patch's [G, C] codes stream out flattened per step."""
+        from vllm_omni_tpu.models.mimo_audio import (encode_groups,
+                                                     local_decode)
+
+        mcfg, maux = self.aux["mimo"]
+        g, c = mcfg.group_size, mcfg.audio_channels
+        empty = mcfg.empty_token_id
+
+        def fn(tok, emb, ph, ctr):
+            del ctr
+            b = tok.shape[0]
+            codes = local_decode(maux, mcfg,
+                                 ph.astype(jnp.float32))  # [B, G, C]
+            patch = encode_groups(maux, mcfg,
+                                  codes[:, None])[:, 0]  # [B, H]
+            valid = (tok == empty)[:, None]
+            new_emb = jnp.where(valid, patch.astype(jnp.float32),
+                                emb.astype(jnp.float32))
+            flat = codes.reshape(b, g * c)
+            out_codes = jnp.where(valid, flat, -1)
+            return new_emb, out_codes
+
+        self.runner.set_step_conditioner(fn, g * c)
 
     def _install_fish_conditioner(self) -> None:
         """In-loop slow-AR conditioning (reference talker_mtp,

@@ -22,10 +22,14 @@ TPU-native design (the fish_speech.py pattern):
   UNROLLED over the 11 delay iterations inside one jit, re-running a
   fixed [B, 11, H] buffer instead of a DynamicCache (causal attention
   makes positions <= t exact regardless of the unfilled suffix);
-* group expansion runs at request finish, batched over all audio
-  patches (the engine's talker-MTP/fish hook pattern) — codes for
-  patch p depend only on hidden_{p}, so the batched expansion matches
-  the per-step path.
+* in-loop patch conditioning runs INSIDE the chained decode scan (the
+  step-conditioner surface, worker/model_runner.set_step_conditioner):
+  a fed <|empty|> token's input embedding is the input-local encoding
+  of the codes local-decoded from hidden_{t-1} — the reference's
+  merge_mm_embedding behavior (mimo_audio_llm.py:917,951), verified
+  per-step against a torch oracle. Codes stream out per patch; the
+  batched finish-hook expansion covers only a max_tokens-truncated
+  final patch.
 """
 
 from __future__ import annotations
