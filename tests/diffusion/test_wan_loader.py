@@ -142,6 +142,8 @@ def _oracle_apply_rope(x, freqs):
 
 
 def _oracle_forward(sd, cfg, latents_np, txt_np, t_np):
+    # t_np: [B] scalar timesteps, or [B, S_patches] per-patch (TI2V
+    # expand_timesteps, pipeline_wan2_2_i2v.py:533-537)
     """latents [B, F, H, W, C] NHWC-style; oracle works in the
     reference's NCFHW layout internally."""
     T = torch.from_numpy
@@ -164,7 +166,8 @@ def _oracle_forward(sd, cfg, latents_np, txt_np, t_np):
     x = x.flatten(2).transpose(1, 2)  # [B, S, hs]
 
     # timestep: train units, Timesteps(freq_dim, flip_sin_to_cos)
-    t_train = tt_in * 1000.0
+    per_patch = tt_in.dim() == 2
+    t_train = tt_in.reshape(-1) * 1000.0
     half = cfg["freq_dim"] // 2
     freqs = torch.exp(-torch.log(torch.tensor(10000.0)) *
                       torch.arange(half).float() / half)
@@ -174,7 +177,13 @@ def _oracle_forward(sd, cfg, latents_np, txt_np, t_np):
     temb = lin(torch.nn.functional.silu(temb),
                "condition_embedder.time_embedder.linear_2")
     tproj = lin(torch.nn.functional.silu(temb),
-                "condition_embedder.time_proj").view(b, 6, hs)
+                "condition_embedder.time_proj")
+    if per_patch:
+        s_pat = tt_in.shape[1]
+        temb = temb.view(b, s_pat, hs)
+        tproj = tproj.view(b, s_pat, 6, hs)
+    else:
+        tproj = tproj.view(b, 6, hs)
 
     txt_h = lin(txt, "condition_embedder.text_embedder.linear_1")
     txt_h = torch.nn.functional.gelu(txt_h, approximate="tanh")
@@ -193,8 +202,13 @@ def _oracle_forward(sd, cfg, latents_np, txt_np, t_np):
     ttk = txt_h.shape[1]
     for i in range(cfg["num_layers"]):
         p = f"blocks.{i}"
-        mod = sd[f"{p}.scale_shift_table"].float() + tproj
-        sh1, sc1, g1, sh2, sc2, g2 = mod.chunk(6, dim=1)
+        if per_patch:
+            mod = sd[f"{p}.scale_shift_table"].float()[None] + tproj
+            sh1, sc1, g1, sh2, sc2, g2 = (
+                m.squeeze(2) for m in mod.chunk(6, dim=2))
+        else:
+            mod = sd[f"{p}.scale_shift_table"].float() + tproj
+            sh1, sc1, g1, sh2, sc2, g2 = mod.chunk(6, dim=1)
 
         xn = ln(x) * (1 + sc1) + sh1
         q = rms_full(lin(xn, f"{p}.attn1.to_q"),
@@ -226,8 +240,12 @@ def _oracle_forward(sd, cfg, latents_np, txt_np, t_np):
                                       approximate="tanh")
         x = x + g2 * lin(ff, f"{p}.ffn.net.2")
 
-    fin = sd["scale_shift_table"].float() + temb.unsqueeze(1)
-    shift, scale = fin.chunk(2, dim=1)
+    if per_patch:
+        fin = sd["scale_shift_table"].float()[None] + temb.unsqueeze(2)
+        shift, scale = (m.squeeze(2) for m in fin.chunk(2, dim=2))
+    else:
+        fin = sd["scale_shift_table"].float() + temb.unsqueeze(1)
+        shift, scale = fin.chunk(2, dim=1)
     out = ln(x) * (1 + scale) + shift
     out = lin(out, "proj_out")
     # unpatchify (reference :958-962)
@@ -317,3 +335,67 @@ def test_pipeline_end_to_end_video(pipeline_dir):
     assert out.finished and out.error is None, out.error
     assert out.images is None
     assert out.video.shape[0] == 2  # frames
+
+
+def test_per_patch_timesteps_parity(pipeline_dir):
+    """TI2V expand_timesteps: per-patch timesteps (first-frame patches
+    clean at t=0) modulate per token — parity vs the oracle."""
+    from vllm_omni_tpu.diffusion.loader import load_diffusers_pipeline
+    from vllm_omni_tpu.diffusion.wan import wan_forward
+
+    loaded = load_diffusers_pipeline(pipeline_dir, dtype=jnp.float32)
+    cfg, params = loaded["transformer_cfg"], loaded["params"]
+    rng = np.random.default_rng(31)
+    f, h, w = 4, 8, 8
+    lat = rng.standard_normal((1, f, h, w, cfg.in_channels),
+                              dtype=np.float32)
+    txt = rng.standard_normal((1, 5, TINY["text_dim"]),
+                              dtype=np.float32)
+    pt, ph, pw = cfg.patch_size
+    n_pat = (f // pt) * (h // ph) * (w // pw)
+    per_frame = (h // ph) * (w // pw)
+    ts = np.full((1, n_pat), 0.6, np.float32)
+    ts[:, :per_frame] = 0.0  # first latent frame is clean
+    ours = np.asarray(wan_forward(params, cfg, jnp.asarray(lat),
+                                  jnp.asarray(txt), jnp.asarray(ts)))
+    golden = _oracle_forward(_tiny_state_dict(), TINY, lat, txt, ts)
+    assert ours.shape == golden.shape
+    np.testing.assert_allclose(ours, golden, rtol=3e-4, atol=3e-4)
+
+
+def test_pipeline_end_to_end_i2v_ref_image(pipeline_dir):
+    """Engine e2e WanImageToVideo: extra_args.ref_image drives the TI2V
+    path — the decoded clip's first frame comes from the (clean)
+    condition latent."""
+    from vllm_omni_tpu.core.request import DiffusionRequest
+    from vllm_omni_tpu.core.sampling_params import DiffusionSamplingParams
+    from vllm_omni_tpu.diffusion.config import DiffusionConfig
+    from vllm_omni_tpu.diffusion.engine import DiffusionEngine
+
+    config = DiffusionConfig(model=pipeline_dir, dtype="float32",
+                             resolution_buckets=((32, 32),),
+                             flow_shift=1.0)
+    eng = DiffusionEngine(config)
+    rng = np.random.default_rng(5)
+    ref = (rng.random((32, 32, 3)) * 255).astype(np.uint8)
+    out = eng.generate([DiffusionRequest(
+        "r0", "a clip",
+        DiffusionSamplingParams(num_inference_steps=2, height=32,
+                                width=32, num_frames=4,
+                                guidance_scale=1.0, seed=0,
+                                output_type="latent",
+                                extra_args={"ref_image": ref}))])[0]
+    assert out.finished and out.error is None
+    lat = np.asarray(out.video, np.float32)
+    assert lat.ndim == 5 and np.isfinite(lat).all()
+    # first latent frame == the blended clean condition (exactly)
+    out2 = eng.generate([DiffusionRequest(
+        "r1", "a clip",
+        DiffusionSamplingParams(num_inference_steps=2, height=32,
+                                width=32, num_frames=4,
+                                guidance_scale=1.0, seed=1,
+                                output_type="latent",
+                                extra_args={"ref_image": ref}))])[0]
+    lat2 = np.asarray(out2.video, np.float32)
+    np.testing.assert_allclose(lat[:, 0], lat2[:, 0], atol=1e-5)
+    assert np.abs(lat[:, 1] - lat2[:, 1]).max() > 1e-6

@@ -444,11 +444,40 @@ class DiffusionPipeline:
         ref_latents = None
         ref_img = (p.extra_args or {}).get(
             "ref_image", (p.extra_args or {}).get("edit_image"))
+        if ref_img is not None:
+            if self.family == "wan":
+                # WanImageToVideo TI2V: the first latent frame is the
+                # (clean) encoded image; per-patch timesteps zero it
+                # (pipeline_wan2_2_i2v.py expand_timesteps :533-537)
+                rimg = np.asarray(ref_img, np.float32)
+                if rimg.ndim == 2:
+                    rimg = rimg[..., None].repeat(3, axis=-1)
+                if rimg.max() > 2.0:
+                    rimg = rimg / 127.5 - 1.0
+                if rimg.shape[:2] != (p.height, p.width):
+                    raise ValueError("ref_image must match the "
+                                     "requested height/width")
+                from vllm_omni_tpu.diffusion.vae_wan import wan_encode
+
+                vae = (jax.device_put(self._vae_host)
+                       if self._vae_host is not None
+                       else self.vae_params)
+                rj = jnp.asarray(rimg, self.dtype)[None]
+                if self.vae_kind == "wan":
+                    ref_latents = wan_encode(vae, self.vae_cfg,
+                                             rj[:, None], sample=False)
+                else:  # dummy tier: generic 2D VAE per frame
+                    ref_latents = vae_encode(
+                        vae, rj, jax.random.PRNGKey(0))[:, None]
+                if self._vae_host is not None:
+                    del vae
+                ref_latents = ref_latents.astype(self.dtype)
+                ref_img = None  # handled; skip the Kontext branch
         if ref_img is not None and p.num_frames <= 1:
             if self.family not in ("flux", "qwen_image"):
                 raise ValueError(
                     "reference-image conditioning (Kontext/Edit) is "
-                    f"wired for flux/qwen_image, not {self.family}")
+                    f"wired for flux/qwen_image/wan, not {self.family}")
             # reference FluxKontext / QwenImageEdit: deterministic VAE
             # encode (sample_mode="argmax" → the posterior mean), full
             # strength — the reference image is CONTEXT, not an init
@@ -724,7 +753,8 @@ class DiffusionPipeline:
         fn = self._step_fns.get(key)
         if fn is None:
             if extras_key is not None and extras_key[0] == "ref":
-                body = self._step_body_ref
+                body = self._step_body_wan_i2v \
+                    if self.family == "wan" else self._step_body_ref
             elif extras_key is not None:
                 body = functools.partial(
                     self._step_body_extras,
@@ -1083,6 +1113,49 @@ class DiffusionPipeline:
         return (latents.astype(jnp.float32) +
                 (sigma_next - sigma) * v).astype(latents.dtype)
 
+    def _wan_i2v_mask(self, latents):
+        """[1, F, h, w, 1] float mask: 0 on the first latent frame
+        (clean condition), 1 elsewhere."""
+        f, h, w = latents.shape[1], latents.shape[2], latents.shape[3]
+        m = jnp.ones((1, f, h, w, 1), jnp.float32)
+        return m.at[:, 0].set(0.0)
+
+    def _step_body_wan_i2v(self, params, latents, text_states, t, sigma,
+                           sigma_next, guidance, pooled, cond, *,
+                           use_cfg: bool):
+        """WanImageToVideo TI2V step (pipeline_wan2_2_i2v.py
+        expand_timesteps): input = (1−mask)·condition + mask·latents,
+        per-patch timesteps zero on the first-frame patches; the final
+        blend happens at post_decode."""
+        del pooled
+        from vllm_omni_tpu.diffusion.wan import wan_forward
+
+        squeeze_f = latents.ndim == 4
+        lat5 = latents[:, None] if squeeze_f else latents
+        cond5 = cond if cond.ndim == 5 else cond[:, None]
+        mask = self._wan_i2v_mask(lat5)
+        lat_in = ((1.0 - mask) * cond5.astype(jnp.float32) +
+                  mask * lat5.astype(jnp.float32)).astype(lat5.dtype)
+        sig = t / self.config.num_train_timesteps
+        pt, ph, pw = self.family_cfg.patch_size
+        ts_patch = mask[0, ::pt, ::ph, ::pw, 0].reshape(1, -1) * sig
+
+        def fwd(lat, txt):
+            tt = jnp.broadcast_to(ts_patch, (lat.shape[0],
+                                             ts_patch.shape[1]))
+            return wan_forward(params, self.family_cfg, lat, txt, tt,
+                               mesh=self.mesh)
+
+        if use_cfg:
+            lat2 = jnp.concatenate([lat_in, lat_in], axis=0)
+            v = fwd(lat2, text_states).astype(jnp.float32)
+            v = v[1:] + guidance * (v[:1] - v[1:])
+        else:
+            v = fwd(lat_in, text_states[:1]).astype(jnp.float32)
+        new5 = (lat5.astype(jnp.float32) +
+                (sigma_next - sigma) * v).astype(lat5.dtype)
+        return new5[:, 0] if squeeze_f else new5
+
     def _step_body(self, params, latents, text_states, t, sigma,
                    sigma_next, guidance, pooled=None, *, use_cfg: bool):
         # CFG rides as batch rows; the "cfg" mesh axis shards them across
@@ -1115,6 +1188,19 @@ class DiffusionPipeline:
                 finally:
                     self._runner = saved
             return out
+        if state.ref_latents is not None and self.family == "wan":
+            # TI2V final blend: the first latent frame IS the encoded
+            # reference image (pipeline_wan2_2_i2v.py post-loop blend)
+            lat5 = state.latents[:, None] if state.latents.ndim == 4 \
+                else state.latents
+            cond5 = state.ref_latents if state.ref_latents.ndim == 5 \
+                else state.ref_latents[:, None]
+            mask = self._wan_i2v_mask(lat5)
+            lat5 = ((1.0 - mask) * cond5.astype(jnp.float32) +
+                    mask * lat5.astype(jnp.float32)).astype(lat5.dtype)
+            state.latents = lat5[:, 0] if state.latents.ndim == 4 \
+                else lat5
+            state.ref_latents = None  # blend once
         if output_type == "latent":
             return np.asarray(state.latents)
         lat = state.latents

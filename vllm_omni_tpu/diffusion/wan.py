@@ -192,14 +192,28 @@ def wan_block(blk: Params, cfg: WanConfig, x: jnp.ndarray,
     projected), tproj [B, 6, D]."""
     b, s, hs = x.shape
     nh, hd = cfg.num_attention_heads, cfg.attention_head_dim
-    mod = (blk["scale_shift_table"][None] + tproj).astype(jnp.float32)
-    sh1, sc1, g1 = mod[:, 0], mod[:, 1], mod[:, 2]
-    sh2, sc2, g2 = mod[:, 3], mod[:, 4], mod[:, 5]
+    if tproj.ndim == 4:
+        # TI2V expand_timesteps: per-patch modulation [B, S, 6, D]
+        # (pipeline_wan2_2_i2v.py:537 temp_ts per latent patch)
+        mod = (blk["scale_shift_table"][None, None] +
+               tproj).astype(jnp.float32)
+        sh1, sc1, g1 = mod[:, :, 0], mod[:, :, 1], mod[:, :, 2]
+        sh2, sc2, g2 = mod[:, :, 3], mod[:, :, 4], mod[:, :, 5]
+
+        def bc(v):
+            return v  # already [B, S, D]
+    else:
+        mod = (blk["scale_shift_table"][None] + tproj).astype(
+            jnp.float32)
+        sh1, sc1, g1 = mod[:, 0], mod[:, 1], mod[:, 2]
+        sh2, sc2, g2 = mod[:, 3], mod[:, 4], mod[:, 5]
+
+        def bc(v):
+            return v[:, None, :]
 
     def ada(v, shift, scale):
         return (_layer_norm_nb(v.astype(jnp.float32), cfg.eps) *
-                (1.0 + scale[:, None, :]) +
-                shift[:, None, :]).astype(v.dtype)
+                (1.0 + bc(scale)) + bc(shift)).astype(v.dtype)
 
     # 1. self-attention (rope, gated)
     a1 = blk["attn1"]
@@ -210,7 +224,7 @@ def wan_block(blk: Params, cfg: WanConfig, x: jnp.ndarray,
     q = apply_rope_interleaved(q.reshape(b, s, nh, hd), cos, sin)
     k = apply_rope_interleaved(k.reshape(b, s, nh, hd), cos, sin)
     o = _attend(q, k, v.reshape(b, s, nh, hd), hd, mesh)
-    x = x + (g1[:, None, :] *
+    x = x + (bc(g1) *
              linear(o, a1["to_out"]).astype(jnp.float32)).astype(x.dtype)
 
     # 2. cross-attention (affine pre-norm, ungated)
@@ -235,7 +249,7 @@ def wan_block(blk: Params, cfg: WanConfig, x: jnp.ndarray,
     h = jax.nn.gelu(h.astype(jnp.float32), approximate=True).astype(
         x.dtype)
     ff = linear(h, blk["ffn"]["net2"])
-    return x + (g2[:, None, :] *
+    return x + (bc(g2) *
                 ff.astype(jnp.float32)).astype(x.dtype)
 
 
@@ -263,17 +277,25 @@ def wan_forward(params: Params, cfg: WanConfig, latents: jnp.ndarray,
     x = _constrain(x, mesh, P("cfg", "ulysses", None))
 
     # condition embedder (:259): temb for the final norm, tproj [B,6,D]
-    # for block modulation, projected text
+    # for block modulation, projected text. TI2V expand_timesteps:
+    # timesteps [B, S_patches] → per-patch temb/tproj
+    # (pipeline_wan2_2_i2v.py:533-537)
     ce = params["condition_embedder"]
+    per_patch = timesteps.ndim == 2
     t_train = timesteps.astype(jnp.float32) * cfg.num_train_timesteps
-    e = _qwen_timestep_embedding(t_train, dim=cfg.freq_dim,
+    e = _qwen_timestep_embedding(t_train.reshape(-1), dim=cfg.freq_dim,
                                  scale=1.0).astype(dtype)
     e = linear(e, ce["time_embedder"]["linear_1"])
     e = jax.nn.silu(e.astype(jnp.float32)).astype(dtype)
     temb = linear(e, ce["time_embedder"]["linear_2"])
     tproj = linear(jax.nn.silu(temb.astype(jnp.float32)).astype(dtype),
                    ce["time_proj"])
-    tproj = tproj.reshape(b, 6, cfg.inner_dim)
+    if per_patch:
+        s_pat = timesteps.shape[1]
+        temb = temb.reshape(b, s_pat, cfg.inner_dim)
+        tproj = tproj.reshape(b, s_pat, 6, cfg.inner_dim)
+    else:
+        tproj = tproj.reshape(b, 6, cfg.inner_dim)
 
     txt = linear(text_states.astype(dtype), ce["text_embedder"]["linear_1"])
     txt = jax.nn.gelu(txt.astype(jnp.float32),
@@ -286,11 +308,19 @@ def wan_forward(params: Params, cfg: WanConfig, latents: jnp.ndarray,
         x = wan_block(blk, cfg, x, txt, tproj, cos, sin, mesh=mesh)
 
     # final AdaLN: (scale_shift_table [2, D] + temb) → (shift, scale)
-    fin = (params["scale_shift_table"][None] +
-           temb[:, None, :]).astype(jnp.float32)
-    shift, scale = fin[:, 0], fin[:, 1]
-    out = (_layer_norm_nb(x.astype(jnp.float32), cfg.eps) *
-           (1.0 + scale[:, None, :]) + shift[:, None, :]).astype(dtype)
+    if per_patch:
+        fin = (params["scale_shift_table"][None, None] +
+               temb[:, :, None, :]).astype(jnp.float32)
+        shift, scale = fin[:, :, 0], fin[:, :, 1]
+        out = (_layer_norm_nb(x.astype(jnp.float32), cfg.eps) *
+               (1.0 + scale) + shift).astype(dtype)
+    else:
+        fin = (params["scale_shift_table"][None] +
+               temb[:, None, :]).astype(jnp.float32)
+        shift, scale = fin[:, 0], fin[:, 1]
+        out = (_layer_norm_nb(x.astype(jnp.float32), cfg.eps) *
+               (1.0 + scale[:, None, :]) +
+               shift[:, None, :]).astype(dtype)
     out = linear(out, params["proj_out"])
     out = wan_unpack_latents(out, f, h, w, cfg.patch_size,
                              cfg.out_channels)
