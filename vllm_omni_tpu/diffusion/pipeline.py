@@ -99,6 +99,8 @@ class DiffusionPipeline:
         self.family_cfg = None
         from vllm_omni_tpu.diffusion.loader import is_diffusers_pipeline
 
+        from vllm_omni_tpu.diffusion.bagel import (
+            is_bagel_dir as _bagel_dir)
         from vllm_omni_tpu.diffusion.hunyuan_image3 import (
             is_hunyuan_image3_dir)
 
@@ -123,6 +125,24 @@ class DiffusionPipeline:
             if config.offload == "layerwise":
                 raise ValueError("layerwise offload not wired for "
                                  "hunyuan_image3")
+        elif _bagel_dir(config.model):
+            # BAGEL unified MoT checkpoint (config.json with llm_config
+            # + vae_config; reference pipeline_bagel.py)
+            from vllm_omni_tpu.diffusion.bagel import load_bagel
+
+            cfg_b, params_b = load_bagel(config.model, self.dtype)
+            self.family = "bagel"
+            self.family_cfg = cfg_b
+            self.dit_params = params_b
+            config.vae_latent_channels = cfg_b.latent_channels
+            config.vae_scale_factor = cfg_b.vae_downsample
+            if config.cache.enabled:
+                logger.warning("cache accel not wired for bagel; "
+                               "disabling")
+                config.cache.backend = "none"
+            if config.offload == "layerwise":
+                raise ValueError("layerwise offload not wired for "
+                                 "bagel")
         elif is_diffusers_pipeline(config.model):
             from vllm_omni_tpu.diffusion.loader import (
                 load_diffusers_pipeline)
@@ -270,6 +290,9 @@ class DiffusionPipeline:
             elif self.family == "hunyuan_image3":
                 from vllm_omni_tpu.diffusion.hunyuan_image3 import (
                     hi3_param_shardings as _shardings)
+            elif self.family == "bagel":
+                from vllm_omni_tpu.diffusion.bagel import (
+                    bagel_param_shardings as _shardings)
             else:
                 from vllm_omni_tpu.diffusion.dit import (
                     dit_param_shardings as _shardings)
@@ -315,6 +338,20 @@ class DiffusionPipeline:
                 logger.warning(
                     "hunyuan_image3: tokenizer not loadable (%s) — "
                     "prompts hash into the vocab (dummy tier)", e)
+        elif self.family == "bagel":
+            from vllm_omni_tpu.diffusion.bagel import BagelRunner
+
+            self._runner = BagelRunner(self.family_cfg,
+                                       self.dit_params, mesh=self.mesh)
+            try:
+                from transformers import AutoTokenizer
+
+                self._runner.tokenizer = AutoTokenizer.from_pretrained(
+                    config.model)
+            except Exception as e:  # noqa: BLE001 — HF raises broadly
+                logger.warning(
+                    "bagel: tokenizer not loadable (%s) — prompts hash "
+                    "into the vocab (dummy tier)", e)
         # real text towers from the pipeline's text_encoder*/ subfolders
         # (reference: each pipeline's encode_prompt runs the checkpoint's
         # own encoders, e.g. pipeline_flux.py CLIP+T5). Families whose

@@ -208,8 +208,10 @@ AR_FAMILIES: dict[str, FamilySpec] = {f.name: f for f in [
         stage_config=_cfg("bagel_tpu.yaml"),
         hf_archs=("Qwen2ForCausalLM",),
         diffusers_archs=("BagelTransformer2DModel",),
-        notes="Thinker AR → image DiT; thinker hidden states become "
-              "text_states conditioning (orchestrator default edge)."),
+        notes="REAL geometry (diffusion/bagel.py): unified Qwen2 MoT "
+              "checkpoint — und/gen dual experts per layer, in-stream "
+              "flow denoise against cached text KV, norm-renormalized "
+              "text CFG. Thinking/und chat tier rides the AR stage."),
     FamilySpec(
         name="glm_image",
         reference="vllm_omni/model_executor/models/glm_image/ (3,083) + "
