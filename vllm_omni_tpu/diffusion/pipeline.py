@@ -37,7 +37,7 @@ logger = init_logger(__name__)
 # families denoising 1D audio-latent streams [B, L, C] (no image VAE);
 # omnivoice emits an 8-codebook token grid on the same audio edge
 AUDIO_LATENT_FAMILIES = ("stable_audio", "cosyvoice3_audio",
-                         "omnivoice")
+                         "omnivoice", "voxcpm", "voxcpm2")
 
 
 @dataclass
@@ -101,6 +101,8 @@ class DiffusionPipeline:
 
         from vllm_omni_tpu.diffusion.bagel import (
             is_bagel_dir as _bagel_dir)
+        from vllm_omni_tpu.diffusion.voxcpm import (
+            is_voxcpm_dir as _voxcpm_dir)
         from vllm_omni_tpu.diffusion.hunyuan_image3 import (
             is_hunyuan_image3_dir)
 
@@ -125,6 +127,24 @@ class DiffusionPipeline:
             if config.offload == "layerwise":
                 raise ValueError("layerwise offload not wired for "
                                  "hunyuan_image3")
+        elif _voxcpm_dir(config.model):
+            # native VoxCPM/VoxCPM2 checkpoint (config.json with
+            # model_type voxcpm*; reference model_executor/models/
+            # voxcpm{,2}/ — hybrid AR + local-CFM TTS)
+            from vllm_omni_tpu.diffusion.voxcpm import load_voxcpm
+
+            cfg_v, params_v = load_voxcpm(config.model, self.dtype)
+            self.family = "voxcpm2" if cfg_v.variant == "v2" \
+                else "voxcpm"
+            self.family_cfg = cfg_v
+            self.dit_params = params_v
+            if config.cache.enabled:
+                logger.warning("cache accel not wired for voxcpm; "
+                               "disabling")
+                config.cache.backend = "none"
+            if config.offload == "layerwise":
+                raise ValueError("layerwise offload not wired for "
+                                 "voxcpm")
         elif _bagel_dir(config.model):
             # BAGEL unified MoT checkpoint (config.json with llm_config
             # + vae_config; reference pipeline_bagel.py)
@@ -293,6 +313,9 @@ class DiffusionPipeline:
             elif self.family == "bagel":
                 from vllm_omni_tpu.diffusion.bagel import (
                     bagel_param_shardings as _shardings)
+            elif self.family in ("voxcpm", "voxcpm2"):
+                from vllm_omni_tpu.diffusion.voxcpm import (
+                    voxcpm_param_shardings as _shardings)
             else:
                 from vllm_omni_tpu.diffusion.dit import (
                     dit_param_shardings as _shardings)
@@ -338,6 +361,21 @@ class DiffusionPipeline:
                 logger.warning(
                     "hunyuan_image3: tokenizer not loadable (%s) — "
                     "prompts hash into the vocab (dummy tier)", e)
+        elif self.family in ("voxcpm", "voxcpm2"):
+            from vllm_omni_tpu.diffusion.voxcpm import VoxCPMRunner
+
+            self._runner = VoxCPMRunner(self.family_cfg,
+                                        self.dit_params,
+                                        mesh=self.mesh)
+            try:
+                from transformers import AutoTokenizer
+
+                self._runner.tokenizer = AutoTokenizer.from_pretrained(
+                    config.model)
+            except Exception as e:  # noqa: BLE001 — HF raises broadly
+                logger.warning(
+                    "voxcpm: tokenizer not loadable (%s) — prompts "
+                    "hash into the vocab (dummy tier)", e)
         elif self.family == "bagel":
             from vllm_omni_tpu.diffusion.bagel import BagelRunner
 

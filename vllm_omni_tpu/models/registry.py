@@ -169,8 +169,10 @@ AR_FAMILIES: dict[str, FamilySpec] = {f.name: f for f in [
         stage_config=_cfg("voxcpm_tpu.yaml"),
         processors=(f"{_P}.latent2vae",),
         hf_archs=("LlamaForCausalLM",),
-        notes="Latent-generator AR → one-shot VAE decode stage "
-              "(latent2vae forwards hidden states as the latent)."),
+        notes="REAL geometry (diffusion/voxcpm.py): MiniCPM mup tower "
+              "+ residual LM + FSQ bottleneck + local-CFM patch DiT "
+              "+ DAC-style audio-VAE decode; stop-head termination, "
+              "voice-clone prompt latents via extra_args."),
     FamilySpec(
         name="voxcpm2",
         reference="vllm_omni/model_executor/models/voxcpm2/ (1,899)",
@@ -179,7 +181,10 @@ AR_FAMILIES: dict[str, FamilySpec] = {f.name: f for f in [
         stage_config=_cfg("voxcpm2_tpu.yaml"),
         processors=(f"{_P}.latent2vae",),
         hf_archs=("Qwen3ForCausalLM",),
-        notes="voxcpm graph on the qwen3 tower (qk-norm)."),
+        notes="REAL geometry (diffusion/voxcpm.py variant=v2): "
+              "MiniCPM4 tower (fp32 LongRoPE), fusion_concat_proj "
+              "residual input, concat DiT projections, sway t-span + "
+              "CFG-zero-star solver."),
     FamilySpec(
         name="omnivoice",
         reference="vllm_omni/model_executor/models/omnivoice/ (1,670)",
