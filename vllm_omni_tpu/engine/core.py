@@ -91,6 +91,14 @@ class EngineCore:
             fn, groups, aux_builder = make_talker_conditioner(
                 tts["spec"], tts["aux"])
             self.runner.set_step_conditioner(fn, groups, aux_builder)
+        if "voxtral" in self.aux:
+            from vllm_omni_tpu.models.voxtral_tts import (
+                make_voxtral_conditioner)
+
+            vx = self.aux["voxtral"]
+            fn, groups, aux_builder = make_voxtral_conditioner(
+                vx["spec"], vx["aux"])
+            self.runner.set_step_conditioner(fn, groups, aux_builder)
         self.scheduler = Scheduler(config.scheduler, config.cache,
                                    num_pages=self.runner.num_pages)
         self.eos_token_ids = self._resolve_eos()
@@ -238,6 +246,23 @@ class EngineCore:
                     row[spec.codec_eos_token_id] = 0.0
                 self._tts_mask = row
             req.guided_state = FixedLogitMask(self._tts_mask)
+            req.sampling_params = dataclasses.replace(
+                req.sampling_params, return_hidden_states=True)
+        elif "voxtral" in self.aux:
+            # semantic head as lm_head: EMPTY_AUDIO and past-codebook
+            # ids masked (reference FlowMatchingAudioTransformer.
+            # forward:585-588); hidden capture feeds the in-loop
+            # acoustic flow head
+            import dataclasses
+
+            from vllm_omni_tpu.models.fish_speech import FixedLogitMask
+            from vllm_omni_tpu.models.voxtral_tts import (
+                semantic_logit_mask as _vx_mask)
+
+            if not hasattr(self, "_vx_logit_mask"):
+                self._vx_logit_mask = _vx_mask(
+                    self.aux["voxtral"]["spec"])
+            req.guided_state = FixedLogitMask(self._vx_logit_mask)
             req.sampling_params = dataclasses.replace(
                 req.sampling_params, return_hidden_states=True)
         self.scheduler.add_request(req)
@@ -789,6 +814,51 @@ class EngineCore:
             outputs.append(out)
         return outputs
 
+    def _step_code2wav_voxtral(self) -> list[RequestOutput]:
+        """Voxtral TTS audio_tokenizer stage: [T, K] code frames →
+        waveform through the causal ALiBi codec decoder
+        (models/voxtral_tts.py voxtral_code2wav; reference
+        decode_helper_batch_async voxtral_tts_audio_tokenizer.py:1043
+        — strip at END_AUDIO, −special offset, chunked decode)."""
+        from vllm_omni_tpu.models.voxtral_tts import (strip_at_eoa,
+                                                      voxtral_code2wav)
+        from vllm_omni_tpu.utils import pick_bucket
+
+        cargs, cparams = self.aux["code2wav_voxtral"]
+        outputs: list[RequestOutput] = []
+        ready = [r for r in list(self.scheduler.waiting)
+                 if not r.resumable]
+        for req in ready:
+            codes = req.additional_information.get("codec_codes")
+            if codes is not None:
+                arr = np.asarray(codes, np.int32)  # [T, K]
+            else:  # dummy tier: layer-0 only
+                t = max(len(req.prompt_token_ids), 1)
+                arr = np.full((t, 1 + cargs.acoustic_dim), 2, np.int32)
+            raw = strip_at_eoa(arr)
+            if raw.shape[0] == 0:
+                wav = np.zeros((0,), np.float32)
+            else:
+                t = raw.shape[0]
+                b = pick_bucket(t, tuple(2 ** i for i in range(14)))
+                padded = np.zeros((1, raw.shape[1], b), np.int32)
+                padded[0, :, :t] = raw.T
+                fn = getattr(self, "_vx_c2w_fns", None) or {}
+                if b not in fn:
+                    fn[b] = jax.jit(
+                        lambda p, c: voxtral_code2wav(p, cargs, c))
+                    self._vx_c2w_fns = fn
+                wav = np.asarray(fn[b](cparams, jnp.asarray(padded)),
+                                 np.float32)[0]
+                wav = wav[:t * cargs.downsample_factor]
+            self.scheduler.finish_request(req,
+                                          RequestStatus.FINISHED_STOPPED)
+            out = self._make_output(req, finished=True)
+            out.multimodal_output = {"audio": {
+                "data": wav, "sample_rate": cargs.sampling_rate}}
+            outputs.append(out)
+        return outputs
+
     def _step_code2wav(self) -> list[RequestOutput]:
         """code2wav stage: codec codes → waveform, bypassing the
         decoder entirely (reference runs code2wav as a generation-worker
@@ -923,6 +993,8 @@ class EngineCore:
             return self._step_code2wav()
         if "code2wav_tok12" in self.aux:
             return self._step_code2wav_tok12()
+        if "code2wav_voxtral" in self.aux:
+            return self._step_code2wav_voxtral()
         if self._inflight is not None:
             return self._collect_inflight()
         if self._spec_applicable():
@@ -1048,6 +1120,14 @@ class EngineCore:
                 # predictor streamed its full column (talker_mtp)
                 req.additional_information["codec_codes"] = np.stack(
                     rows).T.astype(np.int64).tolist()  # [G, T]
+        if finished and "voxtral" in self.aux:
+            rows = req.additional_information.get("codec_codes_rows")
+            if rows and "codec_codes" not in req.additional_information:
+                # per-step [semantic, acoustic×N] frames (conditioner
+                # streamed them); downstream audio_tokenizer stage
+                # consumes [T, K]
+                req.additional_information["codec_codes"] = np.stack(
+                    rows).astype(np.int64).tolist()  # [T, K]
         text = ""
         if finished and self.tokenizer is not None and \
                 req.sampling_params.detokenize:

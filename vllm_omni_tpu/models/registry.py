@@ -145,8 +145,12 @@ AR_FAMILIES: dict[str, FamilySpec] = {f.name: f for f in [
         stage_config=_cfg("voxtral_tts_tpu.yaml"),
         processors=(f"{_P}.generator2tokenizer",),
         hf_archs=("LlamaForCausalLM",),
-        notes="audio_generation → audio_tokenizer, async_chunk edge "
-              "(reference generator2tokenizer_async_chunk)."),
+        notes="REAL geometry (models/voxtral_tts.py): Mistral backbone "
+              "with the semantic-code lm_head, in-loop flow-matching "
+              "acoustic head (step conditioner streams [sem, ac×N] "
+              "frames), multivocab embed feedback, causal ALiBi codec "
+              "decoder as the audio_tokenizer stage "
+              "(hf_config_name=audio_tokenizer)."),
     FamilySpec(
         name="fish_speech",
         reference="vllm_omni/model_executor/models/fish_speech/ (2,248)",

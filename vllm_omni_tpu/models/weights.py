@@ -372,6 +372,10 @@ def load_model(model_config: ModelConfig,
         from vllm_omni_tpu.models.qwen3_tts import is_qwen3_tts_config
         if is_qwen3_tts_config(probe):
             return _load_qwen3_tts_component(model_config, src, dtype)
+        from vllm_omni_tpu.models.voxtral_tts import (
+            is_voxtral_tts_config)
+        if is_voxtral_tts_config(probe):
+            return _load_voxtral_component(model_config, src, dtype)
         if "decoder_config" in probe and (
                 "decode_upsample_rate" in probe or
                 "encoder_config" in probe):
@@ -599,6 +603,41 @@ def _load_qwen3_tts_component(model_config: ModelConfig, src: str, dtype
           "eos_token_id": spec.codec_eos_token_id,
           "_aux": {"qwen3_tts": {"spec": spec, "aux": ck["aux"],
                                  "backbone_embed": params["embed"]}}}
+    return cfg, params, hf
+
+
+def _load_voxtral_component(model_config: ModelConfig, src: str, dtype
+                            ) -> tuple[DecoderConfig, dict, dict]:
+    """Voxtral TTS checkpoint (reference model_executor/models/
+    voxtral_tts/). hf_config_name="audio_tokenizer" loads the codec
+    decoder as a code2wav stage; otherwise the Mistral backbone (with
+    the semantic-code lm_head) is this stage's decoder and the flow
+    head + multivocab table ride hf["_aux"]["voxtral"] for the
+    engine's in-loop step conditioner."""
+    from vllm_omni_tpu.models.voxtral_tts import (
+        load_voxtral_tts_checkpoint)
+
+    ck = load_voxtral_tts_checkpoint(src, dtype=dtype)
+    if model_config.hf_config_name == "audio_tokenizer":
+        cargs, cparams = ck["codec"]
+        cfg = DecoderConfig(
+            vocab_size=8, hidden_size=8, intermediate_size=8,
+            num_layers=0, num_heads=1, num_kv_heads=1, head_dim=8)
+        params = {"embed": jnp.zeros((8, 8), dtype), "layers": [],
+                  "final_norm": jnp.ones((8,), dtype),
+                  "lm_head": {"w": jnp.zeros((8, 8), dtype)}}
+        hf = {"_aux": {"code2wav_voxtral": (cargs, cparams)}}
+        return cfg, params, hf
+    cfg, params = ck["backbone"]
+    cfg = _apply_quant_flags(cfg, model_config)
+    if model_config.fused_qkv:
+        params = fuse_layer_params(params)
+    params = quantize_params(params, model_config.quantization,
+                             model_config.quant_group_size,
+                             quantize_lm_head=model_config.quantize_lm_head)
+    from vllm_omni_tpu.models.voxtral_tts import END_AUDIO_ID
+    hf = {"vocab_size": cfg.vocab_size, "eos_token_id": END_AUDIO_ID,
+          "_aux": {"voxtral": {"spec": ck["spec"], "aux": ck["aux"]}}}
     return cfg, params, hf
 
 
