@@ -101,6 +101,8 @@ class DiffusionPipeline:
 
         from vllm_omni_tpu.diffusion.bagel import (
             is_bagel_dir as _bagel_dir)
+        from vllm_omni_tpu.diffusion.dreamid import (
+            is_dreamid_dir as _dreamid_dir)
         from vllm_omni_tpu.diffusion.voxcpm import (
             is_voxcpm_dir as _voxcpm_dir)
         from vllm_omni_tpu.diffusion.hunyuan_image3 import (
@@ -145,6 +147,24 @@ class DiffusionPipeline:
             if config.offload == "layerwise":
                 raise ValueError("layerwise offload not wired for "
                                  "voxcpm")
+        elif _dreamid_dir(config.model):
+            # DreamID-Omni fused AV checkpoint (video_config +
+            # audio_config; reference pipeline_dreamid_omni.py)
+            from vllm_omni_tpu.diffusion.dreamid import load_dreamid
+
+            cfg_d, params_d = load_dreamid(config.model, self.dtype)
+            self.family = "dreamid_omni"
+            self.family_cfg = cfg_d
+            self.dit_params = params_d
+            config.vae_latent_channels = cfg_d.video.in_dim
+            config.vae_scale_factor = cfg_d.vae_downsample
+            if config.cache.enabled:
+                logger.warning("cache accel not wired for dreamid; "
+                               "disabling")
+                config.cache.backend = "none"
+            if config.offload == "layerwise":
+                raise ValueError("layerwise offload not wired for "
+                                 "dreamid")
         elif _bagel_dir(config.model):
             # BAGEL unified MoT checkpoint (config.json with llm_config
             # + vae_config; reference pipeline_bagel.py)
@@ -316,6 +336,9 @@ class DiffusionPipeline:
             elif self.family in ("voxcpm", "voxcpm2"):
                 from vllm_omni_tpu.diffusion.voxcpm import (
                     voxcpm_param_shardings as _shardings)
+            elif self.family == "dreamid_omni":
+                from vllm_omni_tpu.diffusion.dreamid import (
+                    dreamid_param_shardings as _shardings)
             else:
                 from vllm_omni_tpu.diffusion.dit import (
                     dit_param_shardings as _shardings)
@@ -361,6 +384,12 @@ class DiffusionPipeline:
                 logger.warning(
                     "hunyuan_image3: tokenizer not loadable (%s) — "
                     "prompts hash into the vocab (dummy tier)", e)
+        elif self.family == "dreamid_omni":
+            from vllm_omni_tpu.diffusion.dreamid import DreamIDRunner
+
+            self._runner = DreamIDRunner(self.family_cfg,
+                                         self.dit_params,
+                                         mesh=self.mesh)
         elif self.family in ("voxcpm", "voxcpm2"):
             from vllm_omni_tpu.diffusion.voxcpm import VoxCPMRunner
 

@@ -302,6 +302,20 @@ DIFFUSION_FAMILIES: dict[str, FamilySpec] = {f.name: f for f in [
               "oracle parity (diffusion/wan.py); frame-batched VAE "
               "decode + RIFE-role interpolation "
               "(diffusion/postprocess.py)."),
+    FamilySpec(
+        name="dreamid_omni",
+        reference="vllm_omni/diffusion/models/dreamid_omni/ (1,342)",
+        stages=("diffusion",),
+        modality="video",
+        stage_config=_cfg("wan2_2_tpu.yaml"),
+        notes="REAL geometry (diffusion/dreamid.py): two native-Wan "
+              "towers in lockstep with fused cross-modal attention "
+              "(rope-aligned temporal subspace, audio positions "
+              "scaled by temporal_rope_scaling_factor), trailing "
+              "identity-reference latents re-injected per step, "
+              "4-branch 3-term CFG. Audio emitted as MMAudio "
+              "latents (external VAE decode is out-of-repo in the "
+              "reference too)."),
 ]}
 
 # diffusers `_class_name` → (family tag, structural notes). Every image
