@@ -103,6 +103,8 @@ class DiffusionPipeline:
             is_bagel_dir as _bagel_dir)
         from vllm_omni_tpu.diffusion.dreamid import (
             is_dreamid_dir as _dreamid_dir)
+        from vllm_omni_tpu.diffusion.magi_human import (
+            is_magi_human_dir as _magi_dir)
         from vllm_omni_tpu.diffusion.voxcpm import (
             is_voxcpm_dir as _voxcpm_dir)
         from vllm_omni_tpu.diffusion.hunyuan_image3 import (
@@ -147,6 +149,24 @@ class DiffusionPipeline:
             if config.offload == "layerwise":
                 raise ValueError("layerwise offload not wired for "
                                  "voxcpm")
+        elif _magi_dir(config.model):
+            # MAGI-Human unified AV DiT (reference pipeline_magi_human)
+            from vllm_omni_tpu.diffusion.magi_human import (
+                load_magi_human)
+
+            cfg_m, params_m = load_magi_human(config.model, self.dtype)
+            self.family = "magi_human"
+            self.family_cfg = cfg_m
+            self.dit_params = params_m
+            config.vae_latent_channels = cfg_m.video_latent_channels
+            config.vae_scale_factor = cfg_m.vae_downsample
+            if config.cache.enabled:
+                logger.warning("cache accel not wired for magi_human; "
+                               "disabling")
+                config.cache.backend = "none"
+            if config.offload == "layerwise":
+                raise ValueError("layerwise offload not wired for "
+                                 "magi_human")
         elif _dreamid_dir(config.model):
             # DreamID-Omni fused AV checkpoint (video_config +
             # audio_config; reference pipeline_dreamid_omni.py)
@@ -339,6 +359,9 @@ class DiffusionPipeline:
             elif self.family == "dreamid_omni":
                 from vllm_omni_tpu.diffusion.dreamid import (
                     dreamid_param_shardings as _shardings)
+            elif self.family == "magi_human":
+                from vllm_omni_tpu.diffusion.magi_human import (
+                    magi_param_shardings as _shardings)
             else:
                 from vllm_omni_tpu.diffusion.dit import (
                     dit_param_shardings as _shardings)
@@ -384,6 +407,13 @@ class DiffusionPipeline:
                 logger.warning(
                     "hunyuan_image3: tokenizer not loadable (%s) — "
                     "prompts hash into the vocab (dummy tier)", e)
+        elif self.family == "magi_human":
+            from vllm_omni_tpu.diffusion.magi_human import (
+                MagiHumanRunner)
+
+            self._runner = MagiHumanRunner(self.family_cfg,
+                                           self.dit_params,
+                                           mesh=self.mesh)
         elif self.family == "dreamid_omni":
             from vllm_omni_tpu.diffusion.dreamid import DreamIDRunner
 

@@ -303,6 +303,21 @@ DIFFUSION_FAMILIES: dict[str, FamilySpec] = {f.name: f for f in [
               "decode + RIFE-role interpolation "
               "(diffusion/postprocess.py)."),
     FamilySpec(
+        name="magi_human",
+        reference="vllm_omni/diffusion/models/magi_human/ (3,907)",
+        stages=("diffusion",),
+        modality="video",
+        stage_config=_cfg("wan2_2_tpu.yaml"),
+        notes="REAL geometry (diffusion/magi_human.py): unified "
+              "video+audio+text single-stream DiT — per-modality "
+              "expert norms/linears on mm_layers (static segment "
+              "slicing, no dispatch gathers), Fourier coords rope, "
+              "sigmoid head gating, swiglu7/gelu7, frame-local "
+              "attention mask, timestep-free denoiser, 2-branch text "
+              "CFG with the t≤500 guidance drop and i2v first-frame "
+              "clamp. T5Gemma/whisper/audio-VAE frontends are "
+              "stage-gated (hash fallback in the dummy tier)."),
+    FamilySpec(
         name="dreamid_omni",
         reference="vllm_omni/diffusion/models/dreamid_omni/ (1,342)",
         stages=("diffusion",),
