@@ -206,8 +206,14 @@ AR_FAMILIES: dict[str, FamilySpec] = {f.name: f for f in [
         stage_config=_cfg("dynin_omni_tpu.yaml"),
         processors=(f"{_P}.token_chain", f"{_P}.token_chain"),
         hf_archs=("Qwen3ForCausalLM",),
-        notes="token2text → token2image → token2audio AR chain; each "
-              "edge forwards tokens + hidden states (token_chain)."),
+        notes="REAL geometry (models/dynin_omni.py): bidirectional "
+              "masked-discrete-diffusion unified LM over a joint "
+              "text+image+audio vocab — LLaDA-style block remasking "
+              "(mmu), Fast-dLLM threshold parallel decode "
+              "(mmu_fastdllm_v1), MaskGIT cosine decode (t2i/t2s), "
+              "task-routed per the reference's generate-fn map. "
+              "token2image/token2audio detok are VQ/codec roles "
+              "(external magvitv2 in the reference too)."),
     FamilySpec(
         name="bagel",
         reference="vllm_omni/model_executor/models/bagel/ (1,110) + "
