@@ -703,6 +703,15 @@ def load_hunyuan_image3(path: str, dtype=jnp.bfloat16
         hf = json.load(f)
     cfg = HI3Config.from_json(hf)
     params = init_hi3_params(cfg, dtype)
+    # real conv3d VAE decoder (vae.decoder.* tensors; diffusion/
+    # vae_hi3.py AutoencoderKLConv3D geometry)
+    from vllm_omni_tpu.diffusion.vae_hi3 import (HI3VaeConfig,
+                                                 assign_hi3_vae_tensor,
+                                                 init_hi3_vae_decoder)
+
+    vae_cfg = HI3VaeConfig.from_json(hf.get("vae") or {})
+    vae_params = init_hi3_vae_decoder(vae_cfg, dtype=jnp.float32)
+    vae_loaded, vae_failed = 0, 0
     loaded, skipped = 0, []
     for f in _collect_safetensor_files(path):
         with safe_open(f, framework="numpy") as st:
@@ -711,10 +720,28 @@ def load_hunyuan_image3(path: str, dtype=jnp.bfloat16
                 if arr.dtype == np.uint16:  # bf16 stored raw
                     arr = np.asarray(
                         jnp.asarray(arr).view(jnp.bfloat16))
+                if name.startswith("vae.decoder."):
+                    if assign_hi3_vae_tensor(
+                            vae_params, name[len("vae."):], arr):
+                        vae_loaded += 1
+                    else:
+                        vae_failed += 1
+                    continue
                 if assign_hi3_tensor(params, name, arr, cfg, dtype):
                     loaded += 1
                 else:
                     skipped.append(name)
+    if vae_loaded and not vae_failed:
+        # ride on the config object (NOT the params pytree — the
+        # backbone shardings/jit map over params)
+        cfg.vae_decoder_params = vae_params
+        cfg.vae_cfg = vae_cfg
+        logger.info("hunyuan_image3: conv3d VAE decoder loaded "
+                    "(%d tensors)", vae_loaded)
+    elif vae_failed:
+        logger.warning("hunyuan_image3: %d vae tensors did not match "
+                       "the AutoencoderKLConv3D geometry — latent "
+                       "preview decode", vae_failed)
     if loaded == 0:
         raise ValueError(f"no hunyuan_image3 tensors mapped from {path}")
     _finalize_experts(params, cfg.decoder)
@@ -903,9 +930,16 @@ class HunyuanImage3Runner:
             return lat
         c = self.cfg
         lat = lat / c.vae_scaling_factor + c.vae_shift_factor
-        # conv3d VAE not wired — emit a normalized latent preview so the
-        # e2e path stays exercisable (documented gap; the reference
-        # decodes through AutoencoderKLConv3D)
+        if getattr(c, "vae_decoder_params", None) is not None:
+            # real AutoencoderKLConv3D decode (vae_hi3.py)
+            from vllm_omni_tpu.diffusion.vae_hi3 import hi3_vae_decode
+
+            img = np.asarray(hi3_vae_decode(
+                c.vae_decoder_params, c.vae_cfg,
+                jnp.asarray(lat)), np.float32)
+            return np.clip(img * 0.5 + 0.5, 0.0, 1.0)
+        # no VAE tensors in the checkpoint — normalized latent preview
+        # keeps the e2e path exercisable (dummy tier)
         x = lat[..., :3]
         lo, hi = x.min(), x.max()
         img = (x - lo) / max(hi - lo, 1e-6)

@@ -269,8 +269,10 @@ AR_FAMILIES: dict[str, FamilySpec] = {f.name: f for f in [
               "shared decoder with HF golden-logit parity. REAL "
               "unified t2i transformer: diffusion/hunyuan_image3.py "
               "(UNet patch embed, centered 2D rope, text-KV-cached "
-              "denoise loop) with torch-oracle parity; the conv3d VAE "
-              "decode is the remaining gap."),
+              "denoise loop) with torch-oracle parity; REAL "
+              "AutoencoderKLConv3D decoder (diffusion/vae_hi3.py — "
+              "DC-AE shortcut upsamplers, GN32 resblocks, mid "
+              "attention) with torch-oracle parity."),
 ]}
 
 
