@@ -555,3 +555,66 @@ def test_base_voice_clone_xvector_prompt(ckpt_dir, tmp_path):
     np.testing.assert_allclose(
         out["prompt_embeds"][3 + 3], tts_pad + emb, rtol=1e-4,
         atol=1e-5)
+
+
+def test_base_icl_voice_clone_prompt(ckpt_dir):
+    """Base in-context cloning (reference _generate_icl_prompt
+    qwen3_tts_talker.py:1163): [ref, target] text embeds overlay the
+    reference codec-frame embeds (group 0 = talker table, residual
+    groups = code-predictor tables) behind a codec_bos prefix."""
+    from vllm_omni_tpu.models.qwen3_tts import (_text_project,
+                                                build_talker_prompt,
+                                                load_qwen3_tts_checkpoint)
+
+    ck = load_qwen3_tts_checkpoint(ckpt_dir)
+    spec, aux = ck["spec"], ck["aux"]
+    codec_emb = np.asarray(ck["backbone"][1]["embed"], np.float32)
+    rng = np.random.default_rng(13)
+    text_ids = [1, 2, 3, 20, 21, 22, 4, 5, 6, 7, 8]
+    ref_ids = [1, 2, 3, 30, 31, 32, 33, 9, 10]
+    t_ref = 4
+    ref_codes = rng.integers(0, 8, (t_ref, G)).astype(np.int64)
+    emb = rng.standard_normal((HS,)).astype(np.float32) * 0.1
+
+    out = build_talker_prompt(spec, ck["backbone"][1], aux, text_ids,
+                              task_type="Base", speaker_embed=emb,
+                              non_streaming=True, ref_ids=ref_ids,
+                              ref_codes=ref_codes)
+    # layout: role(3) + codec_prefix(prefill3 + xvec + pad = 5) +
+    # text_embed(ref 4 + tgt 3 + eos = 8) + codec(bos + T_ref)
+    t_len = (len(ref_ids) - 5) + (len(text_ids) - 8) + 1
+    c_len = 1 + t_ref
+    assert out["prompt_embeds"].shape[0] == 3 + 5 + t_len + c_len
+    # expected codec-frame sum rows: talker table + cp residual tables
+    cp_tables = np.asarray(aux["cp"]["codec_embeddings"], np.float32)
+    want = codec_emb[ref_codes[:, 0]]
+    for g in range(1, G):
+        want = want + cp_tables[g - 1][ref_codes[:, g]]
+    tts_pad = out["tts_pad_embed"]
+    got_codec = out["prompt_embeds"][3 + 5 + t_len:]
+    np.testing.assert_allclose(
+        got_codec[0], codec_emb[spec.codec_bos_id] + tts_pad,
+        rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(got_codec[1:], want + tts_pad[None],
+                               rtol=1e-4, atol=1e-5)
+    # text rows ride on codec_pad embeds
+    txt = np.concatenate([
+        _text_project(aux, np.asarray(ref_ids, np.int64)[3:-2]),
+        _text_project(aux, np.asarray(text_ids, np.int64)[3:-5])],
+        axis=0)
+    np.testing.assert_allclose(
+        out["prompt_embeds"][8:8 + t_len - 1],
+        txt + codec_emb[spec.codec_pad_id][None], rtol=1e-4,
+        atol=1e-5)
+
+    # streaming: text (8 rows) > codec (5 rows) → overlap-add + the
+    # overhang becomes the tailing queue
+    out_s = build_talker_prompt(spec, ck["backbone"][1], aux, text_ids,
+                                task_type="Base", speaker_embed=emb,
+                                non_streaming=False, ref_ids=ref_ids,
+                                ref_codes=ref_codes)
+    assert out_s["prompt_embeds"].shape[0] == 3 + 5 + c_len
+    assert out_s["tailing_text_hidden"].shape[0] == t_len - c_len
+    np.testing.assert_allclose(
+        out_s["prompt_embeds"][8],
+        txt[0] + codec_emb[spec.codec_bos_id], rtol=1e-4, atol=1e-5)

@@ -347,12 +347,23 @@ def build_talker_prompt(spec: Qwen3TTSSpec, backbone: Params,
                         speaker: Optional[str] = None,
                         speaker_embed: Optional[np.ndarray] = None,
                         language: str = "auto",
-                        non_streaming: bool = True) -> dict:
+                        non_streaming: bool = True,
+                        ref_ids: Optional[list] = None,
+                        ref_codes: Optional[np.ndarray] = None) -> dict:
     """→ {"prompt_embeds" [T, H], "tailing_text_hidden" [L, H],
     "tts_pad_embed" [H]} replicating _build_prompt_embeds for
-    CustomVoice / VoiceDesign. text_ids = tokenizer ids of
+    CustomVoice / VoiceDesign / Base. text_ids = tokenizer ids of
     ``<|im_start|>assistant\\n{text}<|im_end|>\\n<|im_start|>assistant\\n``
-    (role header = first 3 ids, template tail = last 5)."""
+    (role header = first 3 ids, template tail = last 5).
+
+    Base in-context voice cloning (reference _generate_icl_prompt
+    qwen3_tts_talker.py:1163): pass ``ref_ids`` (tokenized reference
+    transcript; rows 3:-2 used) and ``ref_codes`` [T_ref, G] codec
+    frames of the reference clip — the combined [ref, target] text
+    embeds overlay the reference codec embeds (group 0 from the talker
+    codec table, residual groups from the code predictor tables) with
+    a codec_bos prefix; streaming mode spills the text overhang into
+    the tailing queue."""
     codec_emb = np.asarray(backbone["embed"], np.float32)
     ids = np.asarray(text_ids, np.int64)
     tts3 = _text_project(aux, np.asarray(
@@ -378,8 +389,9 @@ def build_talker_prompt(spec: Qwen3TTSSpec, backbone: Params,
         # x-vector voice cloning: the ECAPA embedding of the reference
         # clip rides as one prompt row (reference _build_prompt_embeds
         # Base branch; models/speaker_encoder.py
-        # extract_speaker_embedding produces it). ICL mode (reference
-        # codes in the prompt) is not yet wired.
+        # extract_speaker_embedding produces it). With ref_codes +
+        # ref_ids the ICL overlay below extends this to full
+        # in-context cloning.
         if speaker_embed is None:
             raise ValueError("Base voice cloning needs speaker_embed "
                              "(extract_speaker_embedding of the "
@@ -397,6 +409,45 @@ def build_talker_prompt(spec: Qwen3TTSSpec, backbone: Params,
         [np.tile(tts_pad[None], (c - 2, 1)), tts_bos[None]], axis=0)
     codec_prefix = codec_prefix + codec_input[:-1]
     prompt = np.concatenate([role, codec_prefix], axis=0)
+    if task_type == "Base" and ref_codes is not None:
+        # in-context cloning (generate_icl_prompt)
+        if ref_ids is None:
+            raise ValueError("Base ICL needs ref_ids (tokenized "
+                             "reference transcript)")
+        rid = np.asarray(ref_ids, np.int64)[3:-2]
+        text_embed = np.concatenate(
+            [_text_project(aux, np.concatenate([rid, ids[3:-5]])),
+             tts_eos[None]], axis=0)
+        rc = np.asarray(ref_codes, np.int64)  # [T_ref, G]
+        cp_tables = np.asarray(aux["cp"]["codec_embeddings"],
+                               np.float32)  # [G-1, V, Ht]
+        codec_sum = codec_emb[rc[:, 0]]
+        for g in range(1, rc.shape[1]):
+            codec_sum = codec_sum + cp_tables[g - 1][rc[:, g]]
+        codec_sum = np.concatenate(
+            [codec_emb[[spec.codec_bos_id]], codec_sum], axis=0)
+        t_len, c_len = text_embed.shape[0], codec_sum.shape[0]
+        if non_streaming:
+            pad_rows = np.tile(codec_emb[spec.codec_pad_id][None],
+                               (t_len, 1))
+            icl = np.concatenate(
+                [text_embed + pad_rows,
+                 codec_sum + np.tile(tts_pad[None], (c_len, 1))],
+                axis=0)
+            tailing = tts_pad[None]
+        elif t_len > c_len:
+            icl = text_embed[:c_len] + codec_sum
+            tailing = text_embed[c_len:]
+        else:
+            text_embed = np.concatenate(
+                [text_embed,
+                 np.tile(tts_pad[None], (c_len - t_len, 1))], axis=0)
+            icl = text_embed + codec_sum
+            tailing = tts_pad[None]
+        prompt = np.concatenate([prompt, icl], axis=0)
+        return {"prompt_embeds": prompt.astype(np.float32),
+                "tailing_text_hidden": tailing.astype(np.float32),
+                "tts_pad_embed": tts_pad.astype(np.float32)}
     if non_streaming:
         text_all = np.concatenate(
             [_text_project(aux, ids[3:-5]), tts_eos[None]], axis=0)
