@@ -380,11 +380,30 @@ DIFFUSERS_PIPELINE_VARIANTS: dict[str, str] = {
     "FluxKontextPipeline": "flux",
     "QwenImageEditPipeline": "qwen_image",
     "QwenImageEditPlusPipeline": "qwen_image",
+    # layered output = repeated edit-conditioned passes over the same
+    # transformer (reference pipeline_qwen_image_layered.py)
+    "QwenImageLayeredPipeline": "qwen_image",
     "QwenImageImg2ImgPipeline": "qwen_image",
     "FluxImg2ImgPipeline": "flux",
+    "Flux2KleinPipeline": "flux2",
+    "LongCatImageEditPipeline": "longcat_image",
     "WanImageToVideoPipeline": "wan",
+    "Wan22Pipeline": "wan",
+    "Wan22I2VPipeline": "wan",
+    # VACE reference-video conditioning rides the TI2V first-frame
+    # mask-blend machinery (diffusion/pipeline.py _step_body_wan_i2v);
+    # full per-region VACE context blocks are a documented delta
+    "WanVACEPipeline": "wan",
+    "Wan22VACEPipeline": "wan",
     "HunyuanVideo15ImageToVideoPipeline": "hunyuan_video",
+    "HunyuanVideo15I2VPipeline": "hunyuan_video",
     "LTX2ImageToVideoPipeline": "ltx2",
+    # two-stage LTX2 = base denoise + upsampler pass on the same
+    # transformer family (second stage = refinement schedule)
+    "LTX2TwoStagesPipeline": "ltx2",
+    "LTX2ImageToVideoTwoStagesPipeline": "ltx2",
+    # pyramid multi-resolution schedule over the helios transformer
+    "HeliosPyramidPipeline": "helios",
 }
 
 
