@@ -814,6 +814,48 @@ class EngineCore:
             outputs.append(out)
         return outputs
 
+    def _step_token2wav_25(self) -> list[RequestOutput]:
+        """Qwen2.5-Omni token2wav stage: talker codec ids → waveform
+        through the REAL flow-matching mel DiT + anti-aliased BigVGAN
+        (models/qwen2_5_token2wav.py token2wav_generate; reference
+        qwen2_5_omni_token2wav.py sample + BigVGAN forward). Reference
+        mel / speaker vector ride additional_information (the
+        reference's conditioning inputs)."""
+        from vllm_omni_tpu.models.qwen2_5_token2wav import (
+            token2wav_generate)
+
+        bundle = self.aux["token2wav_25"]
+        dit_cfg = bundle["dit"][0]
+        outputs: list[RequestOutput] = []
+        ready = [r for r in list(self.scheduler.waiting)
+                 if not r.resumable]
+        for req in ready:
+            info = req.additional_information
+            code = np.asarray(
+                info.get("codec_codes", req.prompt_token_ids),
+                np.int64).reshape(1, -1)
+            code = np.clip(code, 0, dit_cfg.num_embeds)
+            ref = info.get("ref_mel")
+            ref = (np.asarray(ref, np.float32).reshape(
+                1, -1, dit_cfg.mel_dim) if ref is not None else
+                np.zeros((1, 8, dit_cfg.mel_dim), np.float32))
+            spk = info.get("speaker_embedding")
+            spk = (np.asarray(spk, np.float32).reshape(-1)
+                   if spk is not None else
+                   np.zeros((dit_cfg.enc_emb_dim,), np.float32))
+            wav = token2wav_generate(
+                bundle, code.astype(np.int32), ref, spk,
+                num_steps=int(info.get("num_steps", 10)),
+                guidance_scale=float(info.get("guidance_scale", 0.5)))
+            self.scheduler.finish_request(req,
+                                          RequestStatus.FINISHED_STOPPED)
+            out = self._make_output(req, finished=True)
+            out.multimodal_output = {"audio": {
+                "data": wav[0].astype(np.float32),
+                "sample_rate": 24000}}
+            outputs.append(out)
+        return outputs
+
     def _step_code2wav_voxtral(self) -> list[RequestOutput]:
         """Voxtral TTS audio_tokenizer stage: [T, K] code frames →
         waveform through the causal ALiBi codec decoder
@@ -995,6 +1037,8 @@ class EngineCore:
             return self._step_code2wav_tok12()
         if "code2wav_voxtral" in self.aux:
             return self._step_code2wav_voxtral()
+        if "token2wav_25" in self.aux:
+            return self._step_token2wav_25()
         if self._inflight is not None:
             return self._collect_inflight()
         if self._spec_applicable():

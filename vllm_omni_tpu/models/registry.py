@@ -89,7 +89,13 @@ AR_FAMILIES: dict[str, FamilySpec] = {f.name: f for f in [
         hf_archs=("Qwen2_5OmniForConditionalGeneration",
                   "Qwen2ForCausalLM"),
         notes="Dense thinker (qwen2 block: attention_bias) — same "
-              "3-stage graph as qwen3_omni without MoE/MTP."),
+              "3-stage graph as qwen3_omni without MoE/MTP. REAL "
+              "token2wav (models/qwen2_5_token2wav.py): codec-"
+              "conditioned AdaLN-zero mel DiT (head-0 rope, block-"
+              "diagonal attention, RK4 over the sway schedule, "
+              "ECAPA reference-mel conditioning) + anti-aliased "
+              "SnakeBeta BigVGAN, served as the "
+              "hf_config_name=token2wav stage."),
     FamilySpec(
         name="qwen3_tts",
         reference="vllm_omni/model_executor/models/qwen3_tts/ (7,668 LoC "

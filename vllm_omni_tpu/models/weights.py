@@ -362,6 +362,10 @@ def load_model(model_config: ModelConfig,
             os.path.join(src, "config.json")):
         with open(os.path.join(src, "config.json")) as f:
             probe = json.load(f)
+        if model_config.hf_config_name == "token2wav" and \
+                "token2wav_config" in probe:
+            return _load_token2wav_25_component(model_config, src,
+                                                dtype)
         if model_config.hf_config_name and "thinker_config" in probe:
             return _load_omni_component(model_config, src, dtype)
         if "audio_decoder_config" in probe or \
@@ -603,6 +607,29 @@ def _load_qwen3_tts_component(model_config: ModelConfig, src: str, dtype
           "eos_token_id": spec.codec_eos_token_id,
           "_aux": {"qwen3_tts": {"spec": spec, "aux": ck["aux"],
                                  "backbone_embed": params["embed"]}}}
+    return cfg, params, hf
+
+
+def _load_token2wav_25_component(model_config: ModelConfig, src: str,
+                                 dtype) -> tuple[DecoderConfig, dict,
+                                                 dict]:
+    """Qwen2.5-Omni token2wav stage: codec ids → waveform through the
+    REAL flow-matching mel DiT + anti-aliased BigVGAN
+    (models/qwen2_5_token2wav.py; reference
+    qwen2_5_omni_token2wav.py). Rides hf["_aux"]["token2wav_25"]; the
+    engine bypasses the decoder like the other code2wav stages."""
+    del model_config
+    from vllm_omni_tpu.models.qwen2_5_token2wav import load_token2wav
+
+    bundle = load_token2wav(src, dtype=jnp.float32)
+    cfg = DecoderConfig(
+        vocab_size=bundle["dit"][0].num_embeds, hidden_size=8,
+        intermediate_size=8, num_layers=0, num_heads=1,
+        num_kv_heads=1, head_dim=8)
+    params = {"embed": jnp.zeros((8, 8), dtype), "layers": [],
+              "final_norm": jnp.ones((8,), dtype),
+              "lm_head": {"w": jnp.zeros((8, 8), dtype)}}
+    hf = {"_aux": {"token2wav_25": bundle}}
     return cfg, params, hf
 
 
