@@ -67,9 +67,13 @@ PRODUCER_HF = {
     "num_key_value_heads": 8, "head_dim": 128, "eos_token_id": 2,
 }
 CONSUMER_HF = {
+    # hidden_size matches the producer: the pipeline edge forwards the
+    # producer's hidden states as the consumer's prompt embeddings
+    # (thinker→talker edge shape; dim-matching towers like the
+    # reference's talker projections)
     "architectures": ["Qwen3ForCausalLM"],
-    "vocab_size": 32000, "hidden_size": 1024, "intermediate_size": 2816,
-    "num_hidden_layers": 8, "num_attention_heads": 8,
+    "vocab_size": 32000, "hidden_size": 2048, "intermediate_size": 2816,
+    "num_hidden_layers": 8, "num_attention_heads": 16,
     "num_key_value_heads": 8, "head_dim": 128, "eos_token_id": 2,
 }
 TTFP_DECODE_TOKENS = 200
