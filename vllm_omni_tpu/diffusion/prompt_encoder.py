@@ -27,6 +27,32 @@ logger = init_logger(__name__)
 
 _SLOTS = ("text_encoder", "text_encoder_2", "text_encoder_3")
 
+# qwen_image conditioning prompt (reference
+# pipeline_qwen_image.py:300-301): the Qwen2.5-VL tower runs this chat
+# template around the user prompt; the first 34 tokens (the fixed
+# system/user scaffold) are dropped from the hidden states.
+_QWEN_IMAGE_TEMPLATE = (
+    "<|im_start|>system\nDescribe the image by detailing the color, "
+    "shape, size, texture, quantity, text, spatial relationships of "
+    "the objects and background:<|im_end|>\n<|im_start|>user\n{}"
+    "<|im_end|>\n<|im_start|>assistant\n")
+_QWEN_IMAGE_DROP_IDX = 34
+
+# flux2's Mistral3 encode runs a system+user conversation
+# (pipeline_flux2.py:404-447; the exact creative system message ships
+# with diffusers' flux2 pipeline — not vendorable here, so it is a
+# config knob: set PromptEncoder.flux2_system_message, or the
+# `text_encoder_system_message` field of the stage YAML, to the
+# checkpoint card's string when serving a real FLUX.2 checkpoint).
+_FLUX2_DEFAULT_SYSTEM_MESSAGE = (
+    "You are an AI that converts user requests into detailed image "
+    "descriptions for an image generation model.")
+# intermediate layers whose hidden states form the conditioning
+# (pipeline_flux2.py:414 hidden_states_layers=(10, 20, 30) — written
+# for the 40-layer Mistral3-Small tower; smaller towers scale the
+# same 1/4 / 1/2 / 3/4 depth fractions)
+_FLUX2_LAYERS = (10, 20, 30)
+
 
 class PromptEncoder:
     """Tokenize + encode prompts for one loaded diffusion pipeline."""
@@ -40,6 +66,7 @@ class PromptEncoder:
         self.encoders: dict[str, tuple] = {}
         self.tokenizers: dict[str, Any] = {}
         self._cache: dict[tuple, dict] = {}
+        self.flux2_system_message = _FLUX2_DEFAULT_SYSTEM_MESSAGE
         try:
             index = read_model_index(path)
         except (OSError, ValueError):  # HF-layout dir (no model_index)
@@ -57,8 +84,10 @@ class PromptEncoder:
             try:
                 from transformers import AutoTokenizer
 
-                self.tokenizers[slot] = AutoTokenizer.from_pretrained(
-                    path, subfolder=tok)
+                t = AutoTokenizer.from_pretrained(path, subfolder=tok)
+                if t.pad_token is None:  # LLM towers often ship none
+                    t.pad_token = t.eos_token
+                self.tokenizers[slot] = t
             except Exception as e:  # noqa: BLE001 — HF raises broadly
                 logger.warning("%s: tokenizer %s not loadable (%s)",
                                slot, tok, e)
@@ -102,6 +131,102 @@ class PromptEncoder:
         return np.asarray(seq, np.float32), \
             np.asarray(pooled, np.float32)
 
+    # -- LLM towers ----------------------------------------------------------
+
+    def _run_llm(self, slot: str, text: str, max_len: int,
+                 collect: tuple) -> tuple[dict, int]:
+        """Tokenize (right-padded to the static max_len bucket) and run
+        the tower → ({hidden_states_index: [1, max_len, H] fp32},
+        num_valid_tokens)."""
+        from vllm_omni_tpu.diffusion.text_encoder import llm_hidden_states
+
+        _, cfg, params = self.encoders[slot]
+        tok = self.tokenizers[slot]
+        tok.padding_side = "right"  # causal prefix stays exact
+        out = tok(text, padding="max_length", max_length=max_len,
+                  truncation=True, return_tensors="np")
+        ids = out["input_ids"].astype(np.int32)
+        mask = out.get("attention_mask",
+                       np.ones_like(out["input_ids"]))
+        hs = llm_hidden_states(params, cfg, jnp.asarray(ids), collect,
+                               mask=jnp.asarray(mask))
+        return ({k: np.asarray(v, np.float32) for k, v in hs.items()},
+                int(mask.sum()))
+
+    def _chat_text(self, slot: str, messages: list, **kw) -> str:
+        """apply_chat_template when the tokenizer ships one; otherwise
+        a plain role-prefixed fallback (tiny test tokenizers)."""
+        tok = self.tokenizers[slot]
+        if getattr(tok, "chat_template", None):
+            return tok.apply_chat_template(messages, tokenize=False,
+                                           **kw)
+        parts = []
+        for m in messages:
+            c = m["content"]
+            if isinstance(c, list):
+                c = "".join(x.get("text", "") for x in c)
+            parts.append(f"{m['role']}: {c}")
+        if kw.get("add_generation_prompt"):
+            parts.append("assistant: ")
+        return "\n".join(parts)
+
+    def _encode_qwen_image(self, slot: str, prompt: str,
+                           text_len: int) -> dict:
+        """Final-layer hidden states of the templated prompt with the
+        34-token scaffold dropped (pipeline_qwen_image.py:386-416)."""
+        _, cfg, _ = self.encoders[slot]
+        n = cfg.num_layers
+        txt = _QWEN_IMAGE_TEMPLATE.format(prompt)
+        hs, valid = self._run_llm(slot, txt,
+                                  text_len + _QWEN_IMAGE_DROP_IDX, (n,))
+        drop = min(_QWEN_IMAGE_DROP_IDX, max(valid - 1, 0))
+        emb = hs[n][:, drop:valid]
+        return {"text_states": emb, "pooled": None}
+
+    def _encode_flux2(self, slot: str, prompt: str,
+                      text_len: int) -> dict:
+        """Mistral3 conversation encode: stack intermediate layers'
+        hidden states on channels (pipeline_flux2.py:404-452; layer
+        picks scale to the tower depth — see _FLUX2_LAYERS)."""
+        _, cfg, _ = self.encoders[slot]
+        n = cfg.num_layers
+        ks = _FLUX2_LAYERS if n >= max(_FLUX2_LAYERS) + 1 else \
+            (max(1, n // 4), max(1, n // 2), max(1, 3 * n // 4))
+        messages = [
+            {"role": "system", "content": [
+                {"type": "text", "text": self.flux2_system_message}]},
+            {"role": "user", "content": [
+                {"type": "text", "text": prompt.replace("[IMG]", "")}]},
+        ]
+        txt = self._chat_text(slot, messages,
+                              add_generation_prompt=False)
+        hs, _ = self._run_llm(slot, txt, min(text_len, 512), tuple(ks))
+        # stack(dim=1) + permute + reshape == channel concat per token
+        emb = np.concatenate([hs[k] for k in ks], axis=-1)
+        return {"text_states": emb, "pooled": None}
+
+    def _encode_z_image(self, slot: str, prompt: str,
+                        text_len: int) -> dict:
+        """hidden_states[-2] of the chat-templated prompt, trimmed to
+        the valid tokens (pipeline_z_image.py:255-290)."""
+        _, cfg, _ = self.encoders[slot]
+        n = cfg.num_layers
+        txt = self._chat_text(
+            slot, [{"role": "user", "content": prompt}],
+            add_generation_prompt=True, enable_thinking=True)
+        hs, valid = self._run_llm(slot, txt, text_len, (n - 1,))
+        return {"text_states": hs[n - 1][:, :max(valid, 1)],
+                "pooled": None}
+
+    def _encode_llm_generic(self, slot: str, prompt: str,
+                            text_len: int) -> dict:
+        """Unmapped family with an LLM tower: final normed hidden
+        states of the raw prompt, mask-trimmed."""
+        _, cfg, _ = self.encoders[slot]
+        n = cfg.num_layers
+        hs, valid = self._run_llm(slot, prompt, text_len, (n,))
+        return {"text_states": hs[n][:, :max(valid, 1)], "pooled": None}
+
     # -- family composition --------------------------------------------------
 
     def encode(self, prompt: str, family: str,
@@ -122,6 +247,16 @@ class PromptEncoder:
         kinds = {s: v[0] for s, v in self.encoders.items()}
         t5_slots = [s for s in _SLOTS if kinds.get(s) == "t5"]
         clip_slots = [s for s in _SLOTS if kinds.get(s) == "clip"]
+        llm_slots = [s for s in _SLOTS if kinds.get(s) == "llm"]
+        if llm_slots:
+            s = llm_slots[0]
+            if family.startswith("qwen_image"):
+                return self._encode_qwen_image(s, prompt, text_len)
+            if family.startswith("flux2"):
+                return self._encode_flux2(s, prompt, text_len)
+            if family == "z_image":
+                return self._encode_z_image(s, prompt, text_len)
+            return self._encode_llm_generic(s, prompt, text_len)
         if family == "sd3" and t5_slots and clip_slots:
             # sd3: concat CLIP-L/G seq on channels, zero-pad to the T5
             # width, then concat with T5 along the sequence

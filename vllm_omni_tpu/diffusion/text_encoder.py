@@ -392,6 +392,47 @@ def assign_clip_text_tensor(params: Params, name: str, arr: Any,
 
 
 # ---------------------------------------------------------------------------
+# LLM towers (causal decoders as text encoders)
+# ---------------------------------------------------------------------------
+
+
+def llm_hidden_states(params, cfg, ids: jnp.ndarray, collect: tuple,
+                      mask: Optional[jnp.ndarray] = None
+                      ) -> dict[int, jnp.ndarray]:
+    """Causal full-sequence forward of an LLM text tower →
+    {hidden_states_index: [B, T, H]} with transformers
+    ``output_hidden_states`` indexing (len(layers) = final normed
+    output). ``mask`` [B, T] excludes pad keys like the torch models'
+    attention_mask — flux2 feeds the PADDED sequence to the DiT
+    (pipeline_flux2.py:430 padding="max_length"), so pad-position
+    embeddings must match bit-for-bit, not just the valid prefix.
+    Jitted per (seq_len, collect) — prompt encoding pads to a static
+    bucket so one compilation serves every prompt."""
+    import functools
+
+    from vllm_omni_tpu.models.decoder import decoder_forward
+    from vllm_omni_tpu.ops.attention import mha_xla
+
+    collect = tuple(sorted(set(int(k) for k in collect)))
+
+    @functools.partial(jax.jit, static_argnames=("idxs",))
+    def fwd(p, ids_, mask_, idxs):
+        def attn(i, q, k, v):
+            return mha_xla(q, k, v, scale=cfg.head_dim ** -0.5,
+                           causal=True, key_mask=mask_)
+
+        pos = jnp.broadcast_to(jnp.arange(ids_.shape[1])[None, :],
+                               ids_.shape)
+        _, hs = decoder_forward(p, cfg, ids_, pos, attn,
+                                collect_hidden=idxs)
+        return hs
+
+    if mask is None:
+        mask = jnp.ones(ids.shape, jnp.bool_)
+    return fwd(params, ids, mask.astype(jnp.bool_), collect)
+
+
+# ---------------------------------------------------------------------------
 # loading from a transformers-format subfolder
 # ---------------------------------------------------------------------------
 
@@ -422,6 +463,20 @@ def load_text_encoder(path: str, subfolder: str, dtype=jnp.bfloat16):
         assign = assign_clip_text_tensor
         kind = "clip"
     else:
+        from vllm_omni_tpu.models.weights import (_ARCH_FLAGS,
+                                                  load_text_tower)
+
+        nested_arch = ((cfg_json.get("text_config") or {})
+                       .get("architectures") or [""])[0]
+        if arch in _ARCH_FLAGS or nested_arch in _ARCH_FLAGS or \
+                cfg_json.get("model_type") in ("qwen2_5_vl", "mistral3"):
+            # LLM text tower (qwen_image → Qwen2.5-VL, flux2 →
+            # Mistral3, z_image → Qwen; reference
+            # pipeline_qwen_image.py:418, pipeline_flux2.py:371,
+            # pipeline_z_image.py:186): served by the AR decoder stack
+            cfg, params, _hf = load_text_tower(
+                os.path.join(path, subfolder), dtype)
+            return "llm", cfg, params
         raise ValueError(f"unsupported text encoder arch {arch!r}")
     loaded, unmapped = 0, []
     for name, arr in iter_component_tensors(path, subfolder):

@@ -257,13 +257,21 @@ def _moe_mlp(layer: Params, cfg: DecoderConfig, x: jnp.ndarray
 def decoder_forward(params: Params, cfg: DecoderConfig,
                     token_ids: Optional[jnp.ndarray],
                     positions: jnp.ndarray, attn_apply: AttnApply,
-                    input_embeds: Optional[jnp.ndarray] = None
-                    ) -> jnp.ndarray:
+                    input_embeds: Optional[jnp.ndarray] = None,
+                    collect_hidden: Optional[tuple] = None):
     """token_ids [B, T] (or input_embeds [B, T, H]) → hidden [B, T, H].
 
     positions [B, T] absolute positions for RoPE. Embeddings-as-prompt
     (input_embeds) is how next-stage talker prompts arrive (reference:
     OmniEmbedsPrompt inputs/data.py:85).
+
+    ``collect_hidden``: indices into the transformers
+    ``output_hidden_states`` tuple to also return (0 = embeddings,
+    k = input of layer k for 1 <= k <= N-1, N = final normed output).
+    Diffusion-side LLM text towers consume intermediate states — z_image
+    takes hidden_states[-2] (pipeline_z_image.py:283), flux2 stacks
+    layers (10, 20, 30) (pipeline_flux2.py:414). When given, returns
+    (final, {idx: hidden}).
     """
     if input_embeds is not None:
         x = input_embeds
@@ -287,7 +295,11 @@ def decoder_forward(params: Params, cfg: DecoderConfig,
         rope_dim = int(cfg.head_dim * cfg.partial_rotary_factor) \
             if cfg.glm4_rope else cfg.head_dim
         cos, sin = compute_cos_sin(positions, rope_dim, cfg.rope_theta)
+    collected: dict = {}
+    want = frozenset(collect_hidden or ())
     for i, layer in enumerate(params["layers"]):
+        if i in want:
+            collected[i] = x
         h = rms_norm(x, layer["input_norm"], cfg.rms_norm_eps)
         att = _attention_block(layer, cfg, h, cos, sin, i, attn_apply)
         if cfg.sandwich_norm:  # GLM-4: norm BEFORE the residual add
@@ -303,7 +315,13 @@ def decoder_forward(params: Params, cfg: DecoderConfig,
             mlp_out = rms_norm(mlp_out, layer["post_mlp_norm"],
                                cfg.rms_norm_eps)
         x = x + mlp_out
-    return rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+    out = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+    if collect_hidden is None:
+        return out
+    n = len(params["layers"])
+    if n in want:
+        collected[n] = out
+    return out, collected
 
 
 def compute_logits(params: Params, cfg: DecoderConfig,

@@ -287,12 +287,14 @@ DIFFUSION_FAMILIES: dict[str, FamilySpec] = {f.name: f for f in [
         name="qwen_image",
         reference="vllm_omni/diffusion/models/qwen_image/ (5,914; "
                   "pipeline_qwen_image.py:247)",
-        stages=("llm", "diffusion"),
+        stages=("diffusion",),
         modality="image",
         stage_config=_cfg("qwen_image_tpu.yaml"),
         diffusers_archs=("QwenImageTransformer2DModel",),
         notes="Real transformer geometry + diffusers-format checkpoint "
-              "loader (diffusion/qwen_image.py, diffusion/loader.py)."),
+              "loader (diffusion/qwen_image.py, diffusion/loader.py); "
+              "the Qwen2.5-VL text tower loads in-process from the "
+              "checkpoint's text_encoder/ (prompt_encoder.py)."),
     FamilySpec(
         name="flux",
         reference="vllm_omni/diffusion/models/flux/ (2,359; "

@@ -64,7 +64,39 @@ _ARCH_FLAGS = {
     # diffusion stage's latent stream
     "Qwen2_5_VLForConditionalGeneration": {"attention_bias": True,
                                            "vl_text": True},
+    # Mistral3 (flux2/flux2_klein's text encoder,
+    # pipeline_flux2.py:371 Mistral3ForConditionalGeneration): plain
+    # mistral decoder nested under text_config; the Pixtral vision
+    # tower (vision_tower.*/multi_modal_projector.*) is skipped — the
+    # diffusion side encodes text prompts only
+    "Mistral3ForConditionalGeneration": {"vl_text": True},
 }
+
+# composite-checkpoint prefixes that are not part of the text decoder
+_SKIP_PREFIXES = ("visual.", "model.visual.", "vision_tower.",
+                  "model.vision_tower.", "multi_modal_projector.",
+                  "model.multi_modal_projector.")
+
+
+def flatten_text_config(hf: dict[str, Any]) -> dict[str, Any]:
+    """VL composites (Qwen2.5-VL, Mistral3) nest the decoder fields
+    under ``text_config`` — flatten them so hf_config_to_decoder_config
+    sees a plain decoder config, keeping the composite architecture
+    name so its flags apply."""
+    arch0 = (hf.get("architectures") or
+             (hf.get("text_config") or {}).get("architectures")
+             or [""])[0]
+    if isinstance(hf.get("text_config"), dict) and (
+            _ARCH_FLAGS.get(arch0, {}).get("vl_text") or
+            hf.get("model_type") in ("qwen2_5_vl", "mistral3")):
+        hf = {**hf["text_config"],
+              **{k: v for k, v in hf.items() if k != "text_config"}}
+        if arch0 == "Mistral3ForConditionalGeneration" or \
+                hf.get("model_type") == "mistral3":
+            hf["architectures"] = ["Mistral3ForConditionalGeneration"]
+        else:
+            hf["architectures"] = ["Qwen2_5_VLForConditionalGeneration"]
+    return hf
 
 
 def _scalar(v):
@@ -202,6 +234,9 @@ def _assign(params: dict, hf_name: str, value: np.ndarray, dtype,
     if parts and parts[0] == "language_model":
         # transformers ≥4.52 VL layout: model.language_model.layers.*
         parts = parts[1:]
+        if parts and parts[0] == "model":
+            # pre-4.52 layout: language_model.model.layers.*
+            parts = parts[1:]
 
     def as_dtype(v):
         return jnp.asarray(v).astype(dtype)
@@ -303,7 +338,7 @@ def load_safetensors_params(path: str, cfg: DecoderConfig,
     for f in _collect_safetensor_files(path):
         with safe_open(f, framework="numpy") as st:
             for name in st.keys():
-                if name.startswith(("visual.", "model.visual.")):
+                if name.startswith(_SKIP_PREFIXES):
                     continue  # VL vision tower: not part of this stage
                 arr = st.get_tensor(name)
                 if arr.dtype == np.uint16:  # bf16 stored as raw uint16
@@ -416,18 +451,7 @@ def load_model(model_config: ModelConfig,
         with open(os.path.join(src, "config.json")) as f:
             hf = json.load(f)
         hf.update(model_config.hf_overrides)
-        arch0 = (hf.get("architectures") or
-                 (hf.get("text_config") or {}).get("architectures")
-                 or [""])[0]
-        if isinstance(hf.get("text_config"), dict) and (
-                _ARCH_FLAGS.get(arch0, {}).get("vl_text") or
-                hf.get("model_type") == "qwen2_5_vl"):
-            # VL configs nest the decoder fields under text_config
-            # (and sometimes the architectures list too)
-            hf = {**hf["text_config"], **{
-                k: v for k, v in hf.items() if k != "text_config"}}
-            hf["architectures"] = [
-                "Qwen2_5_VLForConditionalGeneration"]
+        hf = flatten_text_config(hf)
         cfg = hf_config_to_decoder_config(hf)
         cfg = _apply_quant_flags(cfg, model_config)
         if _is_modelopt_fp8(hf):
@@ -450,6 +474,22 @@ def load_model(model_config: ModelConfig,
     params = quantize_params(params, model_config.quantization,
                              model_config.quant_group_size,
                              quantize_lm_head=model_config.quantize_lm_head)
+    return cfg, params, hf
+
+
+def load_text_tower(path: str, dtype=jnp.bfloat16
+                    ) -> tuple[DecoderConfig, dict, dict]:
+    """HF text-decoder dir (possibly a VL composite nesting the decoder
+    under text_config) → (DecoderConfig, params, flat hf config). The
+    diffusion side uses this to serve checkpoints' LLM text encoders
+    in-process: qwen_image → Qwen2.5-VL (pipeline_qwen_image.py:418),
+    flux2 → Mistral3 (pipeline_flux2.py:371), z_image → Qwen
+    (pipeline_z_image.py:186)."""
+    with open(os.path.join(path, "config.json")) as f:
+        hf = json.load(f)
+    hf = flatten_text_config(hf)
+    cfg = hf_config_to_decoder_config(hf)
+    params = load_safetensors_params(path, cfg, dtype)
     return cfg, params, hf
 
 
