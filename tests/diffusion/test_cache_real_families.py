@@ -1,0 +1,101 @@
+"""TeaCache / TaylorSeer on REAL-geometry diffusers-loaded families
+(VERDICT r4 item 3): the modulated-input extractor registry now covers
+qwen_image / flux / wan (reference cache/teacache/extractors.py —
+per-model extract_*_context; teacache.md:23 1.5-2.0×), so a stage YAML
+requesting `tea_cache` on these families actually engages instead of
+logging "disabling". Asserts blocks are skipped with bounded output
+delta vs the uncached baseline, and exact parity at threshold 0."""
+
+import numpy as np
+import pytest
+
+pytest.importorskip("torch")
+
+from vllm_omni_tpu.core.request import DiffusionRequest  # noqa: E402
+from vllm_omni_tpu.core.sampling_params import (  # noqa: E402
+    DiffusionSamplingParams)
+from vllm_omni_tpu.diffusion.config import DiffusionConfig  # noqa: E402
+from vllm_omni_tpu.diffusion.pipeline import (  # noqa: E402
+    DiffusionPipeline)
+
+from tests.diffusion.test_qwen_image_loader import (  # noqa: E402,F401
+    pipeline_dir as qwen_pipeline_dir)
+from tests.diffusion.test_wan_loader import (  # noqa: E402,F401
+    pipeline_dir as wan_pipeline_dir)
+from tests.diffusion.test_flux_loader import (  # noqa: E402,F401
+    pipeline_dir as flux_pipeline_dir)
+from tests.diffusion.test_sd3_loader import (  # noqa: E402,F401
+    pipeline_dir as sd3_pipeline_dir)
+
+
+def _run(model, cache, steps=6, **p_kw):
+    cfg = DiffusionConfig(model=model, dtype="float32",
+                          resolution_buckets=((32, 32),),
+                          flow_shift=1.0, cache=cache)
+    pipe = DiffusionPipeline(cfg)
+    p = DiffusionSamplingParams(num_inference_steps=steps, height=32,
+                                width=32, seed=3, output_type="latent",
+                                **p_kw)
+    st = pipe.prepare(DiffusionRequest("r", "a cat", p))
+    while not st.done:
+        pipe.denoise_step(st)
+    skips = int(st.cache_skips) if st.cache_skips is not None else 0
+    return np.asarray(st.latents), skips, pipe
+
+
+@pytest.mark.parametrize("fixture_name,family", [
+    ("qwen_pipeline_dir", "qwen_image"),
+    ("flux_pipeline_dir", "flux"),
+    ("wan_pipeline_dir", "wan"),
+])
+def test_tea_cache_engages_on_real_family(request, fixture_name,
+                                          family):
+    model = request.getfixturevalue(fixture_name)
+    base, _, _ = _run(model, {"backend": "none"})
+    lat, skips, pipe = _run(model, {"backend": "tea_cache",
+                                    "rel_l1_thresh": 1e9})
+    assert pipe.family == family
+    assert pipe.config.cache.enabled, \
+        "tea_cache must ENGAGE for real families (no 'disabling' gate)"
+    # first and last always compute; everything between skips at 1e9
+    assert skips == 4
+    assert lat.shape == base.shape
+    # bounded delta: skipped velocities reuse the anchor — not equal to
+    # baseline, but in the same ballpark (the denoised field is O(1))
+    assert np.abs(lat - base).mean() < 10 * np.abs(base).mean() + 1.0
+
+    # threshold 0 → never skips → bit-exact with the uncached path
+    exact, skips0, _ = _run(model, {"backend": "tea_cache",
+                                    "rel_l1_thresh": 0.0})
+    assert skips0 == 0
+    np.testing.assert_allclose(exact, base, atol=2e-5, rtol=2e-5)
+
+
+def test_taylor_seer_on_real_family(qwen_pipeline_dir):
+    """The second backend rides the same extractor: same skip
+    criterion, and the extrapolated trajectory stays at least as close
+    to the uncached baseline as plain reuse (the generic-tier
+    invariant, test_diffusion_engine.test_taylor_seer_backend)."""
+    base, _, _ = _run(qwen_pipeline_dir, {"backend": "none"})
+    tea, s1, _ = _run(qwen_pipeline_dir,
+                      {"backend": "tea_cache", "rel_l1_thresh": 1e9})
+    tay, s2, _ = _run(qwen_pipeline_dir,
+                      {"backend": "taylor_seer", "rel_l1_thresh": 1e9})
+    assert s1 == s2 == 4
+    ts_err = float(np.mean(np.abs(tay - base)))
+    tea_err = float(np.mean(np.abs(tea - base)))
+    assert ts_err <= tea_err * 1.05, (ts_err, tea_err)
+
+
+def test_unwired_family_still_gates(sd3_pipeline_dir):
+    """Families without an extractor keep the loud disable (no silent
+    wrong math)."""
+    model = sd3_pipeline_dir
+    cfg = DiffusionConfig(model=model, dtype="float32",
+                          resolution_buckets=((32, 32),),
+                          flow_shift=1.0,
+                          cache={"backend": "tea_cache",
+                                 "rel_l1_thresh": 0.25})
+    pipe = DiffusionPipeline(cfg)
+    assert pipe.family == "sd3"
+    assert not pipe.config.cache.enabled

@@ -321,6 +321,27 @@ def flux_forward(params: Params, cfg: FluxConfig, latents: jnp.ndarray,
     return unpack_latents(out, h, w, p)
 
 
+def flux_modulated_input(params: Params, cfg: FluxConfig,
+                         latents: jnp.ndarray, timesteps: jnp.ndarray,
+                         pooled: Optional[jnp.ndarray] = None,
+                         guidance: Optional[jnp.ndarray] = None
+                         ) -> jnp.ndarray:
+    """TeaCache probe: first double block's img-stream AdaLN-modulated
+    embedding (reference teacache extractor registry role,
+    cache/teacache/extractors.py — modulated input of block 0)."""
+    b = latents.shape[0]
+    img = linear(pack_latents(latents, cfg.pack_factor),
+                 params["x_embedder"])
+    if pooled is None:
+        pooled = jnp.zeros((b, cfg.pooled_projection_dim), img.dtype)
+    temb = flux_time_embed(params, cfg, timesteps, pooled, guidance,
+                           img.dtype)
+    silu_t = jax.nn.silu(temb.astype(jnp.float32)).astype(img.dtype)
+    blk = params["double_blocks"][0]
+    m1, _ = _mod_chunks(linear(silu_t, blk["norm1"]), cfg.inner_dim)
+    return _ada_norm(img, m1[0], m1[1], cfg.eps).astype(jnp.float32)
+
+
 # ---------------------------------------------------------------------------
 # Init + sharding + name mapping
 # ---------------------------------------------------------------------------

@@ -36,6 +36,11 @@ logger = init_logger(__name__)
 
 # families denoising 1D audio-latent streams [B, L, C] (no image VAE);
 # omnivoice emits an 8-codebook token grid on the same audio edge
+# diffusers-loaded families with a TeaCache/TaylorSeer modulated-input
+# extractor (reference cache/teacache/extractors.py per-model registry
+# — qwen first, teacache.md:23 1.5-2.0×). Others disable with a warning.
+_CACHE_ACCEL_FAMILIES = ("qwen_image", "flux", "wan")
+
 AUDIO_LATENT_FAMILIES = ("stable_audio", "cosyvoice3_audio",
                          "omnivoice", "voxcpm", "voxcpm2")
 
@@ -240,7 +245,8 @@ class DiffusionPipeline:
             config.dit.num_layers = self.family_cfg.num_layers
             config.dit.num_heads = self.family_cfg.num_attention_heads
             config.dit.head_dim = self.family_cfg.attention_head_dim
-            if config.cache.enabled:
+            if config.cache.enabled and \
+                    self.family not in _CACHE_ACCEL_FAMILIES:
                 logger.warning("cache accel not wired for family %s yet; "
                                "disabling", self.family)
                 config.cache.backend = "none"
@@ -813,11 +819,8 @@ class DiffusionPipeline:
                                cached, extras_key)
         if cached:
             if state.cache_mod is None:
-                b, h, w, c = state.latents.shape
-                npt = (h // self.config.dit.patch_size) * \
-                    (w // self.config.dit.patch_size)
                 state.cache_mod = jnp.zeros(
-                    (b, npt, self.config.dit.hidden_size), jnp.float32)
+                    self._probe_shape(state.latents.shape), jnp.float32)
                 state.cache_v = jnp.zeros(state.latents.shape, jnp.float32)
                 state.cache_accum = jnp.float32(0.0)
                 state.cache_skips = jnp.int32(0)
@@ -827,6 +830,11 @@ class DiffusionPipeline:
                 # compute must leave dv at zero
                 state.cache_gap = jnp.int32(-1)
             force = jnp.bool_(i == 0 or i == state.num_steps - 1)
+            pooled = state.pooled
+            if pooled is None and self._uses_pooled:
+                pooled = jnp.zeros(
+                    (state.text_states.shape[0],
+                     self.family_cfg.pooled_projection_dim), self.dtype)
             (state.latents, state.cache_mod, state.cache_v,
              state.cache_accum, state.cache_skips, state.cache_dv,
              state.cache_gap) = fn(
@@ -835,7 +843,7 @@ class DiffusionPipeline:
                 jnp.float32(sigma_next),
                 jnp.float32(state.guidance_scale), state.cache_mod,
                 state.cache_v, state.cache_accum, state.cache_skips,
-                state.cache_dv, state.cache_gap, force)
+                state.cache_dv, state.cache_gap, force, pooled)
         elif self.family == "ltx2":
             state.latents, state.audio_latents = fn(
                 self.dit_params, state.latents, state.audio_latents,
@@ -1120,21 +1128,81 @@ class DiffusionPipeline:
         return fwd(params, latents, text_states[:1], tt).astype(
             jnp.float32)
 
+    def _probe_shape(self, latent_shape) -> tuple:
+        """Shape of the family's modulated-input probe buffer."""
+        if self.family == "qwen_image":
+            b, h, w, _ = latent_shape
+            p = self.family_cfg.patch_size
+            return (b, (h // p) * (w // p), self.family_cfg.inner_dim)
+        if self.family == "flux":
+            b, h, w, _ = latent_shape
+            p = self.family_cfg.pack_factor
+            return (b, (h // p) * (w // p), self.family_cfg.inner_dim)
+        if self.family == "wan":
+            if len(latent_shape) == 4:
+                b, h, w, _ = latent_shape
+                f = 1
+            else:
+                b, f, h, w, _ = latent_shape
+            pt, ph, pw = self.family_cfg.patch_size
+            return (b, (f // pt) * (h // ph) * (w // pw),
+                    self.family_cfg.inner_dim)
+        b, h, w, _ = latent_shape
+        npt = (h // self.config.dit.patch_size) * \
+            (w // self.config.dit.patch_size)
+        return (b, npt, self.config.dit.hidden_size)
+
+    def _modulated_input(self, params, latents, t, guidance,
+                         pooled=None) -> jnp.ndarray:
+        """Family-dispatched TeaCache probe (reference
+        cache/teacache/extractors.py registry). ``t`` in raw scheduler
+        units; real families take flow σ like _predict_velocity."""
+        b = latents.shape[0]
+        if self.family == "generic":
+            from vllm_omni_tpu.diffusion.dit import modulated_input
+
+            tt = jnp.full((b,), t, jnp.float32)
+            return modulated_input(params, self.config.dit, latents,
+                                   tt).astype(jnp.float32)
+        sig = t / self.config.num_train_timesteps
+        tt = jnp.full((b,), sig, jnp.float32)
+        if self.family == "qwen_image":
+            from vllm_omni_tpu.diffusion.qwen_image import (
+                qwen_image_modulated_input)
+
+            return qwen_image_modulated_input(params, self.family_cfg,
+                                              latents, tt)
+        if self.family == "flux":
+            from vllm_omni_tpu.diffusion.flux import flux_modulated_input
+
+            g = None
+            if self.family_cfg.guidance_embeds:
+                g = jnp.full((b,), guidance, jnp.float32)
+            pl = pooled[:b] if pooled is not None else None
+            return flux_modulated_input(params, self.family_cfg,
+                                        latents, tt, pooled=pl,
+                                        guidance=g)
+        if self.family == "wan":
+            from vllm_omni_tpu.diffusion.wan import wan_modulated_input
+
+            return wan_modulated_input(params, self.family_cfg, latents,
+                                       tt)
+        raise ValueError(
+            f"no cache extractor for family {self.family!r}")
+
     def _cached_step_body(self, params, latents, text_states, t, sigma,
                           sigma_next, guidance, prev_mod, prev_v, accum,
-                          skips, prev_dv, gap, force, *, use_cfg: bool):
+                          skips, prev_dv, gap, force, pooled=None, *,
+                          use_cfg: bool):
         """tea_cache / taylor_seer step: lax.cond picks full transformer
         forward vs cached-velocity prediction — decision entirely on
         device. tea_cache reuses the last velocity; taylor_seer
         extrapolates it first-order along the (uniform) step index
         (reference cache-dit/TaylorSeer, cache/cache_dit_backend.py:25)."""
-        from vllm_omni_tpu.diffusion.dit import modulated_input
-
         cc = self.config.cache
         taylor = cc.backend == "taylor_seer"
-        tt = jnp.full((latents.shape[0],), t, jnp.float32)
-        mod = modulated_input(params, self.config.dit, latents,
-                              tt).astype(jnp.float32)
+        mod = self._modulated_input(params, latents, t, guidance,
+                                    pooled)
         rel = jnp.mean(jnp.abs(mod - prev_mod)) / (
             jnp.mean(jnp.abs(prev_mod)) + 1e-8)
         rescaled = jnp.polyval(jnp.asarray(cc.coefficients, jnp.float32),
@@ -1153,7 +1221,8 @@ class DiffusionPipeline:
 
         def full(_):
             v = self._predict_velocity(params, latents, text_states,
-                                       t, guidance, use_cfg)
+                                       t, guidance, use_cfg,
+                                       pooled=pooled)
             n = jnp.maximum(gap + 1, 1).astype(jnp.float32)
             # gap == -1 sentinel: no previous anchor → dv stays zero
             dv = jnp.where(gap >= 0, (v - prev_v) / n, 0.0)

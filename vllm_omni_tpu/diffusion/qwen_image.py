@@ -321,6 +321,23 @@ def qwen_image_forward(params: Params, cfg: QwenImageConfig,
     return unpack_latents(out, h, w, p)
 
 
+def qwen_image_modulated_input(params: Params, cfg: QwenImageConfig,
+                               latents: jnp.ndarray,
+                               timesteps: jnp.ndarray) -> jnp.ndarray:
+    """TeaCache probe: layer-0 img-stream AdaLN-modulated embedding
+    (reference cache/teacache/extractors.py:225-229
+    extract_qwen_context — block.img_mod(temb) first chunk applied to
+    img_norm1(hidden)). Cheap relative to a full forward: one packing
+    matmul + the timestep MLP + one modulation linear."""
+    img = linear(pack_latents(latents, cfg.patch_size),
+                 params["img_in"])
+    temb = qwen_time_embed(params, timesteps, img.dtype)
+    silu_t = jax.nn.silu(temb.astype(jnp.float32)).astype(img.dtype)
+    blk = params["blocks"][0]
+    m1, _ = _mod_chunks(linear(silu_t, blk["img_mod"]), cfg.inner_dim)
+    return _ada_norm(img, m1[0], m1[1], cfg.eps).astype(jnp.float32)
+
+
 # ---------------------------------------------------------------------------
 # Init + sharding + name mapping
 # ---------------------------------------------------------------------------

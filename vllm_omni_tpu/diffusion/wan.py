@@ -327,6 +327,34 @@ def wan_forward(params: Params, cfg: WanConfig, latents: jnp.ndarray,
     return out[:, 0] if squeeze_f else out
 
 
+def wan_modulated_input(params: Params, cfg: WanConfig,
+                        latents: jnp.ndarray,
+                        timesteps: jnp.ndarray) -> jnp.ndarray:
+    """TeaCache probe: block-0 self-attention-modulated patch embedding
+    (scale_shift_table rows 0/1 + time projection — the reference
+    teacache extractor's modulated-input signal for Wan). timesteps [B]
+    flow-match σ ∈ [0,1], like wan_forward."""
+    if latents.ndim == 4:
+        latents = latents[:, None]
+    dtype = params["proj_out"]["w"].dtype
+    x = wan_pack_latents(latents.astype(dtype), cfg.patch_size)
+    x = linear(x, params["patch_embedding"])
+    ce = params["condition_embedder"]
+    t_train = timesteps.astype(jnp.float32) * cfg.num_train_timesteps
+    e = _qwen_timestep_embedding(t_train.reshape(-1), dim=cfg.freq_dim,
+                                 scale=1.0).astype(dtype)
+    e = linear(e, ce["time_embedder"]["linear_1"])
+    e = jax.nn.silu(e.astype(jnp.float32)).astype(dtype)
+    temb = linear(e, ce["time_embedder"]["linear_2"])
+    tproj = linear(jax.nn.silu(temb.astype(jnp.float32)).astype(dtype),
+                   ce["time_proj"]).reshape(x.shape[0], 6, cfg.inner_dim)
+    mod = (params["blocks"][0]["scale_shift_table"][None] +
+           tproj).astype(jnp.float32)
+    sh1, sc1 = mod[:, 0], mod[:, 1]
+    return (_layer_norm_nb(x.astype(jnp.float32), cfg.eps) *
+            (1.0 + sc1[:, None, :]) + sh1[:, None, :])
+
+
 # ---------------------------------------------------------------------------
 # Init + sharding + name mapping
 # ---------------------------------------------------------------------------
