@@ -79,6 +79,22 @@ CONSUMER_HF = {
 TTFP_DECODE_TOKENS = 200
 TTFP_CHUNK_FRAMES = 25  # reference codec_chunk_frames
 
+# Tier 4 (DiT ms/step): qwen_image REAL-geometry forward (true packing/
+# rope/joint blocks via the dummy:qwen_image family tier) at a fixed
+# 1024² bucket. Flagship qwen_image is 60 layers ≈ 40 GB bf16 — more
+# than one 16 GB v5e chip holds, so the bench runs the flagship LAYER
+# geometry (3072 hidden, 24×128 heads, 3584 text_dim) at 12 layers and
+# labels it; ms/step scales ~linearly with layers. Cache tier: tea_cache
+# at threshold 1e9 → every non-endpoint step skips (the accel's upper
+# bound, probe overhead included; reference teacache.md:23 1.5-2.0×).
+DIT_RES = 1024
+DIT_STEPS = 12
+DIT_GEOM = {
+    "hidden_size": 3072, "num_layers": 12, "num_heads": 24,
+    "head_dim": 128, "patch_size": 2, "text_dim": 3584,
+    "latent_channels": 16, "axes_dims_rope": [16, 56, 56],
+}
+
 # BENCH_TINY=1: shrink geometry so the full parent/child plumbing can be
 # smoke-tested on the CPU tier in seconds (numbers meaningless)
 if os.environ.get("BENCH_TINY"):
@@ -93,6 +109,11 @@ if os.environ.get("BENCH_TINY"):
                    head_dim=16)
     TTFP_DECODE_TOKENS = 20
     TTFP_CHUNK_FRAMES = 4
+    DIT_RES = 64
+    DIT_STEPS = 6
+    DIT_GEOM.update(hidden_size=128, num_layers=2, num_heads=4,
+                    head_dim=32, text_dim=64,
+                    axes_dims_rope=[8, 12, 12])
 
 
 def _remaining() -> float:
@@ -273,6 +294,56 @@ def child_pipeline() -> None:
         del runner
 
 
+def child_dit() -> None:
+    """DiT denoise ms/step at the fixed 1024² bucket on qwen_image real
+    block geometry, uncached vs tea_cache (skip-all upper bound)."""
+    _child_platform()
+    import jax
+    import jax.numpy as jnp
+
+    jax.device_get(jnp.ones((8, 8)) @ jnp.ones((8, 8)))
+
+    from vllm_omni_tpu.core.request import DiffusionRequest
+    from vllm_omni_tpu.core.sampling_params import DiffusionSamplingParams
+    from vllm_omni_tpu.diffusion.config import DiffusionConfig
+    from vllm_omni_tpu.diffusion.pipeline import DiffusionPipeline
+
+    def run(cache: dict) -> tuple:
+        cfg = DiffusionConfig(
+            model="dummy:qwen_image", dtype="bfloat16", dit=dict(DIT_GEOM),
+            vae_latent_channels=DIT_GEOM["latent_channels"],
+            resolution_buckets=((DIT_RES, DIT_RES),), flow_shift=3.0,
+            cache=cache)
+        pipe = DiffusionPipeline(cfg)
+        p = DiffusionSamplingParams(
+            num_inference_steps=DIT_STEPS, height=DIT_RES, width=DIT_RES,
+            seed=0, output_type="latent")
+        st = pipe.prepare(DiffusionRequest("warm", "x", p))
+        pipe.denoise_step(st)  # compile full step
+        pipe.denoise_step(st)  # compile mid-run variant (cache skip path)
+        jax.block_until_ready(st.latents)
+        st = pipe.prepare(DiffusionRequest("bench", "x", p))
+        t0 = time.time()
+        while not st.done:
+            pipe.denoise_step(st)
+        jax.block_until_ready(st.latents)
+        dt = time.time() - t0
+        skips = int(st.cache_skips) if st.cache_skips is not None else 0
+        return dt * 1e3 / DIT_STEPS, skips
+
+    base_ms, _ = run({"backend": "none"})
+    print("DIT " + json.dumps(
+        {"mode": "uncached", "ms_per_step": round(base_ms, 2),
+         "geom": f"qwen_image {DIT_GEOM['num_layers']}L/"
+                 f"{DIT_GEOM['hidden_size']}h @{DIT_RES}px"}),
+          flush=True)
+    tea_ms, skips = run({"backend": "tea_cache", "rel_l1_thresh": 1e9})
+    print("DIT " + json.dumps(
+        {"mode": "tea_cache_skip_all", "ms_per_step": round(tea_ms, 2),
+         "skips": skips, "speedup": round(base_ms / tea_ms, 2)}),
+          flush=True)
+
+
 # ------------------------------------------------------------------- parent
 
 def _run_child(args: list[str], timeout: float):
@@ -372,6 +443,18 @@ def parent() -> int:
     else:
         _log("skipping TTFP tier (deadline)")
 
+    # Phase 4: DiT ms/step tier (diffusion perf becomes driver-visible)
+    dit: dict = {}
+    if _remaining() > 90:
+        rc4, lines4 = _run_child(
+            ["--dit"], timeout=max(60.0, _remaining() - 20))
+        for ln in lines4:
+            if ln.startswith("DIT "):
+                d = json.loads(ln[4:])
+                dit[d.pop("mode")] = d
+    else:
+        _log("skipping DiT tier (deadline)")
+
     best_bs = max(results, key=lambda b: results[b])
     tps = results[best_bs]
     print(json.dumps({
@@ -389,6 +472,7 @@ def parent() -> int:
         "tiers": {str(b): v for b, v in sorted(results.items())},
         "ttft_512_ms": ttft,
         "ttfp_2stage_ms": ttfp or None,
+        "dit_step": dit or None,
     }), flush=True)
     return 0
 
@@ -400,6 +484,8 @@ def main() -> None:
         child_engine([int(t) for t in sys.argv[2:]])
     elif len(sys.argv) > 1 and sys.argv[1] == "--pipeline":
         child_pipeline()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--dit":
+        child_dit()
     else:
         sys.exit(parent())
 

@@ -317,6 +317,15 @@ REAL_VAE_CLASSES = {
     "AutoencoderKL": "kl",
     "AutoencoderKLQwenImage": "wan",
     "AutoencoderKLWan": "wan",
+    # stable_audio 1D waveform VAE (vae_oobleck.py) — latents decode
+    # straight to waveform, no scaling factor
+    # (pipeline_stable_audio.py:571)
+    "AutoencoderOobleck": "oobleck",
+    # LTX causal 3D video VAEs (vae_ltx2.py) — per-channel
+    # latents_mean/std denormalize + optional timestep-conditioned
+    # decode (pipeline_ltx2.py:195, :1119-1140)
+    "AutoencoderKLLTX2Video": "ltx2",
+    "AutoencoderKLLTXVideo": "ltx2",
 }
 
 
@@ -347,6 +356,24 @@ def load_vae(path: str, dtype=jnp.bfloat16) -> dict[str, Any]:
         assign = assign_kl_tensor
         meta["latent_channels"] = cfg.latent_channels
         meta["scale_factor"] = cfg.spatial_scale
+    elif kind == "oobleck":
+        from vllm_omni_tpu.diffusion.vae_oobleck import (
+            OobleckConfig, assign_oobleck_tensor, init_oobleck_params)
+
+        cfg = OobleckConfig.from_json(cfg_json)
+        params = init_oobleck_params(cfg)
+        assign = assign_oobleck_tensor
+        meta["latent_channels"] = cfg.decoder_input_channels
+        meta["scale_factor"] = cfg.hop
+    elif kind == "ltx2":
+        from vllm_omni_tpu.diffusion.vae_ltx2 import (
+            VAELTX2Config, assign_ltx2_vae_tensor, init_ltx2_vae_params)
+
+        cfg = VAELTX2Config.from_json(cfg_json)
+        params = init_ltx2_vae_params(cfg, dtype)
+        assign = assign_ltx2_vae_tensor
+        meta["latent_channels"] = cfg.latent_channels
+        meta["scale_factor"] = cfg.spatial_ratio
     else:
         from vllm_omni_tpu.diffusion.vae_wan import (
             VAEWanConfig, assign_wan_vae_tensor, init_wan_vae_params)
@@ -362,6 +389,14 @@ def load_vae(path: str, dtype=jnp.bfloat16) -> dict[str, Any]:
             loaded += 1
         else:
             unmapped.append(name)
+    if kind == "oobleck":
+        from vllm_omni_tpu.diffusion.vae_oobleck import (
+            finalize_oobleck_params)
+
+        finalize_oobleck_params(params)
+    if kind in ("oobleck", "ltx2"):
+        # encoder tensors are intentionally skipped at serving time
+        unmapped = [n for n in unmapped if not n.startswith("encoder.")]
     if unmapped:
         logger.warning("vae: %d unmapped tensors, e.g. %s",
                        len(unmapped), unmapped[:8])

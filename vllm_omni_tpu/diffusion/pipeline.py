@@ -208,6 +208,34 @@ class DiffusionPipeline:
             if config.offload == "layerwise":
                 raise ValueError("layerwise offload not wired for "
                                  "bagel")
+        elif config.model.startswith("dummy:"):
+            # random-weight REAL-geometry family tier: exercises the
+            # family's true forward (packing, rope, per-family blocks)
+            # without a checkpoint on disk — the bench/dryrun analogue
+            # of the reference's random-weight HF checkpoints
+            # (SURVEY §4 tiny-model strategy; bench.py dit tier)
+            fam = config.model.split(":", 1)[1]
+            if fam != "qwen_image":
+                raise ValueError(
+                    f"dummy family tier supports qwen_image, got {fam!r}")
+            from vllm_omni_tpu.diffusion.qwen_image import (
+                QwenImageConfig, init_qwen_image_params)
+
+            self.family = "qwen_image"
+            p = config.dit.patch_size
+            self.family_cfg = QwenImageConfig(
+                patch_size=p,
+                in_channels=config.vae_latent_channels * p * p,
+                out_channels=config.vae_latent_channels,
+                num_layers=config.dit.num_layers,
+                attention_head_dim=config.dit.head_dim,
+                num_attention_heads=config.dit.num_heads,
+                joint_attention_dim=config.dit.text_dim,
+                axes_dims_rope=tuple(config.dit.axes_dims_rope))
+            self.dit_params = init_qwen_image_params(
+                self.family_cfg, k1, self.dtype)
+            config.dit.hidden_size = self.family_cfg.inner_dim
+            config.dit.latent_channels = config.vae_latent_channels
         elif is_diffusers_pipeline(config.model):
             from vllm_omni_tpu.diffusion.loader import (
                 load_diffusers_pipeline)
@@ -462,7 +490,8 @@ class DiffusionPipeline:
         # text states from the upstream AR stage instead.
         self.prompt_encoder = None
         self._uses_pooled = self.family in ("flux", "sd3")
-        if self.family != "generic":
+        if self.family != "generic" and \
+                not config.model.startswith("dummy:"):
             from vllm_omni_tpu.diffusion.prompt_encoder import (
                 PromptEncoder)
 
@@ -1408,17 +1437,34 @@ class DiffusionPipeline:
             return np.asarray(state.latents)
         lat = state.latents
         if lat.ndim == 3:
-            # audio-latent family (stable_audio): [B, L, C] float
-            # latents go downstream raw (reference decodes through the
-            # Oobleck VAE; our waveform decode rides the vocoder stage)
+            # audio-latent family (stable_audio): [B, L, C_lat] float.
+            # With the checkpoint's Oobleck VAE loaded, decode to
+            # waveform [B, samples, audio_channels]
+            # (pipeline_stable_audio.py:571 vae.decode — no scaling
+            # factor); config-only checkpoints keep shipping raw
+            # latents downstream (dummy/bench tier).
+            if self.vae_kind == "oobleck":
+                from vllm_omni_tpu.diffusion.vae_oobleck import (
+                    oobleck_decode)
+
+                vp = jax.device_put(self._vae_host) \
+                    if self._vae_host is not None else self.vae_params
+                if not hasattr(self, "_oobleck_fn"):
+                    self._oobleck_fn = jax.jit(
+                        lambda p, x: oobleck_decode(p, self.vae_cfg, x))
+                wav = np.asarray(self._oobleck_fn(vp, lat), np.float32)
+                if self._vae_host is not None:
+                    del vp
+                return wav
             return np.asarray(lat, np.float32)
         squeeze_t = False
-        if lat.ndim == 5 and self.vae_kind != "wan":
-            # generic/kl 2D VAEs: frames decode as a batch; the wan VAE
-            # decodes the full clip (temporal upsampling is causal 3D)
+        if lat.ndim == 5 and self.vae_kind not in ("wan", "ltx2"):
+            # generic/kl 2D VAEs: frames decode as a batch; the wan and
+            # ltx2 VAEs decode the full clip (temporal upsampling is
+            # causal 3D)
             b, f, h, w, c = lat.shape
             lat = lat.reshape(b * f, h, w, c)
-        elif lat.ndim == 4 and self.vae_kind == "wan":
+        elif lat.ndim == 4 and self.vae_kind in ("wan", "ltx2"):
             lat, squeeze_t = lat[:, None], True  # image = 1-frame clip
         if self._vae_host is not None:
             vae = jax.device_put(self._vae_host)  # stage in for decode
@@ -1473,6 +1519,16 @@ class DiffusionPipeline:
                 from vllm_omni_tpu.diffusion.vae_wan import wan_decode
 
                 return wan_decode(params, vcfg, latents)
+            if kind == "ltx2":
+                from vllm_omni_tpu.diffusion.vae_ltx2 import (
+                    denormalize_ltx2_latents, ltx2_vae_decode)
+
+                lat = denormalize_ltx2_latents(latents, params,
+                                               vcfg.scaling_factor)
+                # decode_timestep 0.0 default (reference
+                # pipeline_ltx2.py:772; per-request override rides
+                # sampling extra_args — see post_decode)
+                return ltx2_vae_decode(params, vcfg, lat)
             return vae_decode(params, latents)
 
         return jax.jit(decode)
