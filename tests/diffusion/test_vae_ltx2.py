@@ -317,6 +317,168 @@ def test_ltx2_e2e_video_decodes_through_real_vae(tmp_path):
     assert vid.dtype == np.uint8
 
 
+class UpResBlock(nn.Module):
+    def __init__(self, c):
+        super().__init__()
+        self.conv1 = nn.Conv3d(c, c, 3, padding=1)
+        self.norm1 = nn.GroupNorm(min(32, c), c)
+        self.conv2 = nn.Conv3d(c, c, 3, padding=1)
+        self.norm2 = nn.GroupNorm(min(32, c), c)
+
+    def forward(self, x):
+        h = torch.nn.functional.silu(self.norm1(self.conv1(x)))
+        h = self.norm2(self.conv2(h))
+        return x + h
+
+
+class UpsamplerOracle(nn.Module):
+    def __init__(self, cin, mid, n):
+        super().__init__()
+        self.initial_conv = nn.Conv3d(cin, mid, 3, padding=1)
+        self.initial_norm = nn.GroupNorm(min(32, mid), mid)
+        self.res_blocks = nn.ModuleList(
+            [UpResBlock(mid) for _ in range(n)])
+        self.upsampler = nn.Sequential(
+            nn.Conv3d(mid, mid * 4, 3, padding=1))
+        self.post_upsample_res_blocks = nn.ModuleList(
+            [UpResBlock(mid) for _ in range(n)])
+        self.final_conv = nn.Conv3d(mid, cin, 3, padding=1)
+
+    def forward(self, x):
+        x = torch.nn.functional.silu(
+            self.initial_norm(self.initial_conv(x)))
+        for r in self.res_blocks:
+            x = r(x)
+        x = self.upsampler[0](x)
+        b, c, f, h, w = x.shape
+        co = c // 4
+        x = x.reshape(b, co, 1, 2, 2, f, h, w)
+        x = x.permute(0, 1, 5, 2, 6, 3, 7, 4)
+        x = x.reshape(b, co, f, h * 2, w * 2)
+        for r in self.post_upsample_res_blocks:
+            x = r(x)
+        return self.final_conv(x)
+
+
+def test_latent_upsampler_parity():
+    from vllm_omni_tpu.diffusion.vae_ltx2 import (
+        LTX2UpsamplerConfig, assign_ltx2_upsampler_tensor,
+        init_ltx2_upsampler_params, ltx2_latent_upsample)
+
+    ucfg = LTX2UpsamplerConfig(in_channels=4, mid_channels=8,
+                               num_blocks_per_stage=2)
+    torch.manual_seed(3)
+    m = UpsamplerOracle(4, 8, 2).eval()
+    params = init_ltx2_upsampler_params(ucfg, jnp.float32)
+    unmapped = [k for k, v in m.state_dict().items()
+                if not assign_ltx2_upsampler_tensor(
+                    params, k, v.numpy(), jnp.float32)]
+    assert not unmapped, unmapped
+    lat = np.random.default_rng(5).normal(
+        size=(1, 4, 2, 4, 4)).astype(np.float32)
+    with torch.no_grad():
+        want = m(torch.from_numpy(lat)).numpy()
+    got = np.asarray(ltx2_latent_upsample(
+        params, ucfg, jnp.asarray(lat.transpose(0, 2, 3, 4, 1))))
+    got = got.transpose(0, 4, 1, 2, 3)
+    assert got.shape == want.shape == (1, 4, 2, 8, 8)
+    np.testing.assert_allclose(got, want, atol=3e-4, rtol=3e-3)
+
+
+def test_ltx2_two_stage_runs_real_upsampler(tmp_path):
+    """LTX2TwoStagesPipeline checkpoints run the REAL second model:
+    stage-1 denoise → latent upsample ×2 → short refinement pass →
+    decode at doubled resolution (reference pipeline_ltx2.py:1258-1304
+    — previously served as a refinement schedule WITHOUT the
+    upsampler model, VERDICT r4 item 2)."""
+    import json
+
+    from safetensors.torch import save_file
+
+    from tests.diffusion.test_ltx2_loader import TINY, _tiny_state_dict
+    from vllm_omni_tpu.core.request import DiffusionRequest
+    from vllm_omni_tpu.core.sampling_params import DiffusionSamplingParams
+    from vllm_omni_tpu.diffusion.config import DiffusionConfig
+    from vllm_omni_tpu.diffusion.engine import DiffusionEngine
+
+    root = tmp_path / "ltx2_two_stage"
+    for d in ("transformer", "scheduler", "vae", "latent_upsampler"):
+        (root / d).mkdir(parents=True)
+    tiny = dict(TINY, in_channels=4, out_channels=4)
+    with open(root / "model_index.json", "w") as f:
+        json.dump({"_class_name": "LTX2TwoStagesPipeline",
+                   "transformer": ["diffusers",
+                                   "LTX2VideoTransformer3DModel"],
+                   "scheduler": ["diffusers",
+                                 "FlowMatchEulerDiscreteScheduler"],
+                   "vae": ["diffusers", "AutoencoderKLLTX2Video"],
+                   "latent_upsampler": ["diffusers",
+                                        "LTX2LatentUpsamplerModel"]}, f)
+    with open(root / "transformer" / "config.json", "w") as f:
+        json.dump({"_class_name": "LTX2VideoTransformer3DModel",
+                   **tiny}, f)
+    with open(root / "scheduler" / "scheduler_config.json", "w") as f:
+        json.dump({"_class_name": "FlowMatchEulerDiscreteScheduler",
+                   "num_train_timesteps": 1000, "shift": 1.0}, f)
+    vcfg = VAELTX2Config(
+        latent_channels=4, decoder_block_out_channels=(8, 16),
+        decoder_layers_per_block=(1, 1, 1),
+        decoder_spatio_temporal_scaling=(True, True),
+        decoder_inject_noise=(False, False, False),
+        upsample_residual=(True, False), upsample_factor=(2, 2),
+        timestep_conditioning=False, patch_size=2, patch_size_t=1)
+    with open(root / "vae" / "config.json", "w") as f:
+        json.dump({"_class_name": "AutoencoderKLLTX2Video",
+                   "latent_channels": 4,
+                   "decoder_block_out_channels": [8, 16],
+                   "decoder_layers_per_block": [1, 1, 1],
+                   "decoder_spatio_temporal_scaling": [True, True],
+                   "decoder_inject_noise": [False, False, False],
+                   "upsample_residual": [True, False],
+                   "upsample_factor": [2, 2],
+                   "timestep_conditioning": False,
+                   "patch_size": 2, "patch_size_t": 1,
+                   "scaling_factor": 1.0}, f)
+    with open(root / "latent_upsampler" / "config.json", "w") as f:
+        json.dump({"_class_name": "LTX2LatentUpsamplerModel",
+                   "in_channels": 4, "mid_channels": 8,
+                   "num_blocks_per_stage": 2,
+                   "spatial_upsample": True,
+                   "temporal_upsample": False}, f)
+    save_file(_tiny_state_dict(cfg=tiny), str(
+        root / "transformer" / "diffusion_pytorch_model.safetensors"))
+    torch.manual_seed(9)
+    dec = Decoder(vcfg).eval()
+    for p in dec.parameters():
+        p.requires_grad_(False)
+        if p.ndim >= 4:
+            p.mul_(0.25)
+    vae_sd = {"decoder." + k: v.detach().clone()
+              for k, v in dec.state_dict().items()}
+    vae_sd["latents_mean"] = torch.zeros(4)
+    vae_sd["latents_std"] = torch.ones(4)
+    save_file(vae_sd,
+              str(root / "vae" / "diffusion_pytorch_model.safetensors"))
+    ups = UpsamplerOracle(4, 8, 2).eval()
+    save_file({k: v.detach().clone()
+               for k, v in ups.state_dict().items()},
+              str(root / "latent_upsampler" /
+                  "diffusion_pytorch_model.safetensors"))
+
+    eng = DiffusionEngine(DiffusionConfig(
+        model=str(root), dtype="float32",
+        resolution_buckets=((32, 32), (64, 64)), flow_shift=1.0))
+    assert eng.pipeline._ltx2_upsampler is not None
+    out = eng.generate([DiffusionRequest(
+        "r0", "a talking dog", DiffusionSamplingParams(
+            num_inference_steps=2, height=32, width=32, num_frames=2,
+            guidance_scale=4.0, seed=0, output_type="np"))])[0]
+    assert out.error is None, out.error
+    vid = np.asarray(out.video)
+    # stage-2 latents are 8×8 → decoded 64×64 (×2 over the request)
+    assert vid.shape == (5, 64, 64, 3)
+
+
 def test_denormalize_matches_reference_formula(oracle):
     params, sd = _load_params(oracle)
     lat = np.random.default_rng(4).normal(size=(1, 2, 2, 2, 6))

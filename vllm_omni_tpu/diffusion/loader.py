@@ -455,4 +455,35 @@ def load_diffusers_pipeline(path: str, dtype=jnp.bfloat16) -> dict:
             out["vae"] = load_vae(path, dtype)
         except FileNotFoundError:
             out["vae"] = None
+    if os.path.isdir(os.path.join(path, "latent_upsampler")):
+        # LTX2 two-stage second model (LTX2LatentUpsamplerModel,
+        # pipeline_ltx2_latent_upsample.py) — upsamples stage-1 latents
+        # before the distilled refinement pass
+        try:
+            out["latent_upsampler"] = load_latent_upsampler(path, dtype)
+        except (FileNotFoundError, ValueError) as e:
+            logger.warning("latent_upsampler/: not loadable (%s)", e)
     return out
+
+
+def load_latent_upsampler(path: str, dtype=jnp.bfloat16) -> dict:
+    from vllm_omni_tpu.diffusion.vae_ltx2 import (
+        LTX2UpsamplerConfig, assign_ltx2_upsampler_tensor,
+        init_ltx2_upsampler_params)
+
+    cfg_json = component_config(path, "latent_upsampler")
+    cfg = LTX2UpsamplerConfig.from_json(cfg_json)
+    params = init_ltx2_upsampler_params(cfg, dtype)
+    loaded, unmapped = 0, []
+    for name, arr in iter_component_tensors(path, "latent_upsampler"):
+        if assign_ltx2_upsampler_tensor(params, name, arr, dtype):
+            loaded += 1
+        else:
+            unmapped.append(name)
+    if loaded == 0:
+        raise ValueError("no latent_upsampler tensors mapped")
+    if unmapped:
+        logger.warning("latent_upsampler: %d unmapped, e.g. %s",
+                       len(unmapped), unmapped[:6])
+    logger.info("latent_upsampler: %d tensors loaded", loaded)
+    return {"cfg": cfg, "params": params}

@@ -244,6 +244,8 @@ class DiffusionPipeline:
             self.family = loaded["family"]
             self.family_cfg = loaded["transformer_cfg"]
             self.dit_params = loaded["params"]
+            self.pipeline_class = loaded.get("class_name") or ""
+            self._ltx2_upsampler = loaded.get("latent_upsampler")
             sched = loaded.get("scheduler") or {}
             if sched:
                 config.num_train_timesteps = sched["num_train_timesteps"]
@@ -286,6 +288,9 @@ class DiffusionPipeline:
         if not hasattr(self, "vae_kind"):
             self.vae_kind, self.vae_cfg = "generic", None
             self._loaded_vae_params = None
+        if not hasattr(self, "pipeline_class"):
+            self.pipeline_class = ""
+            self._ltx2_upsampler = None
         if self._loaded_vae_params is not None:
             self.vae_params = self._loaded_vae_params
         else:
@@ -1538,7 +1543,57 @@ class DiffusionPipeline:
         state = self.prepare(req)
         while not state.done:
             self.denoise_step(state)
+        two_stage = self._ltx2_upsampler is not None and (
+            "TwoStages" in self.pipeline_class or
+            (req.params.extra_args or {}).get("two_stage"))
+        if two_stage and self.family == "ltx2":
+            state = self._ltx2_refine_stage(req, state)
         return self.post_decode(state, req.params.output_type), state
+
+    def _ltx2_refine_stage(self, req: DiffusionRequest,
+                           state: DenoiseState) -> DenoiseState:
+        """LTX2 two-stage: upsample stage-1 latents ×2 spatially through
+        the checkpoint's REAL latent-upsampler model, re-noise at the
+        first refinement sigma, and run the short distilled refinement
+        schedule at guidance 1.0 (reference LTX2TwoStagesPipeline,
+        pipeline_ltx2.py:1258-1304: upsample_pipe → 3-step
+        STAGE_2_DISTILLED_SIGMA_VALUES pass). The distilled stage-2
+        sigmas ship with the checkpoint card — override via
+        extra_args.stage2_sigmas."""
+        from vllm_omni_tpu.diffusion.vae_ltx2 import (
+            denormalize_ltx2_latents, ltx2_latent_upsample)
+
+        up = self._ltx2_upsampler
+        lat = state.latents
+        # the upsampler consumes UNnormalized latents
+        # (pipeline_ltx2_latent_upsample.py:97); stage 2 re-normalizes
+        if self.vae_kind == "ltx2":
+            lat = denormalize_ltx2_latents(lat, self.vae_params,
+                                           self.vae_cfg.scaling_factor)
+        lat = ltx2_latent_upsample(up["params"], up["cfg"], lat)
+        if self.vae_kind == "ltx2":
+            mean = self.vae_params["latents_mean"].astype(jnp.float32)
+            std = self.vae_params["latents_std"].astype(jnp.float32)
+            lat = ((lat.astype(jnp.float32) - mean) *
+                   self.vae_cfg.scaling_factor / std).astype(lat.dtype)
+        sigmas = tuple((req.params.extra_args or {}).get(
+            "stage2_sigmas", (0.9094, 0.725, 0.4219)))
+        seed = req.params.seed if req.params.seed is not None else 0
+        noise = jax.random.normal(jax.random.PRNGKey(seed + 1),
+                                  lat.shape, jnp.float32)
+        s0 = float(sigmas[0])
+        lat = (s0 * noise + (1.0 - s0) *
+               lat.astype(jnp.float32)).astype(lat.dtype)
+        sig = np.asarray(tuple(sigmas) + (0.0,), np.float32)
+        state2 = DenoiseState(
+            latents=lat, text_states=state.text_states,
+            audio_latents=state.audio_latents,
+            sigmas=sig,
+            timesteps=sig[:-1] * self.config.num_train_timesteps,
+            guidance_scale=1.0, use_cfg=False, pooled=state.pooled)
+        while not state2.done:
+            self.denoise_step(state2)
+        return state2
 
 
 def _pad_or_trim(x: np.ndarray, t: int) -> np.ndarray:

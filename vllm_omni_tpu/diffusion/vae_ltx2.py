@@ -257,6 +257,158 @@ def denormalize_ltx2_latents(latents: jnp.ndarray, params: Params,
 
 
 # ---------------------------------------------------------------------------
+# LTX2 latent upsampler (the two-stage pipeline's REAL second model —
+# reference pipeline_ltx2_latent_upsample.py LTX2LatentUpsamplerModel,
+# consumed by LTX2TwoStagesPipeline: stage-1 latents upsample ×2
+# spatially before the 3-step distilled refinement pass,
+# pipeline_ltx2.py:1258-1304)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class LTX2UpsamplerConfig:
+    in_channels: int = 128
+    mid_channels: int = 512
+    num_blocks_per_stage: int = 4
+    spatial_upsample: bool = True
+    temporal_upsample: bool = False
+
+    @classmethod
+    def from_json(cls, cfg: dict[str, Any]) -> "LTX2UpsamplerConfig":
+        keep = set(cls.__dataclass_fields__)
+        return cls(**{k: v for k, v in cfg.items() if k in keep})
+
+
+def _group_norm(x: jnp.ndarray, p: Params, groups: int = 32,
+                eps: float = 1e-5) -> jnp.ndarray:
+    b = x.shape[0]
+    c = x.shape[-1]
+    g = min(groups, c)
+    spatial = x.shape[1:-1]
+    xf = x.astype(jnp.float32).reshape(b, -1, g, c // g)
+    mean = xf.mean(axis=(1, 3), keepdims=True)
+    var = xf.var(axis=(1, 3), keepdims=True)
+    xf = (xf - mean) * jax.lax.rsqrt(var + eps)
+    xf = xf.reshape(b, *spatial, c)
+    return (xf * p["scale"].astype(jnp.float32) +
+            p["shift"].astype(jnp.float32)).astype(x.dtype)
+
+
+def _conv3d_same(x: jnp.ndarray, p: Params) -> jnp.ndarray:
+    """Plain (non-causal) 3³ conv, symmetric replicate-free zero pad."""
+    kt, kh, kw = p["w"].shape[:3]
+    out = jax.lax.conv_general_dilated(
+        x, p["w"].astype(x.dtype), window_strides=(1, 1, 1),
+        padding=[(kt // 2, kt // 2), (kh // 2, kh // 2),
+                 (kw // 2, kw // 2)],
+        dimension_numbers=_DN)
+    if "b" in p:
+        out = out + p["b"].astype(out.dtype)
+    return out
+
+
+def _up_resblock(x: jnp.ndarray, p: Params) -> jnp.ndarray:
+    h = _conv3d_same(x, p["conv1"])
+    h = jax.nn.silu(_group_norm(h, p["norm1"]).astype(jnp.float32)
+                    ).astype(x.dtype)
+    h = _conv3d_same(h, p["conv2"])
+    h = _group_norm(h, p["norm2"])
+    return x + h
+
+
+def ltx2_latent_upsample(params: Params, cfg: LTX2UpsamplerConfig,
+                         latents: jnp.ndarray) -> jnp.ndarray:
+    """latents [B, F, H, W, C] (UNnormalized — reference
+    pipeline_ltx2_latent_upsample.py:97 'operates on the unnormalized
+    latents') → [B, F, 2H, 2W, C] (spatial ×2; temporal_upsample adds
+    the time axis when enabled)."""
+    x = _conv3d_same(latents, params["initial_conv"])
+    x = jax.nn.silu(_group_norm(x, params["initial_norm"]).astype(
+        jnp.float32)).astype(latents.dtype)
+    for r in params["res_blocks"]:
+        x = _up_resblock(x, r)
+    if cfg.temporal_upsample:
+        x = _conv3d_same(x, params["upsampler"])
+        x = _depth_to_space(x, 2, 2, 2)
+        x = x[:, 1:]
+    elif cfg.spatial_upsample:
+        x = _conv3d_same(x, params["upsampler"])
+        x = _depth_to_space(x, 1, 2, 2)
+    for r in params["post_upsample_res_blocks"]:
+        x = _up_resblock(x, r)
+    return _conv3d_same(x, params["final_conv"])
+
+
+def init_ltx2_upsampler_params(cfg: LTX2UpsamplerConfig,
+                               dtype=jnp.bfloat16) -> Params:
+    def conv(cin, cout, k=3):
+        return {"w": jnp.zeros((k, k, k, cin, cout), dtype),
+                "b": jnp.zeros((cout,), dtype)}
+
+    def norm(c):
+        return {"scale": jnp.ones((c,), dtype),
+                "shift": jnp.zeros((c,), dtype)}
+
+    def res(c):
+        return {"conv1": conv(c, c), "norm1": norm(c),
+                "conv2": conv(c, c), "norm2": norm(c)}
+
+    m = cfg.mid_channels
+    factor = 8 if cfg.temporal_upsample else 4
+    return {
+        "initial_conv": conv(cfg.in_channels, m),
+        "initial_norm": norm(m),
+        "res_blocks": [res(m) for _ in range(cfg.num_blocks_per_stage)],
+        "upsampler": conv(m, m * factor),
+        "post_upsample_res_blocks": [
+            res(m) for _ in range(cfg.num_blocks_per_stage)],
+        "final_conv": conv(m, cfg.in_channels),
+    }
+
+
+def assign_ltx2_upsampler_tensor(params: Params, name: str, value,
+                                 dtype) -> bool:
+    v = np.asarray(value)
+    parts = name.split(".")
+
+    def put_conv(slot, leaf):
+        if leaf == "weight":
+            slot["w"] = jnp.asarray(v.transpose(2, 3, 4, 1, 0), dtype)
+        elif leaf == "bias":
+            slot["b"] = jnp.asarray(v, dtype)
+        else:
+            return False
+        return True
+
+    def put_norm(slot, leaf):
+        if leaf == "weight":
+            slot["scale"] = jnp.asarray(v, dtype)
+        elif leaf == "bias":
+            slot["shift"] = jnp.asarray(v, dtype)
+        else:
+            return False
+        return True
+
+    if parts[0] in ("initial_conv", "final_conv"):
+        return put_conv(params[parts[0]], parts[-1])
+    if parts[0] == "initial_norm":
+        return put_norm(params["initial_norm"], parts[-1])
+    if parts[0] == "upsampler":
+        # Sequential: upsampler.0 = the pre-shuffle conv
+        return put_conv(params["upsampler"], parts[-1])
+    if parts[0] in ("res_blocks", "post_upsample_res_blocks"):
+        i = int(parts[1])
+        if i >= len(params[parts[0]]):
+            return False
+        r = params[parts[0]][i]
+        if parts[2] in ("conv1", "conv2"):
+            return put_conv(r[parts[2]], parts[-1])
+        if parts[2] in ("norm1", "norm2"):
+            return put_norm(r[parts[2]], parts[-1])
+    return False
+
+
+# ---------------------------------------------------------------------------
 # init + tensor mapping
 # ---------------------------------------------------------------------------
 
@@ -333,7 +485,9 @@ def assign_ltx2_vae_tensor(params: Params, name: str, value,
             return False
         return True
 
-    def put_embedder(emb: dict, rest: list) -> bool:
+    def put_embedder(emb, rest: list) -> bool:
+        if emb is None:  # config says no timestep conditioning —
+            return False  # surplus embedder tensors log as unmapped
         sub = [p for p in rest if p not in ("timestep_embedder", "emb")]
         if sub and sub[0] in ("linear_1", "linear_2"):
             tgt = emb[sub[0]]
@@ -352,6 +506,8 @@ def assign_ltx2_vae_tensor(params: Params, name: str, value,
                 return False
             return put_conv(r[rest[0]], rest[-1])
         if rest[0] == "scale_shift_table":
+            if "scale_shift_table" not in r:
+                return False
             r["scale_shift_table"] = jnp.asarray(v, dtype)
             return True
         return False
@@ -369,10 +525,12 @@ def assign_ltx2_vae_tensor(params: Params, name: str, value,
     if parts[0] == "conv_out":
         return put_conv(dec["conv_out"], parts[-1])
     if parts[0] == "scale_shift_table":
+        if "scale_shift_table" not in dec:
+            return False
         dec["scale_shift_table"] = jnp.asarray(v, dtype)
         return True
     if parts[0] == "time_embedder":
-        return put_embedder(dec["time_embedder"], parts[1:])
+        return put_embedder(dec.get("time_embedder"), parts[1:])
     if parts[0] == "mid_block":
         if parts[1] == "resnets":
             i = int(parts[2])
@@ -380,7 +538,7 @@ def assign_ltx2_vae_tensor(params: Params, name: str, value,
                 return False
             return resnet_slot(dec["mid_resnets"][i], parts[3:])
         if parts[1] == "time_embedder":
-            return put_embedder(dec["mid_time_embedder"], parts[2:])
+            return put_embedder(dec.get("mid_time_embedder"), parts[2:])
         return False
     if parts[0] == "up_blocks":
         i = int(parts[1])
@@ -393,7 +551,7 @@ def assign_ltx2_vae_tensor(params: Params, name: str, value,
                 return False
             return put_conv(blk["upsampler"], rest[-1])
         if rest[0] == "time_embedder":
-            return put_embedder(blk["time_embedder"], rest[1:])
+            return put_embedder(blk.get("time_embedder"), rest[1:])
         if rest[0] == "resnets":
             j = int(rest[1])
             if j >= len(blk["resnets"]):

@@ -882,10 +882,12 @@ class ModelRunner:
             else:
                 positions[i, :s.length] = np.arange(
                     s.start, s.start + s.length)
-            for j in range(s.length):
-                pos = s.start + j
-                page = r.page_ids[pos // self.page_size]
-                slot_ids[i, j] = page * self.page_size + pos % self.page_size
+            # vectorized slot mapping (a 512-iteration Python loop here
+            # cost ~ms of host time per prefill — TTFT-visible)
+            pos = np.arange(s.start, s.start + s.length)
+            pages = np.asarray(r.page_ids, np.int32)[pos // self.page_size]
+            slot_ids[i, :s.length] = pages * self.page_size + \
+                pos % self.page_size
             q_start[i] = s.start
             kv_lens[i] = s.start + s.length
             last_idx[i] = s.length - 1
