@@ -941,11 +941,19 @@ class ModelRunner:
         else:
             ids, lp, self.kv_pages = out
             hidden = None
-        ids_np = np.asarray(ids)[:n]
-        lp_np = np.asarray(lp)[:n]
-        hs = {}
+        # ONE transfer RPC for everything host-bound: per-array
+        # np.asarray costs a full device round trip EACH on
+        # high-latency dispatch paths (measured ~24 ms/fetch through
+        # the remote tunnel — it was the single largest TTFT component)
         if hidden is not None:
-            h_np = np.asarray(hidden)
+            ids_np, lp_np, h_np = jax.device_get((ids, lp, hidden))
+        else:
+            ids_np, lp_np = jax.device_get((ids, lp))
+            h_np = None
+        ids_np = ids_np[:n]
+        lp_np = lp_np[:n]
+        hs = {}
+        if h_np is not None:
             for i, s in enumerate(scheduled):
                 if s.request.sampling_params.return_hidden_states:
                     hs[s.request.request_id] = h_np[i, :s.length]
@@ -1113,16 +1121,27 @@ class ModelRunner:
         """Block on a launch_decode_multi handle and unpack per-step
         results (the only host↔device wire traffic of a cached chain)."""
         reqs, k, n = handle["reqs"], handle["k"], handle["n"]
-        ids_np = np.asarray(handle["ids"])  # [K, B]
-        lps_np = np.asarray(handle["lps"]) if handle["want_lps"] else None
-        hid_np = np.asarray(handle["hid"]) \
-            if handle["hid"] is not None else None
-        codes_np = np.asarray(handle["codes"]) \
-            if handle.get("codes") is not None else None
+        # ONE transfer RPC for the whole chain's host-bound results —
+        # per-array np.asarray costs a full device round trip each on
+        # high-latency dispatch paths (same fix as execute_prefill)
+        fetch = {"ids": handle["ids"]}
+        if handle["want_lps"]:
+            fetch["lps"] = handle["lps"]
+        if handle["hid"] is not None:
+            fetch["hid"] = handle["hid"]
+        if handle.get("codes") is not None:
+            fetch["codes"] = handle["codes"]
         if handle.get("ph") is not None:
+            fetch["ph"] = handle["ph"]
+        got = jax.device_get(fetch)
+        ids_np = got["ids"]  # [K, B]
+        lps_np = got.get("lps")
+        hid_np = got.get("hid")
+        codes_np = got.get("codes")
+        if "ph" in got:
             # keep hidden_{t-1} current host-side so the next chain can
             # rebuild the conditioner carry on a cache miss
-            ph_np = np.asarray(handle["ph"])
+            ph_np = got["ph"]
             for i, r in enumerate(reqs):
                 r.additional_information["_cond_prev_hidden"] = ph_np[i]
         results = []
@@ -1203,11 +1222,14 @@ class ModelRunner:
         else:
             ids, lp, self.kv_pages = out
             last_h = None
-        ids_np = np.asarray(ids)[:n]
-        lp_np = np.asarray(lp)[:n]
-        hs = {}
         if last_h is not None:
-            h_np = np.asarray(last_h)
+            ids_np, lp_np, h_np = jax.device_get((ids, lp, last_h))
+        else:
+            ids_np, lp_np = jax.device_get((ids, lp))
+            h_np = None
+        ids_np, lp_np = ids_np[:n], lp_np[:n]
+        hs = {}
+        if h_np is not None:
             for i, r in enumerate(reqs):
                 if r.sampling_params.return_hidden_states:
                     hs[r.request_id] = h_np[i]
