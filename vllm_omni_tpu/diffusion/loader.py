@@ -326,6 +326,10 @@ REAL_VAE_CLASSES = {
     # decode (pipeline_ltx2.py:195, :1119-1140)
     "AutoencoderKLLTX2Video": "ltx2",
     "AutoencoderKLLTXVideo": "ltx2",
+    # HunyuanVideo 1.5 causal 3D VAE (vae_hyv15.py): 32ch latents,
+    # 16x spatial / 4x temporal; decode divides by scaling_factor
+    # (pipeline_hunyuan_video_1_5.py:113, :520-521)
+    "AutoencoderKLHunyuanVideo15": "hyv15",
 }
 
 
@@ -374,6 +378,16 @@ def load_vae(path: str, dtype=jnp.bfloat16) -> dict[str, Any]:
         assign = assign_ltx2_vae_tensor
         meta["latent_channels"] = cfg.latent_channels
         meta["scale_factor"] = cfg.spatial_ratio
+    elif kind == "hyv15":
+        from vllm_omni_tpu.diffusion.vae_hyv15 import (
+            VAEHYV15Config, assign_hyv15_vae_tensor,
+            init_hyv15_vae_params)
+
+        cfg = VAEHYV15Config.from_json(cfg_json)
+        params = init_hyv15_vae_params(cfg, dtype)
+        assign = assign_hyv15_vae_tensor
+        meta["latent_channels"] = cfg.latent_channels
+        meta["scale_factor"] = cfg.spatial_compression_ratio
     else:
         from vllm_omni_tpu.diffusion.vae_wan import (
             VAEWanConfig, assign_wan_vae_tensor, init_wan_vae_params)
@@ -394,9 +408,13 @@ def load_vae(path: str, dtype=jnp.bfloat16) -> dict[str, Any]:
             finalize_oobleck_params)
 
         finalize_oobleck_params(params)
-    if kind in ("oobleck", "ltx2"):
-        # encoder tensors are intentionally skipped at serving time
-        unmapped = [n for n in unmapped if not n.startswith("encoder.")]
+    if kind in ("oobleck", "ltx2", "hyv15"):
+        # encoder-side tensors are intentionally skipped at serving
+        # time (quant_conv is the encode-side projection; the decode
+        # side post_quant_conv IS mapped)
+        unmapped = [n for n in unmapped
+                    if not n.startswith("encoder.") and
+                    not n.startswith("quant_conv.")]
     if unmapped:
         logger.warning("vae: %d unmapped tensors, e.g. %s",
                        len(unmapped), unmapped[:8])

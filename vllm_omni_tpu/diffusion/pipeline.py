@@ -1463,13 +1463,15 @@ class DiffusionPipeline:
                 return wav
             return np.asarray(lat, np.float32)
         squeeze_t = False
-        if lat.ndim == 5 and self.vae_kind not in ("wan", "ltx2"):
-            # generic/kl 2D VAEs: frames decode as a batch; the wan and
-            # ltx2 VAEs decode the full clip (temporal upsampling is
-            # causal 3D)
+        if lat.ndim == 5 and self.vae_kind not in ("wan", "ltx2",
+                                                   "hyv15"):
+            # generic/kl 2D VAEs: frames decode as a batch; the wan,
+            # ltx2 and hyv15 VAEs decode the full clip (temporal
+            # upsampling is causal 3D)
             b, f, h, w, c = lat.shape
             lat = lat.reshape(b * f, h, w, c)
-        elif lat.ndim == 4 and self.vae_kind in ("wan", "ltx2"):
+        elif lat.ndim == 4 and self.vae_kind in ("wan", "ltx2",
+                                                 "hyv15"):
             lat, squeeze_t = lat[:, None], True  # image = 1-frame clip
         if self._vae_host is not None:
             vae = jax.device_put(self._vae_host)  # stage in for decode
@@ -1524,6 +1526,15 @@ class DiffusionPipeline:
                 from vllm_omni_tpu.diffusion.vae_wan import wan_decode
 
                 return wan_decode(params, vcfg, latents)
+            if kind == "hyv15":
+                from vllm_omni_tpu.diffusion.vae_hyv15 import (
+                    hyv15_vae_decode)
+
+                # decode divides by scaling_factor first
+                # (pipeline_hunyuan_video_1_5.py:520)
+                lat = (latents.astype(jnp.float32) /
+                       vcfg.scaling_factor).astype(latents.dtype)
+                return hyv15_vae_decode(params, vcfg, lat)
             if kind == "ltx2":
                 from vllm_omni_tpu.diffusion.vae_ltx2 import (
                     denormalize_ltx2_latents, ltx2_vae_decode)
