@@ -159,6 +159,54 @@ def eval_weight_quant(ckpt: str, quant, tokens: np.ndarray) -> float:
     return _ppl_over(tokens, window_nll)
 
 
+_MODELOPT_LINEARS = ("q_proj.weight", "k_proj.weight", "v_proj.weight",
+                     "o_proj.weight", "gate_proj.weight",
+                     "up_proj.weight", "down_proj.weight")
+
+
+def export_modelopt_fp8(ckpt: str, out_dir: str) -> str:
+    """Re-export the trained HF checkpoint the way ModelOpt's FP8
+    exporter lays it out (reference anchor config,
+    quantization/component_config.py:51): quantized linears ship
+    float8_e4m3fn ``.weight`` + per-tensor ``.weight_scale``
+    (scale = amax/448), and config.json gains quantization_config
+    {"quant_algo": "FP8", "quant_method": "modelopt"}. Evaluating this
+    dir exercises the PRE-QUANTIZED ingest path
+    (models/weights.py load_modelopt_fp8_params) end to end."""
+    import glob
+    import shutil
+
+    import torch
+    from safetensors.torch import load_file, save_file
+
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(ckpt, "config.json")) as f:
+        cfg = json.load(f)
+    cfg["quantization_config"] = {"quant_algo": "FP8",
+                                  "quant_method": "modelopt"}
+    with open(os.path.join(out_dir, "config.json"), "w") as f:
+        json.dump(cfg, f)
+    for extra in ("generation_config.json",):
+        p = os.path.join(ckpt, extra)
+        if os.path.isfile(p):
+            shutil.copy(p, out_dir)
+    sd = {}
+    for f in sorted(glob.glob(os.path.join(ckpt, "*.safetensors"))):
+        sd.update(load_file(f))
+    out_sd = {}
+    for name, t in sd.items():
+        if name.endswith(_MODELOPT_LINEARS):
+            amax = t.abs().amax().clamp(min=1e-12)
+            scale = (amax / 448.0).to(torch.float32)
+            q = (t / scale).clamp(-448, 448).to(torch.float8_e4m3fn)
+            out_sd[name] = q
+            out_sd[name[:-len(".weight")] + ".weight_scale"] = scale
+        else:
+            out_sd[name] = t.contiguous()
+    save_file(out_sd, os.path.join(out_dir, "model.safetensors"))
+    return out_dir
+
+
 def eval_kv_quant(ckpt: str, kv_dtype: str, tokens: np.ndarray,
                   calibrated: bool = True) -> float:
     """Held-out ppl with fp WEIGHTS and a QUANTIZED KV cache, through
@@ -264,6 +312,15 @@ def evaluate(ckpt: str, out: str, n_windows: int = 10) -> dict:
                               "delta": round(ppl - base, 4)}
         print(f"weight {q}: ppl {ppl:.4f} (delta {ppl - base:+.4f})",
               flush=True)
+    # pre-quantized ModelOpt FP8 ingest (fp8 weights + scales land
+    # directly on the serving path — no dequant/requant round trip)
+    mo_dir = export_modelopt_fp8(ckpt, ckpt.rstrip("/") +
+                                 "_modelopt_fp8")
+    ppl = eval_weight_quant(mo_dir, None, held)
+    report["quant"]["modelopt_fp8_prequant"] = {
+        "ppl": round(ppl, 4), "delta": round(ppl - base, 4)}
+    print(f"weight modelopt_fp8_prequant: ppl {ppl:.4f} "
+          f"(delta {ppl - base:+.4f})", flush=True)
     for kv, cal in (("int8", True), ("fp8", True), ("int8_fixed", False)):
         ppl = eval_kv_quant(ckpt, kv.split("_")[0], held, calibrated=cal)
         report["kv_quant"][kv] = {"ppl": round(ppl, 4),
