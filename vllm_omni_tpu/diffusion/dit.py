@@ -375,13 +375,19 @@ def stack_layers(layers: list) -> Params:
     return jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
 
 
-def _dit_blocks_pp(params: Params, cfg: DiTConfig, x: jnp.ndarray,
-                   temb: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray,
-                   mesh) -> jnp.ndarray:
-    """Pipeline-parallel transformer body: layer groups live on "pp"
-    ranks, activations hand off rank→rank via ppermute in a GPipe
-    schedule over batch rows (microbatch = one row; exact numerics —
-    attention sees the full sequence of its own row).
+def gpipe_blocks(stacked: Params, body, carry, row_consts,
+                 shared_consts, mesh):
+    """Family-generic pipeline-parallel transformer body: layer groups
+    live on "pp" ranks, activations hand off rank→rank via ppermute in
+    a GPipe schedule over batch rows (microbatch = one row; exact
+    numerics — attention sees the full sequence of its own row).
+
+    ``carry``: pytree of [B, ...] activations pipelined through the
+    blocks (single stream for generic/wan; (img, txt) for qwen_image).
+    ``row_consts``: pytree of [B, ...] per-row conditioning (temb,
+    projected text for cross-attn, ...) indexed per microbatch.
+    ``shared_consts``: pytree broadcast to every microbatch (rope
+    tables). ``body(layer, carry, row_consts, shared_consts) → carry``.
 
     Replaces the reference's PipeFusion-style P2P latent-segment
     pipeline (diffusion/distributed/group_coordinator.py:549
@@ -389,58 +395,80 @@ def _dit_blocks_pp(params: Params, cfg: DiTConfig, x: jnp.ndarray,
     `ppermute` over ICI inside the jitted step, no host P2P plane.
     Composes with the outer cfg/dp axes only (sp/tp stay 1 under pp).
     """
-
     pp = mesh.shape["pp"]
-    stacked = params.get("layers_stacked")
-    if stacked is None:
-        stacked = stack_layers(params["layers"])
     n_layers = jax.tree.leaves(stacked)[0].shape[0]
     assert n_layers % pp == 0, (n_layers, pp)
     grouped = jax.tree.map(
         lambda a: a.reshape(pp, n_layers // pp, *a.shape[1:]), stacked)
-    m = x.shape[0]  # microbatches = batch rows
+    m = jax.tree.leaves(carry)[0].shape[0]  # microbatches = batch rows
     t_total = m + pp - 1
 
-    def rank_fn(groups, x_all, temb_all, cos_, sin_):
+    def _row(tree_all, idx):
+        return jax.tree.map(
+            lambda a: jax.lax.dynamic_index_in_dim(
+                a, jnp.clip(idx, 0, m - 1), keepdims=True), tree_all)
+
+    def rank_fn(groups, carry_all, rows_all, shared):
         g = jax.lax.axis_index("pp")
         local = jax.tree.map(lambda a: a[0], groups)  # [L/pp, ...]
-        state = jnp.zeros_like(x_all[:1])
-        out = jnp.zeros_like(x_all)
+        state = jax.tree.map(lambda a: jnp.zeros_like(a[:1]), carry_all)
+        out = jax.tree.map(jnp.zeros_like, carry_all)
 
         def apply_group(feed, mb_idx):
-            trow = jax.lax.dynamic_index_in_dim(
-                temb_all, jnp.clip(mb_idx, 0, m - 1), keepdims=True)
+            rows = _row(rows_all, mb_idx)
 
-            def one(carry, layer):
-                return dit_block_apply(layer, cfg, carry, trow, cos_,
-                                       sin_, mesh=None), None
+            def one(c, layer):
+                return body(layer, c, rows, shared), None
 
             y, _ = jax.lax.scan(one, feed, local)
             return y
 
         perm = [(i, (i + 1) % pp) for i in range(pp)]
         for t in range(t_total):
-            incoming = jax.lax.ppermute(state, "pp", perm)
+            incoming = jax.tree.map(
+                lambda s: jax.lax.ppermute(s, "pp", perm), state)
             mb_in = t - g  # microbatch this rank works on this tick
-            first = jax.lax.dynamic_index_in_dim(
-                x_all, jnp.clip(t, 0, m - 1), keepdims=True)
-            feed = jnp.where(g == 0, first, incoming)
+            first = _row(carry_all, t)
+            feed = jax.tree.map(
+                lambda f_, i_: jnp.where(g == 0, f_, i_), first,
+                incoming)
             state = apply_group(feed, mb_in)
             m_out = t - (pp - 1)
             valid = (g == pp - 1) & (m_out >= 0)
             idx = jnp.clip(m_out, 0, m - 1)
-            cur = jax.lax.dynamic_index_in_dim(out, idx, keepdims=True)
-            out = jax.lax.dynamic_update_index_in_dim(
-                out, jnp.where(valid, state, cur), idx, 0)
+            out = jax.tree.map(
+                lambda o, s: jax.lax.dynamic_update_index_in_dim(
+                    o, jnp.where(
+                        valid, s, jax.lax.dynamic_index_in_dim(
+                            o, idx, keepdims=True)), idx, 0),
+                out, state)
         # only the last rank holds real outputs → broadcast over "pp"
-        out = jnp.where(g == pp - 1, out, jnp.zeros_like(out))
-        return jax.lax.psum(out, "pp")
+        out = jax.tree.map(
+            lambda o: jax.lax.psum(
+                jnp.where(g == pp - 1, o, jnp.zeros_like(o)), "pp"),
+            out)
+        return out
 
     fn = jax.shard_map(
         rank_fn, mesh=mesh,
-        in_specs=(P("pp"), P(), P(), P(), P()),
+        in_specs=(P("pp"), P(), P(), P()),
         out_specs=P())
-    return fn(grouped, x, temb, cos, sin)
+    return fn(grouped, carry, row_consts, shared_consts)
+
+
+def _dit_blocks_pp(params: Params, cfg: DiTConfig, x: jnp.ndarray,
+                   temb: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray,
+                   mesh) -> jnp.ndarray:
+    """Generic-tier GPipe body over `gpipe_blocks`."""
+    stacked = params.get("layers_stacked")
+    if stacked is None:
+        stacked = stack_layers(params["layers"])
+
+    def body(layer, carry, rows, shared):
+        return dit_block_apply(layer, cfg, carry, rows, shared[0],
+                               shared[1], mesh=None)
+
+    return gpipe_blocks(stacked, body, x, temb, (cos, sin), mesh)
 
 
 # ---------------------------------------------------------------------------

@@ -40,6 +40,11 @@ logger = init_logger(__name__)
 # extractor (reference cache/teacache/extractors.py per-model registry
 # — qwen first, teacache.md:23 1.5-2.0×). Others disable with a warning.
 _CACHE_ACCEL_FAMILIES = ("qwen_image", "flux", "wan")
+# families whose block loop is wired through dit.gpipe_blocks (DiT PP)
+# and the layerwise host-offload streamer (VERDICT r4 item 7; reference
+# group_coordinator.py:549 / offloader/layerwise_backend.py:21)
+_PP_FAMILIES = ("generic", "qwen_image", "wan")
+_LAYERWISE_FAMILIES = ("generic", "qwen_image", "wan")
 
 AUDIO_LATENT_FAMILIES = ("stable_audio", "cosyvoice3_audio",
                          "omnivoice", "voxcpm", "voxcpm2")
@@ -280,9 +285,11 @@ class DiffusionPipeline:
                 logger.warning("cache accel not wired for family %s yet; "
                                "disabling", self.family)
                 config.cache.backend = "none"
-            if config.offload == "layerwise":
-                raise ValueError("layerwise offload not wired for "
-                                 "diffusers-loaded families yet")
+            if config.offload == "layerwise" and \
+                    self.family not in _LAYERWISE_FAMILIES:
+                raise ValueError(
+                    "layerwise offload wired for families "
+                    f"{_LAYERWISE_FAMILIES}, not {self.family!r}")
         else:
             self.dit_params = init_dit_params(config.dit, k1, self.dtype)
         if not hasattr(self, "vae_kind"):
@@ -310,11 +317,14 @@ class DiffusionPipeline:
             # DiT blocks live in host RAM; the denoise step streams them
             # to HBM one ahead of compute (all blocks share one compiled
             # program) — peak HBM = resident embedders + 2 blocks +
-            # activations.
-            self._host_layers = [jax.device_get(l)
-                                 for l in self.dit_params["layers"]]
+            # activations. Block 0 stays resident so the TeaCache
+            # modulated-input probe composes with layerwise offload.
+            lkey = "layers" if self.family == "generic" else "blocks"
+            blocks = self.dit_params[lkey]
+            self._host_layers = [jax.device_get(l) for l in blocks]
             self.dit_params = {k: v for k, v in self.dit_params.items()
-                               if k != "layers"}
+                               if k != lkey}
+            self.dit_params[lkey] = blocks[:1]
             self._block_fn = jax.jit(functools.partial(
                 self._apply_block_jit))
             self._prolog_fn = jax.jit(self._prolog_jit)
@@ -327,17 +337,20 @@ class DiffusionPipeline:
 
         self.mesh = stage_mesh(config.parallel)
         if self.mesh is not None and self.mesh.shape.get("pp", 1) > 1 \
-                and self.family != "generic":
-            raise ValueError("pp not wired for diffusers-loaded "
-                             "families yet")
+                and self.family not in _PP_FAMILIES:
+            raise ValueError(
+                f"pp wired for families {_PP_FAMILIES}, "
+                f"not {self.family!r}")
         if self.mesh is not None and self.mesh.shape.get("pp", 1) > 1:
             # PP: layer groups shard over "pp"; the per-layer list is
-            # replaced by one stacked pytree (dit._dit_blocks_pp)
+            # replaced by one stacked pytree (dit.gpipe_blocks). Block 0
+            # stays resident for the TeaCache modulated-input probe.
             from vllm_omni_tpu.diffusion.dit import stack_layers
 
-            self.dit_params["layers_stacked"] = stack_layers(
-                self.dit_params.pop("layers"))
-            self.dit_params["layers"] = []
+            lkey = "layers" if self.family == "generic" else "blocks"
+            blocks = self.dit_params.pop(lkey)
+            self.dit_params[lkey + "_stacked"] = stack_layers(blocks)
+            self.dit_params[lkey] = blocks[:1]
         if self.mesh is not None:
             from jax.sharding import NamedSharding
 
@@ -954,33 +967,84 @@ class DiffusionPipeline:
         return fn
 
     # layerwise-offload jit pieces (shapes shared by all blocks → one
-    # compiled program each)
+    # compiled program each). Family-dispatched over the same
+    # (carry, row_consts, shared_consts) split the PP GPipe body uses.
     def _prolog_jit(self, params, latents, text_states, timesteps):
+        if self.family == "qwen_image":
+            from vllm_omni_tpu.diffusion.qwen_image import (
+                qwen_image_prolog)
+
+            (img, txt), temb, (cos, sin), _ = qwen_image_prolog(
+                params, self.family_cfg, latents, text_states,
+                timesteps, mesh=self.mesh)
+            return (img, txt), (temb,), (cos, sin)
+        if self.family == "wan":
+            from vllm_omni_tpu.diffusion.wan import wan_prolog
+
+            lat5 = latents if latents.ndim == 5 else latents[:, None]
+            x, (txt, tproj), temb, (cos, sin) = wan_prolog(
+                params, self.family_cfg, lat5, text_states, timesteps,
+                mesh=self.mesh)
+            return (x,), (txt, tproj, temb), (cos, sin)
         from vllm_omni_tpu.diffusion.dit import dit_prolog, dit_rope
 
         x, temb = dit_prolog(params, self.config.dit, latents,
                              text_states, timesteps, mesh=self.mesh)
         cos, sin = dit_rope(self.config.dit, latents.shape,
                             text_states.shape[1])
-        return x, temb, cos, sin
+        return (x,), (temb,), (cos, sin)
 
-    def _apply_block_jit(self, layer, x, temb, cos, sin):
+    def _apply_block_jit(self, layer, carry, rows, shared):
+        if self.family == "qwen_image":
+            from vllm_omni_tpu.diffusion.qwen_image import (
+                qwen_image_block)
+
+            return qwen_image_block(layer, self.family_cfg, carry[0],
+                                    carry[1], rows[0], shared[0],
+                                    shared[1], mesh=self.mesh)
+        if self.family == "wan":
+            from vllm_omni_tpu.diffusion.wan import wan_block
+
+            return (wan_block(layer, self.family_cfg, carry[0],
+                              rows[0], rows[1], shared[0], shared[1],
+                              mesh=self.mesh),)
         from vllm_omni_tpu.diffusion.dit import dit_block_apply
 
-        return dit_block_apply(layer, self.config.dit, x, temb, cos, sin,
-                               mesh=self.mesh)
+        return (dit_block_apply(layer, self.config.dit, carry[0],
+                                rows[0], shared[0], shared[1],
+                                mesh=self.mesh),)
 
-    def _epilog_jit(self, params, x, temb, *, text_len: int,
+    def _epilog_jit(self, params, carry, rows, *, text_len: int,
                     latent_shape):
+        if self.family == "qwen_image":
+            from vllm_omni_tpu.diffusion.qwen_image import (
+                qwen_image_epilog)
+
+            b, h, w, c = latent_shape
+            p = self.family_cfg.patch_size
+            return qwen_image_epilog(params, self.family_cfg, carry[0],
+                                     rows[0], h, w,
+                                     (h // p) * (w // p))
+        if self.family == "wan":
+            from vllm_omni_tpu.diffusion.wan import wan_epilog
+
+            if len(latent_shape) == 5:
+                b, f, h, w, c = latent_shape
+            else:
+                b, h, w, c = latent_shape
+                f = 1
+            out = wan_epilog(params, self.family_cfg, carry[0], rows[2],
+                             f, h, w)
+            return out[:, 0] if len(latent_shape) == 4 else out
         from vllm_omni_tpu.diffusion.dit import dit_epilog
 
-        return dit_epilog(params, self.config.dit, x, temb, text_len,
-                          latent_shape)
+        return dit_epilog(params, self.config.dit, carry[0], rows[0],
+                          text_len, latent_shape)
 
     def _predict_velocity_layerwise(self, latents, text_states,
                                     timesteps):
-        x, temb, cos, sin = self._prolog_fn(self.dit_params, latents,
-                                            text_states, timesteps)
+        carry, rows, shared = self._prolog_fn(
+            self.dit_params, latents, text_states, timesteps)
         # double-buffered host→HBM prefetch: device_put is async, so
         # block i+1 stages in while block i computes
         nxt = jax.device_put(self._host_layers[0])
@@ -988,9 +1052,9 @@ class DiffusionPipeline:
             cur = nxt
             if i + 1 < len(self._host_layers):
                 nxt = jax.device_put(self._host_layers[i + 1])
-            x = self._block_fn(cur, x, temb, cos, sin)
+            carry = self._block_fn(cur, carry, rows, shared)
             del cur
-        return self._epilog_fn(self.dit_params, x, temb,
+        return self._epilog_fn(self.dit_params, carry, rows,
                                text_len=text_states.shape[1],
                                latent_shape=tuple(latents.shape)
                                ).astype(jnp.float32)
@@ -1006,6 +1070,9 @@ class DiffusionPipeline:
             # generic DiT tier keeps raw train-timestep units.
             t = t / self.config.num_train_timesteps
         if self._host_layers is not None:
+            if ref_latents is not None:
+                raise ValueError("reference-image conditioning is not "
+                                 "supported under layerwise offload")
             tt0 = jnp.full((latents.shape[0],), t, jnp.float32)
             if use_cfg:
                 lat2 = jnp.concatenate([latents, latents], axis=0)

@@ -286,6 +286,43 @@ def qwen_image_forward(params: Params, cfg: QwenImageConfig,
     stream."""
     b, h, w, c = latents.shape
     p = cfg.patch_size
+    (img, txt), temb, (cos, sin), n_target = qwen_image_prolog(
+        params, cfg, latents, text_states, timesteps,
+        cond_latents=cond_latents, mesh=mesh)
+
+    if mesh is not None and mesh.shape.get("pp", 1) > 1:
+        from vllm_omni_tpu.diffusion.dit import (gpipe_blocks,
+                                                 stack_layers)
+
+        stacked = params.get("blocks_stacked")
+        if stacked is None:
+            stacked = stack_layers(params["blocks"])
+
+        def body(layer, carry, rows, shared):
+            return qwen_image_block(layer, cfg, carry[0], carry[1],
+                                    rows, shared[0], shared[1],
+                                    mesh=None)
+
+        img, txt = gpipe_blocks(stacked, body, (img, txt), temb,
+                                (cos, sin), mesh)
+    else:
+        for blk in params["blocks"]:
+            img, txt = qwen_image_block(blk, cfg, img, txt, temb, cos,
+                                        sin, mesh=mesh)
+
+    return qwen_image_epilog(params, cfg, img, temb, h, w, n_target)
+
+
+def qwen_image_prolog(params: Params, cfg: QwenImageConfig,
+                      latents: jnp.ndarray, text_states: jnp.ndarray,
+                      timesteps: jnp.ndarray,
+                      cond_latents: Optional[jnp.ndarray] = None,
+                      mesh=None):
+    """Embedding + conditioning stage → ((img, txt) carry, temb,
+    (cos, sin) rope tables, n_target). The unit boundary the layerwise
+    offloader and the PP GPipe body share with the plain forward."""
+    b, h, w, c = latents.shape
+    p = cfg.patch_size
     img = pack_latents(latents, p)  # [B, Tv, C·p²] channel-major
     n_target = img.shape[1]
     cond_hw = None
@@ -302,11 +339,13 @@ def qwen_image_forward(params: Params, cfg: QwenImageConfig,
     temb = qwen_time_embed(params, timesteps, img.dtype)
     cos, sin = qwen_image_rope(cfg, h // p, w // p,
                                text_states.shape[1], cond_hw=cond_hw)
+    return (img, txt), temb, (cos, sin), n_target
 
-    for blk in params["blocks"]:
-        img, txt = qwen_image_block(blk, cfg, img, txt, temb, cos, sin,
-                                    mesh=mesh)
 
+def qwen_image_epilog(params: Params, cfg: QwenImageConfig,
+                      img: jnp.ndarray, temb: jnp.ndarray, h: int,
+                      w: int, n_target: int) -> jnp.ndarray:
+    """Final AdaLN + projection back to latent patches."""
     # AdaLayerNormContinuous: linear(silu(temb)) → (scale, shift) —
     # NOTE order differs from the block modulation (diffusers
     # AdaLayerNormContinuous chunks scale first)
@@ -316,9 +355,9 @@ def qwen_image_forward(params: Params, cfg: QwenImageConfig,
     scale_o, shift_o = fin[:, :hs], fin[:, hs:]
     out = _ada_norm(img, shift_o, scale_o, cfg.eps)
     out = linear(out, params["proj_out"])  # [B, Tv, out_channels·p²]
-    if cond_latents is not None:
+    if out.shape[1] != n_target:
         out = out[:, :n_target]  # condition tokens carry no prediction
-    return unpack_latents(out, h, w, p)
+    return unpack_latents(out, h, w, cfg.patch_size)
 
 
 def qwen_image_modulated_input(params: Params, cfg: QwenImageConfig,
@@ -405,6 +444,10 @@ def qwen_image_param_shardings(params: Params) -> Params:
 
     def walk(path: tuple, leaf: Any) -> P:
         names = [q.key for q in path if hasattr(q, "key")]
+        if "blocks_stacked" in names:
+            # PP: stacked [L, ...] leaves shard their layer axis over
+            # "pp" (layer groups per rank; dit.gpipe_blocks)
+            return P("pp")
         leaf_name = names[-1] if names else ""
         parent = names[-2] if len(names) >= 2 else ""
         if parent in col:

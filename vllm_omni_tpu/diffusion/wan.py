@@ -269,6 +269,40 @@ def wan_forward(params: Params, cfg: WanConfig, latents: jnp.ndarray,
     if squeeze_f:
         latents = latents[:, None]
     b, f, h, w, c = latents.shape
+
+    x, (txt, tproj), temb, (cos, sin) = wan_prolog(
+        params, cfg, latents, text_states, timesteps, mesh=mesh)
+
+    if mesh is not None and mesh.shape.get("pp", 1) > 1:
+        from vllm_omni_tpu.diffusion.dit import (gpipe_blocks,
+                                                 stack_layers)
+
+        stacked = params.get("blocks_stacked")
+        if stacked is None:
+            stacked = stack_layers(params["blocks"])
+
+        def body(layer, carry, rows, shared):
+            return wan_block(layer, cfg, carry, rows[0], rows[1],
+                             shared[0], shared[1], mesh=None)
+
+        x = gpipe_blocks(stacked, body, x, (txt, tproj), (cos, sin),
+                         mesh)
+    else:
+        for blk in params["blocks"]:
+            x = wan_block(blk, cfg, x, txt, tproj, cos, sin, mesh=mesh)
+
+    out = wan_epilog(params, cfg, x, temb, f, h, w)
+    return out[:, 0] if squeeze_f else out
+
+
+def wan_prolog(params: Params, cfg: WanConfig, latents: jnp.ndarray,
+               text_states: jnp.ndarray, timesteps: jnp.ndarray,
+               mesh=None):
+    """Embedding + conditioning stage → (x carry, (txt, tproj) per-row
+    consts, temb, (cos, sin)). latents must already be [B, F, H, W, C].
+    The unit boundary the layerwise offloader and the PP GPipe body
+    share with the plain forward."""
+    b, f, h, w, c = latents.shape
     pt, ph, pw = cfg.patch_size
     dtype = params["proj_out"]["w"].dtype
 
@@ -303,10 +337,15 @@ def wan_forward(params: Params, cfg: WanConfig, latents: jnp.ndarray,
     txt = linear(txt, ce["text_embedder"]["linear_2"])
 
     cos, sin = wan_rope(cfg, f // pt, h // ph, w // pw)
+    return x, (txt, tproj), temb, (cos, sin)
 
-    for blk in params["blocks"]:
-        x = wan_block(blk, cfg, x, txt, tproj, cos, sin, mesh=mesh)
 
+def wan_epilog(params: Params, cfg: WanConfig, x: jnp.ndarray,
+               temb: jnp.ndarray, f: int, h: int, w: int
+               ) -> jnp.ndarray:
+    """Final AdaLN + unpack back to [B, F, H, W, C]."""
+    dtype = params["proj_out"]["w"].dtype
+    per_patch = temb.ndim == 3
     # final AdaLN: (scale_shift_table [2, D] + temb) → (shift, scale)
     if per_patch:
         fin = (params["scale_shift_table"][None, None] +
@@ -322,9 +361,8 @@ def wan_forward(params: Params, cfg: WanConfig, latents: jnp.ndarray,
                (1.0 + scale[:, None, :]) +
                shift[:, None, :]).astype(dtype)
     out = linear(out, params["proj_out"])
-    out = wan_unpack_latents(out, f, h, w, cfg.patch_size,
-                             cfg.out_channels)
-    return out[:, 0] if squeeze_f else out
+    return wan_unpack_latents(out, f, h, w, cfg.patch_size,
+                              cfg.out_channels)
 
 
 def wan_modulated_input(params: Params, cfg: WanConfig,
@@ -431,6 +469,10 @@ def wan_param_shardings(params: Params) -> Params:
 
     def walk(path: tuple, leaf: Any) -> P:
         names = [q.key for q in path if hasattr(q, "key")]
+        if "blocks_stacked" in names:
+            # PP: stacked [L, ...] leaves shard their layer axis over
+            # "pp" (layer groups per rank; dit.gpipe_blocks)
+            return P("pp")
         leaf_name = names[-1] if names else ""
         parent = names[-2] if len(names) >= 2 else ""
         if parent in col:
