@@ -120,3 +120,54 @@ def test_streamed_chunk_outputs_before_finish():
     # chunk may only arrive with the finished output
     np.testing.assert_allclose(got, want[:got.shape[0]], rtol=1e-5,
                                atol=1e-5)
+
+
+def test_chunk_growth_amortizes_later_chunks():
+    """Geometric chunk growth (reference dynamic-initial-chunk role,
+    async_chunk_design.md:28-33): the FIRST chunk is chunk_frames
+    (bounds TTFP), later chunks grow up to chunk_frames_max — fewer
+    per-chunk dispatches without changing the token stream."""
+    runner = make_pipeline(True, chunk_frames=2)
+    eng = runner.handles[1].engine
+    sizes = []
+    orig_add, orig_chunk = eng.add_request, eng.notify_chunk
+
+    def spy_add(tokens, sp, **kw):
+        sizes.append(len(tokens))
+        return orig_add(tokens, sp, **kw)
+
+    def spy_chunk(rid, tokens, final=False):
+        if tokens:
+            sizes.append(len(tokens))
+        return orig_chunk(rid, tokens, final=final)
+
+    eng.add_request, eng.notify_chunk = spy_add, spy_chunk
+    out = run(runner, list(range(1, 9)))
+    assert out.error is None
+    # 10 produced tokens, cf=2, growth 2.0, cap 8: 2, 4, then the rest
+    assert sizes[0] == 2
+    assert all(b >= a for a, b in zip(sizes, sizes[1:])), sizes
+    assert len(sizes) <= 4, sizes
+    assert sum(sizes) == 10, sizes
+
+
+def test_chunk_growth_disabled_keeps_fixed_chunks():
+    runner = make_pipeline(True, chunk_frames=2)
+    runner.pipeline.stages[1].chunk_frames_growth = 1.0
+    eng = runner.handles[1].engine
+    sizes = []
+    orig_add, orig_chunk = eng.add_request, eng.notify_chunk
+
+    def spy_add(tokens, sp, **kw):
+        sizes.append(len(tokens))
+        return orig_add(tokens, sp, **kw)
+
+    def spy_chunk(rid, tokens, final=False):
+        if tokens:
+            sizes.append(len(tokens))
+        return orig_chunk(rid, tokens, final=final)
+
+    eng.add_request, eng.notify_chunk = spy_add, spy_chunk
+    out = run(runner, list(range(1, 9)))
+    assert out.error is None
+    assert sizes == [2] * 5, sizes

@@ -65,6 +65,13 @@ class StageConfig:
     # async_chunk_design.md): upstream sends chunks of `chunk_frames`
     async_chunk: bool = False
     chunk_frames: int = 25
+    # after the first chunk, grow the chunk size geometrically up to
+    # chunk_frames_max (0 → 4×chunk_frames; 1.0 growth → fixed size).
+    # Keeps TTFP (small first chunk) while cutting per-chunk dispatch +
+    # prefill overhead on later chunks — the reference's dynamic
+    # initial chunk, async_chunk_design.md:28-33 / batch decode win :51
+    chunk_frames_growth: float = 2.0
+    chunk_frames_max: int = 0
     # cache this stage's finished outputs keyed by (prompt tokens,
     # params) and replay them for identical requests — the reference
     # OmniTensorPrefixCache role (core/prefix_cache.py:14, inter-stage

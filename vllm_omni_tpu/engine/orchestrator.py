@@ -94,6 +94,8 @@ class PipelineRequest:
     # chunked-request started
     chunk_sent: dict[int, int] = field(default_factory=dict)
     chunk_started: set[int] = field(default_factory=set)
+    # per-consumer NEXT chunk size (geometric growth after chunk 1)
+    chunk_size: dict[int, int] = field(default_factory=dict)
     # cross-stage CFG companions: source stage_id → negative-branch
     # output (reference orchestrator companion map orchestrator.py:141)
     companion_outputs: dict[int, RequestOutput] = field(
@@ -540,13 +542,21 @@ class PipelineRunner:
                 continue
             sid = consumer.stage_id
             sent = preq.chunk_sent.get(sid, 0)
-            cf = max(1, consumer.chunk_frames)
+            cf0 = max(1, consumer.chunk_frames)
+            cf_max = consumer.chunk_frames_max or 4 * cf0
+            growth = max(1.0, consumer.chunk_frames_growth)
+            cf = preq.chunk_size.get(sid, cf0)
             while len(toks) - sent >= cf or (final and len(toks) > sent):
                 chunk = toks[sent:sent + cf]
                 sent += len(chunk)
                 is_last = final and sent >= len(toks)
                 self._deliver_chunk(consumer, preq, out.request_id,
                                     chunk, is_last)
+                # the FIRST chunk stays small (it bounds TTFP); later
+                # chunks grow to amortize per-chunk dispatch + prefill
+                if growth > 1.0:
+                    cf = min(max(int(cf * growth), cf + 1), cf_max)
+                    preq.chunk_size[sid] = cf
             if final and sid in preq.chunk_started and \
                     preq.chunk_sent.get(sid, 0) == sent:
                 # no remainder: deliver the bare final marker
