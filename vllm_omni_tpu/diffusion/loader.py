@@ -241,6 +241,10 @@ REAL_TRANSFORMER_CLASSES = {
     "QwenImageTransformer2DModel": "qwen_image",
     "FluxTransformer2DModel": "flux",
     "WanTransformer3DModel": "wan",
+    # VACE variant: same backbone + vace_patch_embedding/vace_blocks
+    # context towers (wan2_2_vace_transformer.py:66); WanConfig picks
+    # up vace_layers/vace_in_channels from config.json
+    "WanVACETransformer3DModel": "wan",
     "SD3Transformer2DModel": "sd3",
     "LTX2VideoTransformer3DModel": "ltx2",
     "HunyuanVideo15Transformer3DModel": "hunyuan_video",

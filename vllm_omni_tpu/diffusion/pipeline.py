@@ -71,6 +71,9 @@ class DenoiseState:
     # per-request extra conditioning pytree (e.g. glm_image AR prior
     # tokens) threaded into the jitted step as an argument
     cond_extras: Any = None
+    # WanVACE per-region conditioning: (context [1, F, h, w, C_vace],
+    # scale) — inactive|reactive latents + 8×8-stride mask channels
+    vace: Any = None
     use_cfg: bool = False
     guidance_scale: float = 1.0
     t_start: float = field(default_factory=time.monotonic)
@@ -710,6 +713,10 @@ class DiffusionPipeline:
             audio_latents = jax.random.normal(
                 jax.random.fold_in(key, 1), (1, ta, fc.audio_in_channels),
                 jnp.float32).astype(self.dtype)
+        vace = None
+        if self.family == "wan" and \
+                getattr(self.family_cfg, "vace_layers", None):
+            vace = self._prepare_vace(p)
         cond_extras = None
         if self.family == "glm_image":
             # AR prior-VQ tokens from the upstream GLM-Image AR stage;
@@ -731,7 +738,81 @@ class DiffusionPipeline:
             ref_latents=ref_latents, sigmas=sigmas,
             timesteps=self.scheduler.timesteps_for(sigmas),
             use_cfg=use_cfg, guidance_scale=p.guidance_scale,
-            cond_extras=cond_extras)
+            cond_extras=cond_extras, vace=vace)
+
+    def _prepare_vace(self, p) -> Any:
+        """WanVACE conditioning context (reference
+        pipeline_wan2_2_vace.py prepare_video_latents + prepare_masks):
+        inactive = encode(video·(1−mask)), reactive = encode(video·mask)
+        (argmax posterior, per-channel normalized inside wan_encode),
+        mask 8×8-spatial-stride encoded to 64 channels and temporally
+        nearest-resized to the latent frame count; context =
+        [inactive | reactive | mask] along channels. A precomputed
+        latent-space context rides extra_args["vace_context"]
+        ([F, h, w, C_vace] or [1, F, h, w, C_vace])."""
+        ea = p.extra_args or {}
+        scale = float(ea.get("vace_context_scale", 1.0))
+        pre = ea.get("vace_context")
+        if pre is not None:
+            ctx = jnp.asarray(np.asarray(pre, np.float32), self.dtype)
+            if ctx.ndim == 4:
+                ctx = ctx[None]
+            return (ctx, scale)
+        video = ea.get("source_video")
+        if video is None:
+            return None
+        if self.vae_kind != "wan":
+            raise ValueError(
+                "VACE source_video conditioning needs the checkpoint's "
+                "Wan VAE (pass a precomputed extra_args['vace_context'] "
+                "otherwise)")
+        from vllm_omni_tpu.diffusion.vae_wan import wan_encode
+
+        video = np.asarray(video, np.float32)  # [F, H, W, 3] in [-1,1]
+        if video.max() > 2.0:
+            video = video / 127.5 - 1.0
+        f, hh, ww = video.shape[:3]
+        if (hh, ww) != (p.height, p.width):
+            raise ValueError("source_video must match the requested "
+                             "height/width")
+        mask = ea.get("mask")
+        if mask is None:
+            mask = np.ones((f, hh, ww), np.float32)
+        else:
+            mask = np.asarray(mask, np.float32)
+            if mask.ndim == 4:
+                mask = mask[..., 0]
+        mask = (mask > 0.5).astype(np.float32)  # binarize
+        vae = (jax.device_put(self._vae_host)
+               if self._vae_host is not None else self.vae_params)
+        inact = wan_encode(vae, self.vae_cfg,
+                           jnp.asarray(video * (1.0 - mask[..., None]),
+                                       self.dtype)[None], sample=False)
+        react = wan_encode(vae, self.vae_cfg,
+                           jnp.asarray(video * mask[..., None],
+                                       self.dtype)[None], sample=False)
+        if self._vae_host is not None:
+            del vae
+        f_lat = inact.shape[1]
+        # 8×8 spatial-stride mask channels (prepare_masks: the 64
+        # subpixel offsets become channels at latent resolution), then
+        # nearest-exact temporal resize to the latent frame count
+        sp = self.config.vae_scale_factor
+        h_lat, w_lat = hh // sp, ww // sp
+        m = mask.reshape(f, h_lat, sp, w_lat, sp)
+        m = m.transpose(2, 4, 0, 1, 3).reshape(sp * sp, f, h_lat, w_lat)
+        idx = np.clip(np.round((np.arange(f_lat) + 0.5) * f / f_lat -
+                               0.5).astype(np.int64), 0, f - 1)
+        m = m[:, idx]  # [64, F_lat, h, w]
+        m = jnp.asarray(m.transpose(1, 2, 3, 0), self.dtype)[None]
+        ctx = jnp.concatenate([inact.astype(self.dtype),
+                               react.astype(self.dtype), m], axis=-1)
+        want = getattr(self.family_cfg, "vace_in_channels", ctx.shape[-1])
+        if ctx.shape[-1] != want:
+            raise ValueError(
+                f"vace context has {ctx.shape[-1]} channels; the "
+                f"transformer expects vace_in_channels={want}")
+        return (ctx, scale)
 
     def _prepare_audio(self, req: DiffusionRequest) -> DenoiseState:
         """Stable-Audio-class 1D latent prep (reference
@@ -862,6 +943,9 @@ class DiffusionPipeline:
                 state.cond_extras["prior_token_id"].shape)
         elif state.ref_latents is not None:
             extras_key = ("ref", tuple(state.ref_latents.shape))
+        elif state.vace is not None:
+            extras_key = ("vace", tuple(state.vace[0].shape),
+                          float(state.vace[1]))
         fn = self._get_step_fn(state.latents.shape, state.use_cfg,
                                cached, extras_key)
         if cached:
@@ -916,6 +1000,13 @@ class DiffusionPipeline:
                                jnp.float32(sigma_next),
                                jnp.float32(state.guidance_scale),
                                pooled, state.ref_latents)
+        elif state.vace is not None:
+            state.latents = fn(self.dit_params, state.latents,
+                               state.text_states,
+                               jnp.float32(t), jnp.float32(sigma),
+                               jnp.float32(sigma_next),
+                               jnp.float32(state.guidance_scale),
+                               None, state.vace[0])
         elif self._uses_pooled:
             pooled = state.pooled
             if pooled is None:
@@ -944,6 +1035,9 @@ class DiffusionPipeline:
             if extras_key is not None and extras_key[0] == "ref":
                 body = self._step_body_wan_i2v \
                     if self.family == "wan" else self._step_body_ref
+            elif extras_key is not None and extras_key[0] == "vace":
+                body = functools.partial(self._step_body_vace,
+                                         vace_scale=extras_key[2])
             elif extras_key is not None:
                 body = functools.partial(
                     self._step_body_extras,
@@ -1061,7 +1155,7 @@ class DiffusionPipeline:
 
     def _predict_velocity(self, params, latents, text_states, t,
                           guidance, use_cfg: bool, pooled=None,
-                          ref_latents=None):
+                          ref_latents=None, vace=None):
         if self.family != "generic":
             # real-geometry forwards take flow-match σ ∈ [0,1] (each
             # applies its own diffusers-transformer scaling, e.g. ×1000
@@ -1116,8 +1210,15 @@ class DiffusionPipeline:
             from vllm_omni_tpu.diffusion.wan import wan_forward
 
             def fwd(pp, lat, txt, tt):
+                kw = {}
+                if vace is not None:
+                    ctx, scale = vace
+                    if ctx.shape[0] != lat.shape[0]:
+                        ctx = jnp.concatenate(
+                            [ctx] * lat.shape[0], axis=0)
+                    kw = dict(vace_context=ctx, vace_scale=scale)
                 return wan_forward(pp, self.family_cfg, lat, txt, tt,
-                                   mesh=self.mesh)
+                                   mesh=self.mesh, **kw)
         elif self.family == "sd3":
             from vllm_omni_tpu.diffusion.sd3 import sd3_forward
 
@@ -1403,6 +1504,19 @@ class DiffusionPipeline:
         else:
             drop = jnp.full((latents.shape[0],), prior_missing)
             v = fwd(latents, text_states[:1], drop).astype(jnp.float32)
+        return (latents.astype(jnp.float32) +
+                (sigma_next - sigma) * v).astype(latents.dtype)
+
+    def _step_body_vace(self, params, latents, text_states, t, sigma,
+                        sigma_next, guidance, pooled, vace_ctx, *,
+                        use_cfg: bool, vace_scale: float):
+        """WanVACE step: the per-region context blocks run every step
+        on the (fixed) conditioning latents; their hints inject into
+        the main blocks (reference pipeline_wan2_2_vace.py forward)."""
+        del pooled
+        v = self._predict_velocity(params, latents, text_states, t,
+                                   guidance, use_cfg,
+                                   vace=(vace_ctx, vace_scale))
         return (latents.astype(jnp.float32) +
                 (sigma_next - sigma) * v).astype(latents.dtype)
 

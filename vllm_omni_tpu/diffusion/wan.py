@@ -66,6 +66,12 @@ class WanConfig:
     added_kv_proj_dim: Optional[int] = None
     rope_max_seq_len: int = 1024
     num_train_timesteps: int = 1000
+    # VACE (WanVACETransformer3DModel, reference
+    # wan2_2_vace_transformer.py:66): conditioning blocks whose hints
+    # inject into the main blocks listed in vace_layers; context =
+    # [inactive|reactive latents (2·z_dim), 8x8-stride mask (64)] ch
+    vace_layers: Optional[tuple] = None
+    vace_in_channels: int = 96
 
     @property
     def inner_dim(self) -> int:
@@ -88,6 +94,8 @@ class WanConfig:
             kw.pop("out_channels", None)
         if "patch_size" in kw:
             kw["patch_size"] = tuple(kw["patch_size"])
+        if kw.get("vace_layers") is not None:
+            kw["vace_layers"] = tuple(kw["vace_layers"])
         return cls(**kw)
 
 
@@ -260,11 +268,19 @@ def wan_block(blk: Params, cfg: WanConfig, x: jnp.ndarray,
 
 def wan_forward(params: Params, cfg: WanConfig, latents: jnp.ndarray,
                 text_states: jnp.ndarray, timesteps: jnp.ndarray,
-                mesh=None) -> jnp.ndarray:
+                mesh=None, vace_context: Optional[jnp.ndarray] = None,
+                vace_scale: float = 1.0) -> jnp.ndarray:
     """latents [B, F, H, W, C] (or [B, H, W, C] → F=1), text_states
     [B, Tt, text_dim] (umt5), timesteps [B] flow-match t ∈ [0,1]
     (scaled to train-timestep units internally) → velocity, same shape
-    as latents."""
+    as latents.
+
+    vace_context [B, F, H, W, vace_in_channels] (latent-space
+    conditioning: inactive|reactive latents + 8×8-stride mask): runs
+    the per-region VACE context blocks (reference
+    wan2_2_vace_transformer.py:150 — block 0 proj_in + hidden add,
+    each block's proj_out hint injected into the main block listed in
+    cfg.vace_layers, scaled by vace_scale)."""
     squeeze_f = latents.ndim == 4
     if squeeze_f:
         latents = latents[:, None]
@@ -273,7 +289,33 @@ def wan_forward(params: Params, cfg: WanConfig, latents: jnp.ndarray,
     x, (txt, tproj), temb, (cos, sin) = wan_prolog(
         params, cfg, latents, text_states, timesteps, mesh=mesh)
 
+    hints = None
+    if vace_context is not None and "vace_blocks" in params:
+        if vace_context.ndim == 4:
+            vace_context = vace_context[:, None]
+        dtype = params["proj_out"]["w"].dtype
+        ctrl = wan_pack_latents(vace_context.astype(dtype),
+                                cfg.patch_size)
+        ctrl = linear(ctrl, params["vace_patch_embedding"])
+        # align to the latent token count (reference embed_vace_context
+        # zero-pads the flattened embeds to seq_len)
+        if ctrl.shape[1] < x.shape[1]:
+            ctrl = jnp.pad(ctrl, ((0, 0),
+                                  (0, x.shape[1] - ctrl.shape[1]),
+                                  (0, 0)))
+        elif ctrl.shape[1] > x.shape[1]:
+            ctrl = ctrl[:, :x.shape[1]]
+        hints = []
+        for j, vb in enumerate(params["vace_blocks"]):
+            if j == 0:
+                ctrl = linear(ctrl, vb["proj_in"]) + x
+            ctrl = wan_block(vb, cfg, ctrl, txt, tproj, cos, sin,
+                             mesh=mesh)
+            hints.append(linear(ctrl, vb["proj_out"]))
+
     if mesh is not None and mesh.shape.get("pp", 1) > 1:
+        if hints is not None:
+            raise ValueError("VACE context blocks not wired under pp")
         from vllm_omni_tpu.diffusion.dit import (gpipe_blocks,
                                                  stack_layers)
 
@@ -288,8 +330,14 @@ def wan_forward(params: Params, cfg: WanConfig, latents: jnp.ndarray,
         x = gpipe_blocks(stacked, body, x, (txt, tproj), (cos, sin),
                          mesh)
     else:
-        for blk in params["blocks"]:
+        mapping = {li: vi for vi, li in
+                   enumerate(cfg.vace_layers or ())}
+        for i, blk in enumerate(params["blocks"]):
             x = wan_block(blk, cfg, x, txt, tproj, cos, sin, mesh=mesh)
+            if hints is not None and i in mapping:
+                x = (x.astype(jnp.float32) +
+                     hints[mapping[i]].astype(jnp.float32) *
+                     vace_scale).astype(x.dtype)
 
     out = wan_epilog(params, cfg, x, temb, f, h, w)
     return out[:, 0] if squeeze_f else out
@@ -405,9 +453,42 @@ def _lin(key, k_in, n_out, dtype, scale=None):
             "b": jnp.zeros((n_out,), dtype)}
 
 
+def _init_wan_block(keys, cfg: WanConfig, dtype) -> Params:
+    hs = cfg.inner_dim
+    blk = {
+        "scale_shift_table": (jax.random.normal(
+            next(keys), (6, hs), jnp.float32) *
+            hs ** -0.5).astype(dtype),
+        "attn1": {
+            "to_q": _lin(next(keys), hs, hs, dtype),
+            "to_k": _lin(next(keys), hs, hs, dtype),
+            "to_v": _lin(next(keys), hs, hs, dtype),
+            "to_out": _lin(next(keys), hs, hs, dtype),
+            "norm_q": jnp.ones((hs,), dtype),
+            "norm_k": jnp.ones((hs,), dtype),
+        },
+        "attn2": {
+            "to_q": _lin(next(keys), hs, hs, dtype),
+            "to_k": _lin(next(keys), hs, hs, dtype),
+            "to_v": _lin(next(keys), hs, hs, dtype),
+            "to_out": _lin(next(keys), hs, hs, dtype),
+            "norm_q": jnp.ones((hs,), dtype),
+            "norm_k": jnp.ones((hs,), dtype),
+        },
+        "ffn": {"net0": _lin(next(keys), hs, cfg.ffn_dim, dtype),
+                "net2": _lin(next(keys), cfg.ffn_dim, hs, dtype)},
+    }
+    if cfg.cross_attn_norm:
+        blk["norm2"] = {"w": jnp.ones((hs,), dtype),
+                        "b": jnp.zeros((hs,), dtype)}
+    return blk
+
+
 def init_wan_params(cfg: WanConfig, key: jax.Array,
                     dtype=jnp.bfloat16) -> Params:
-    keys = iter(jax.random.split(key, cfg.num_layers * 16 + 12))
+    n_vace = len(cfg.vace_layers or ())
+    keys = iter(jax.random.split(
+        key, (cfg.num_layers + n_vace) * 16 + 16))
     hs = cfg.inner_dim
     pin = cfg.in_channels * cfg.patch_size[0] * cfg.patch_size[1] * \
         cfg.patch_size[2]
@@ -430,33 +511,18 @@ def init_wan_params(cfg: WanConfig, key: jax.Array,
         "blocks": [],
     }
     for _ in range(cfg.num_layers):
-        blk = {
-            "scale_shift_table": (jax.random.normal(
-                next(keys), (6, hs), jnp.float32) *
-                hs ** -0.5).astype(dtype),
-            "attn1": {
-                "to_q": _lin(next(keys), hs, hs, dtype),
-                "to_k": _lin(next(keys), hs, hs, dtype),
-                "to_v": _lin(next(keys), hs, hs, dtype),
-                "to_out": _lin(next(keys), hs, hs, dtype),
-                "norm_q": jnp.ones((hs,), dtype),
-                "norm_k": jnp.ones((hs,), dtype),
-            },
-            "attn2": {
-                "to_q": _lin(next(keys), hs, hs, dtype),
-                "to_k": _lin(next(keys), hs, hs, dtype),
-                "to_v": _lin(next(keys), hs, hs, dtype),
-                "to_out": _lin(next(keys), hs, hs, dtype),
-                "norm_q": jnp.ones((hs,), dtype),
-                "norm_k": jnp.ones((hs,), dtype),
-            },
-            "ffn": {"net0": _lin(next(keys), hs, cfg.ffn_dim, dtype),
-                    "net2": _lin(next(keys), cfg.ffn_dim, hs, dtype)},
-        }
-        if cfg.cross_attn_norm:
-            blk["norm2"] = {"w": jnp.ones((hs,), dtype),
-                            "b": jnp.zeros((hs,), dtype)}
-        params["blocks"].append(blk)
+        params["blocks"].append(_init_wan_block(keys, cfg, dtype))
+    if n_vace:
+        vin = cfg.vace_in_channels * cfg.patch_size[0] * \
+            cfg.patch_size[1] * cfg.patch_size[2]
+        params["vace_patch_embedding"] = _lin(next(keys), vin, hs, dtype)
+        params["vace_blocks"] = []
+        for j in range(n_vace):
+            vb = _init_wan_block(keys, cfg, dtype)
+            if j == 0:
+                vb["proj_in"] = _lin(next(keys), hs, hs, dtype)
+            vb["proj_out"] = _lin(next(keys), hs, hs, dtype)
+            params["vace_blocks"].append(vb)
     return params
 
 
@@ -500,16 +566,62 @@ def assign_wan_tensor(params: Params, name: str, value, dtype) -> bool:
     def put(slot: dict, leaf: str, v):
         slot[leaf] = w(v) if leaf == "w" else b(v)
 
+    def block_slot(blk: dict, rest: list) -> bool:
+        if rest[0] == "scale_shift_table":
+            blk["scale_shift_table"] = jnp.asarray(
+                value).reshape(6, -1).astype(dtype)
+            return True
+        if rest[0] in ("attn1", "attn2"):
+            a = blk[rest[0]]
+            if rest[1] in ("norm_q", "norm_k") and rest[2] == "weight":
+                a[rest[1]] = b(value)
+                return True
+            if rest[1] in ("to_q", "to_k", "to_v"):
+                put(a[rest[1]], "w" if rest[2] == "weight" else "b",
+                    value)
+                return True
+            if rest[1] == "to_out":  # ModuleList: attn.to_out.0.weight
+                leaf = rest[3] if rest[2] == "0" else rest[2]
+                put(a["to_out"], "w" if leaf == "weight" else "b", value)
+                return True
+            return False
+        if rest[0] == "norm2" and "norm2" in blk:
+            blk["norm2"]["w" if rest[1] == "weight" else "b"] = b(value)
+            return True
+        if rest[0] == "ffn" and rest[1] == "net":
+            if rest[2] == "0":  # net.0.proj.{weight,bias}
+                put(blk["ffn"]["net0"],
+                    "w" if rest[4] == "weight" else "b", value)
+                return True
+            if rest[2] == "2":
+                put(blk["ffn"]["net2"],
+                    "w" if rest[3] == "weight" else "b", value)
+                return True
+        return False
+
     parts = name.split(".")
-    if parts[0] == "patch_embedding":
+    if parts[0] in ("patch_embedding", "vace_patch_embedding"):
+        if parts[0] not in params:
+            return False
         if parts[1] == "weight":
             o = value.shape[0]
-            params["patch_embedding"]["w"] = jnp.asarray(
+            params[parts[0]]["w"] = jnp.asarray(
                 _np.ascontiguousarray(
                     value.reshape(o, -1).T)).astype(dtype)
         else:
-            params["patch_embedding"]["b"] = b(value)
+            params[parts[0]]["b"] = b(value)
         return True
+    if parts[0] == "vace_blocks":
+        if "vace_blocks" not in params:
+            return False
+        vb = params["vace_blocks"][int(parts[1])]
+        rest = parts[2:]
+        if rest[0] in ("proj_in", "proj_out"):
+            if rest[0] not in vb:
+                return False
+            put(vb[rest[0]], "w" if rest[1] == "weight" else "b", value)
+            return True
+        return block_slot(vb, rest)
     if parts[0] == "condition_embedder":
         ce = params["condition_embedder"]
         if parts[1] in ("time_embedder", "text_embedder"):
@@ -533,35 +645,4 @@ def assign_wan_tensor(params: Params, name: str, value, dtype) -> bool:
         return True
     if parts[0] != "blocks":
         return False
-    blk = params["blocks"][int(parts[1])]
-    rest = parts[2:]
-    if rest[0] == "scale_shift_table":
-        blk["scale_shift_table"] = jnp.asarray(
-            value).reshape(6, -1).astype(dtype)
-        return True
-    if rest[0] in ("attn1", "attn2"):
-        a = blk[rest[0]]
-        if rest[1] in ("norm_q", "norm_k") and rest[2] == "weight":
-            a[rest[1]] = b(value)
-            return True
-        if rest[1] in ("to_q", "to_k", "to_v"):
-            put(a[rest[1]], "w" if rest[2] == "weight" else "b", value)
-            return True
-        if rest[1] == "to_out":  # ModuleList: attn.to_out.0.weight
-            leaf = rest[3] if rest[2] == "0" else rest[2]
-            put(a["to_out"], "w" if leaf == "weight" else "b", value)
-            return True
-        return False
-    if rest[0] == "norm2" and "norm2" in blk:
-        blk["norm2"]["w" if rest[1] == "weight" else "b"] = b(value)
-        return True
-    if rest[0] == "ffn" and rest[1] == "net":
-        if rest[2] == "0":  # net.0.proj.{weight,bias}
-            put(blk["ffn"]["net0"], "w" if rest[4] == "weight" else "b",
-                value)
-            return True
-        if rest[2] == "2":
-            put(blk["ffn"]["net2"], "w" if rest[3] == "weight" else "b",
-                value)
-            return True
-    return False
+    return block_slot(params["blocks"][int(parts[1])], parts[2:])

@@ -398,9 +398,11 @@ DIFFUSERS_PIPELINE_VARIANTS: dict[str, str] = {
     "WanImageToVideoPipeline": "wan",
     "Wan22Pipeline": "wan",
     "Wan22I2VPipeline": "wan",
-    # VACE reference-video conditioning rides the TI2V first-frame
-    # mask-blend machinery (diffusion/pipeline.py _step_body_wan_i2v);
-    # full per-region VACE context blocks are a documented delta
+    # VACE: REAL per-region context blocks (vace_patch_embedding +
+    # vace_blocks hint towers, wan2_2_vace_transformer.py:66) — V2V /
+    # MV2V conditioning via extra_args source_video/mask, or a
+    # precomputed latent-space vace_context (diffusion/pipeline.py
+    # _step_body_vace)
     "WanVACEPipeline": "wan",
     "Wan22VACEPipeline": "wan",
     "HunyuanVideo15ImageToVideoPipeline": "hunyuan_video",
