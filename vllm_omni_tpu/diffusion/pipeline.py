@@ -551,9 +551,17 @@ class DiffusionPipeline:
                            p.height, p.width)
         seed = p.seed if p.seed is not None else 0
         key = jax.random.PRNGKey(seed)
+        layered = "Layered" in self.pipeline_class and \
+            self.family == "qwen_image"
+        n_frames = p.num_frames
+        if layered:
+            # QwenImageLayered: denoise layers+1 stacked frames (frame
+            # 0 = the recomposited image; pipeline_qwen_image_layered.py
+            # prepare_latents `layers + 1`)
+            n_frames = int((p.extra_args or {}).get("layers", 4)) + 1
         shape = (1, h_lat, w_lat, cfgd.vae_latent_channels) \
-            if p.num_frames <= 1 else \
-            (1, p.num_frames, h_lat, w_lat, cfgd.vae_latent_channels)
+            if n_frames <= 1 else \
+            (1, n_frames, h_lat, w_lat, cfgd.vae_latent_channels)
         if self.family == "ltx2" and p.num_frames <= 1:
             # LTX2 is inherently a video (audio+video) model: a single
             # frame still runs the 5D joint path
@@ -663,7 +671,7 @@ class DiffusionPipeline:
                     del vae
                 ref_latents = ref_latents.astype(self.dtype)
                 ref_img = None  # handled; skip the Kontext branch
-        if ref_img is not None and p.num_frames <= 1:
+        if ref_img is not None and (p.num_frames <= 1 or layered):
             if self.family not in ("flux", "qwen_image"):
                 raise ValueError(
                     "reference-image conditioning (Kontext/Edit) is "
@@ -1186,9 +1194,15 @@ class DiffusionPipeline:
                 if ref_latents is not None:
                     cl = jnp.concatenate(
                         [ref_latents] * lat.shape[0], axis=0)
+                tc = None
+                if getattr(self.family_cfg, "use_additional_t_cond",
+                           False):
+                    # Layered is_rgb flag (the reference serves 0,
+                    # pipeline_qwen_image_layered.py `is_rgb`)
+                    tc = jnp.zeros((lat.shape[0],), jnp.int32)
                 return qwen_image_forward(pp, self.family_cfg, lat, txt,
                                           tt, cond_latents=cl,
-                                          mesh=self.mesh)
+                                          mesh=self.mesh, t_cond=tc)
         elif self.family == "flux":
             from vllm_omni_tpu.diffusion.flux import flux_forward
 
@@ -1644,6 +1658,15 @@ class DiffusionPipeline:
                 return wav
             return np.asarray(lat, np.float32)
         squeeze_t = False
+        if lat.ndim == 5 and "Layered" in self.pipeline_class and \
+                self.family == "qwen_image":
+            # QwenImageLayered: frame 0 is the recomposited input —
+            # drop it and decode each layer as an independent 1-frame
+            # clip (reference pipeline_qwen_image_layered.py:838-842
+            # latents[:, :, 1:] → view(-1, c, 1, h, w) → vae.decode)
+            lat = lat[:, 1:]
+            bl, fl = lat.shape[0], lat.shape[1]
+            lat = lat.reshape(bl * fl, 1, *lat.shape[2:])
         if lat.ndim == 5 and self.vae_kind not in ("wan", "ltx2",
                                                    "hyv15"):
             # generic/kl 2D VAEs: frames decode as a batch; the wan,

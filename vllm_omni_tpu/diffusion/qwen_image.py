@@ -49,6 +49,9 @@ class QwenImageConfig:
     axes_dims_rope: tuple[int, int, int] = (16, 56, 56)
     guidance_embeds: bool = False
     eps: float = 1e-6
+    # QwenImageLayered: is_rgb embedding added to the timestep
+    # conditioning (QwenTimestepProjEmbeddings use_additional_t_cond)
+    use_additional_t_cond: bool = False
 
     @property
     def inner_dim(self) -> int:
@@ -71,7 +74,8 @@ class QwenImageConfig:
 
 
 def qwen_image_rope(cfg: QwenImageConfig, h_tokens: int, w_tokens: int,
-                    txt_len: int, frame_idx: int = 0, cond_hw=None
+                    txt_len: int, frame_idx: int = 0, cond_hw=None,
+                    layers: int = 1
                     ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Joint-stream cos/sin [Ttxt+Tvis, head_dim//2], stream order
     [txt; img].
@@ -105,8 +109,19 @@ def qwen_image_rope(cfg: QwenImageConfig, h_tokens: int, w_tokens: int,
                                fh.reshape(-1, d_h // 2),
                                fw.reshape(-1, d_w // 2)], axis=-1)
 
-    vis = grid(h_tokens, w_tokens, frame_idx)
+    if layers > 1:
+        # QwenImageLayered (QwenEmbedLayer3DRope :208): one grid per
+        # generated layer at frame positions 0..layers−1
+        vis = np.concatenate(
+            [grid(h_tokens, w_tokens, i) for i in range(layers)],
+            axis=0)
+    else:
+        vis = grid(h_tokens, w_tokens, frame_idx)
     txt_start = max(h_tokens // 2, w_tokens // 2)
+    if layers > 1:
+        # layered rope: max_vid_index also covers the layer count
+        # (QwenEmbedLayer3DRope.forward — max(max_vid_index, layer_num))
+        txt_start = max(txt_start, layers)
     if cond_hw is not None:
         # condition image of the Edit pipelines: frame position −1
         # (QwenEmbedRope _compute_condition_freqs — neg_freqs[-1]);
@@ -142,13 +157,20 @@ def _qwen_timestep_embedding(t: jnp.ndarray, dim: int = 256,
     return jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
 
 
-def qwen_time_embed(params: Params, t: jnp.ndarray, dtype) -> jnp.ndarray:
+def qwen_time_embed(params: Params, t: jnp.ndarray, dtype,
+                    t_cond=None) -> jnp.ndarray:
     """timestep → conditioning [B, inner] (timestep_embedder
-    linear_1 → SiLU → linear_2)."""
+    linear_1 → SiLU → linear_2). t_cond [B] int: the Layered
+    pipeline's is_rgb flag through addition_t_embedding
+    (QwenTimestepProjEmbeddings :193-205)."""
     e = _qwen_timestep_embedding(t).astype(dtype)
     e = linear(e, params["time_embed"]["linear_1"])
     e = jax.nn.silu(e.astype(jnp.float32)).astype(dtype)
-    return linear(e, params["time_embed"]["linear_2"])
+    out = linear(e, params["time_embed"]["linear_2"])
+    if t_cond is not None:
+        table = params["time_embed"]["addition_t_embedding"]
+        out = out + table.astype(out.dtype)[t_cond]
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -272,7 +294,7 @@ def qwen_image_forward(params: Params, cfg: QwenImageConfig,
                        latents: jnp.ndarray, text_states: jnp.ndarray,
                        timesteps: jnp.ndarray,
                        cond_latents: Optional[jnp.ndarray] = None,
-                       mesh=None) -> jnp.ndarray:
+                       mesh=None, t_cond=None) -> jnp.ndarray:
     """latents [B, H, W, C_latent] (unpacked), text_states
     [B, Tt, joint_attention_dim], timesteps [B] (flow-match t ∈ [0,1]),
     cond_latents [B, H2, W2, C] (QwenImageEdit reference image —
@@ -284,11 +306,16 @@ def qwen_image_forward(params: Params, cfg: QwenImageConfig,
     Packing: 2×2 patchify to in_channels (reference pipeline
     _pack_latents, pipeline_qwen_image.py:247), txt first in the joint
     stream."""
-    b, h, w, c = latents.shape
+    layered = latents.ndim == 5
+    if layered:
+        b, frames, h, w, c = latents.shape
+    else:
+        b, h, w, c = latents.shape
+        frames = 1
     p = cfg.patch_size
     (img, txt), temb, (cos, sin), n_target = qwen_image_prolog(
         params, cfg, latents, text_states, timesteps,
-        cond_latents=cond_latents, mesh=mesh)
+        cond_latents=cond_latents, mesh=mesh, t_cond=t_cond)
 
     if mesh is not None and mesh.shape.get("pp", 1) > 1:
         from vllm_omni_tpu.diffusion.dit import (gpipe_blocks,
@@ -310,20 +337,30 @@ def qwen_image_forward(params: Params, cfg: QwenImageConfig,
             img, txt = qwen_image_block(blk, cfg, img, txt, temb, cos,
                                         sin, mesh=mesh)
 
-    return qwen_image_epilog(params, cfg, img, temb, h, w, n_target)
+    return qwen_image_epilog(params, cfg, img, temb, h, w, n_target,
+                             frames=frames)
 
 
 def qwen_image_prolog(params: Params, cfg: QwenImageConfig,
                       latents: jnp.ndarray, text_states: jnp.ndarray,
                       timesteps: jnp.ndarray,
                       cond_latents: Optional[jnp.ndarray] = None,
-                      mesh=None):
+                      mesh=None, t_cond=None):
     """Embedding + conditioning stage → ((img, txt) carry, temb,
     (cos, sin) rope tables, n_target). The unit boundary the layerwise
-    offloader and the PP GPipe body share with the plain forward."""
-    b, h, w, c = latents.shape
+    offloader and the PP GPipe body share with the plain forward.
+    5D latents [B, F, H, W, C] = the Layered pipeline's stacked layer
+    frames (frame-major token order; per-layer rope frame positions)."""
+    if latents.ndim == 5:
+        b, frames, h, w, c = latents.shape
+        flat = latents.reshape(b * frames, h, w, c)
+    else:
+        b, h, w, c = latents.shape
+        frames = 1
+        flat = latents
     p = cfg.patch_size
-    img = pack_latents(latents, p)  # [B, Tv, C·p²] channel-major
+    img = pack_latents(flat, p)  # [B·F, Tf, C·p²] channel-major
+    img = img.reshape(b, frames * img.shape[1], img.shape[2])
     n_target = img.shape[1]
     cond_hw = None
     if cond_latents is not None:
@@ -336,15 +373,17 @@ def qwen_image_prolog(params: Params, cfg: QwenImageConfig,
     txt = linear(txt, params["txt_in"])
     img = _constrain(img, mesh, P("cfg", "ulysses", None))
 
-    temb = qwen_time_embed(params, timesteps, img.dtype)
+    temb = qwen_time_embed(params, timesteps, img.dtype, t_cond=t_cond)
     cos, sin = qwen_image_rope(cfg, h // p, w // p,
-                               text_states.shape[1], cond_hw=cond_hw)
+                               text_states.shape[1], cond_hw=cond_hw,
+                               layers=frames)
     return (img, txt), temb, (cos, sin), n_target
 
 
 def qwen_image_epilog(params: Params, cfg: QwenImageConfig,
                       img: jnp.ndarray, temb: jnp.ndarray, h: int,
-                      w: int, n_target: int) -> jnp.ndarray:
+                      w: int, n_target: int,
+                      frames: int = 1) -> jnp.ndarray:
     """Final AdaLN + projection back to latent patches."""
     # AdaLayerNormContinuous: linear(silu(temb)) → (scale, shift) —
     # NOTE order differs from the block modulation (diffusers
@@ -357,6 +396,11 @@ def qwen_image_epilog(params: Params, cfg: QwenImageConfig,
     out = linear(out, params["proj_out"])  # [B, Tv, out_channels·p²]
     if out.shape[1] != n_target:
         out = out[:, :n_target]  # condition tokens carry no prediction
+    if frames > 1:
+        b = out.shape[0]
+        out = out.reshape(b * frames, n_target // frames, out.shape[2])
+        return unpack_latents(out, h, w, cfg.patch_size).reshape(
+            b, frames, h, w, -1)
     return unpack_latents(out, h, w, cfg.patch_size)
 
 
@@ -402,6 +446,8 @@ def init_qwen_image_params(cfg: QwenImageConfig, key: jax.Array,
         "time_embed": {
             "linear_1": _lin(next(keys), 256, hs, dtype),
             "linear_2": _lin(next(keys), hs, hs, dtype),
+            **({"addition_t_embedding": jnp.zeros((2, hs), dtype)}
+               if cfg.use_additional_t_cond else {}),
         },
         "norm_out": _lin(next(keys), hs, 2 * hs, dtype, scale=0.02),
         "proj_out": _lin(next(keys), hs,
@@ -495,6 +541,12 @@ def assign_qwen_image_tensor(params: Params, name: str, value, dtype
     if parts[:2] == ["time_text_embed", "timestep_embedder"]:
         put(params["time_embed"][parts[2]],
             "w" if parts[3] == "weight" else "b", value)
+        return True
+    if parts[:2] == ["time_text_embed", "addition_t_embedding"]:
+        if "addition_t_embedding" not in params["time_embed"]:
+            return False
+        params["time_embed"]["addition_t_embedding"] = \
+            jnp.asarray(value).astype(dtype)
         return True
     if parts[:2] == ["norm_out", "linear"]:
         put(params["norm_out"], "w" if parts[2] == "weight" else "b",

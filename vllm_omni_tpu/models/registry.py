@@ -366,6 +366,10 @@ DIFFUSERS_ARCH_MAP: dict[str, str] = {
     "HeliosTransformer3DModel": "helios",
     "DreamIdOmniTransformer2DModel": "mmdit_image",
     "WanTransformer3DModel": "wan",
+    # HunyuanVideo 1.0: NOT a reference-parity family — the reference
+    # registry ships only the 1.5 archs (diffusion/registry.py:166-174
+    # HunyuanVideo15Pipeline / ...I2VPipeline). Kept as a generic-tier
+    # courtesy mapping beyond parity.
     "HunyuanVideoTransformer3DModel": "mmdit_video",
     "HunyuanVideo15Transformer3DModel": "hunyuan_video",
     "LTX2VideoTransformer3DModel": "ltx2",
