@@ -175,3 +175,61 @@ def test_tcp_pd_disaggregation():
     finally:
         conn_a.close()
         conn_b.close()
+
+
+def test_kv_store_connector_roundtrip_ttl_and_shared_store():
+    """Third store-backed transport (reference Yuanrong/Mooncake-store
+    role): payloads through a RESP-protocol store — any
+    Redis-compatible server, here the bundled MiniRespServer. Two
+    connector instances share ONE store (the external-store topology);
+    keys lease out via ttl."""
+    import time
+
+    from vllm_omni_tpu.distributed.kv_store_connector import (
+        KVStoreConnector)
+
+    a = KVStoreConnector()  # bundles a store
+    host, port = a.address
+    b = KVStoreConnector(host=host, port=port)  # external-store client
+    try:
+        assert a.health() and b.health()
+        data = {"kv": np.random.default_rng(2).standard_normal(
+            (3, 5, 8)).astype(np.float32), "meta": {"n": 7}}
+        ok, size, meta = a.put(0, 1, "reqY", data)
+        assert ok and size > 0 and meta["store"] == "resp"
+        got, n = b.get(0, 1, "reqY")
+        assert n == size
+        np.testing.assert_array_equal(got["kv"], data["kv"])
+        assert got["meta"] == {"n": 7}
+        a.cleanup(0, 1, "reqY")
+        with pytest.raises(KeyError):
+            b.get(0, 1, "reqY")
+
+        # TTL lease: the key expires on its own
+        c = KVStoreConnector(host=host, port=port, ttl_s=0.1)
+        c.put(0, 1, "lease", {"x": 1})
+        got, _ = c.get(0, 1, "lease")
+        assert got == {"x": 1}
+        time.sleep(0.25)
+        with pytest.raises(KeyError):
+            c.get(0, 1, "lease")
+        c.close()
+    finally:
+        b.close()
+        a.close()
+
+
+def test_kv_store_factory_and_transfer_manager():
+    from vllm_omni_tpu.distributed.kv_store_connector import (
+        KVStoreConnector)
+
+    conn = ConnectorFactory.create("kv_store")
+    assert isinstance(conn, KVStoreConnector)
+    try:
+        tm = TransferManager(conn)
+        payload = {"hidden": np.ones((2, 6), np.float32)}
+        tm.send(0, 1, "rq", payload)
+        got = tm.receive(0, 1, "rq")
+        np.testing.assert_array_equal(got["hidden"], payload["hidden"])
+    finally:
+        conn.close()

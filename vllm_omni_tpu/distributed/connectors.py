@@ -167,9 +167,15 @@ class SharedMemoryConnector(ConnectorBase):
 
 
 class ConnectorFactory:
-    """Name → constructor registry (reference factory.py:24)."""
+    """Name → constructor registry with lazy backend imports
+    (reference factory.py:24 — name→constructor, lazy imports)."""
 
     _registry: dict[str, Callable[..., ConnectorBase]] = {}
+    _lazy = {
+        "tcp": "vllm_omni_tpu.distributed.tcp_connector",
+        "kv_store": "vllm_omni_tpu.distributed.kv_store_connector",
+        "redis": "vllm_omni_tpu.distributed.kv_store_connector",
+    }
 
     @classmethod
     def register(cls, name: str,
@@ -178,6 +184,10 @@ class ConnectorFactory:
 
     @classmethod
     def create(cls, name: str, **kwargs: Any) -> ConnectorBase:
+        if name not in cls._registry and name in cls._lazy:
+            import importlib
+
+            importlib.import_module(cls._lazy[name])
         if name not in cls._registry:
             raise ValueError(
                 f"unknown connector {name!r}; have {sorted(cls._registry)}")
