@@ -28,7 +28,7 @@ NEG_INF = -1e30
 
 def _flash_kernel(seq_lens_ref, q_ref, k_ref, v_ref, o_ref, *,
                   block_s: int, causal: bool, scale: float,
-                  q_block: int):
+                  q_block: int, s_true: int):
     qb = pl.program_id(1)
     s_total = k_ref.shape[1]
     s_len = seq_lens_ref[0]
@@ -36,17 +36,21 @@ def _flash_kernel(seq_lens_ref, q_ref, k_ref, v_ref, o_ref, *,
     bq, d = q.shape
     q_pos = qb * q_block + jax.lax.broadcasted_iota(jnp.int32, (bq, 1), 0)
 
-    def body(i, carry):
+    def body(i, carry, *, masked: bool):
         acc, m, l = carry
+        # f32 operands measured FASTER than bf16-in/f32-acc here
+        # (6.30 vs 6.79 ms at the 4160-token DiT shape) — the kernel is
+        # not MXU-cast-bound at these tile sizes
         ks = k_ref[0, pl.ds(i * block_s, block_s), :].astype(jnp.float32)
         vs = v_ref[0, pl.ds(i * block_s, block_s), :].astype(jnp.float32)
         s = jnp.dot(q, ks.T, preferred_element_type=jnp.float32) * scale
-        kv_pos = i * block_s + jax.lax.broadcasted_iota(
-            jnp.int32, (1, block_s), 1)
-        mask = kv_pos < s_len
-        if causal:
-            mask = mask & (kv_pos <= q_pos)
-        s = jnp.where(mask, s, NEG_INF)
+        if masked:
+            kv_pos = i * block_s + jax.lax.broadcasted_iota(
+                jnp.int32, (1, block_s), 1)
+            mask = kv_pos < s_len
+            if causal:
+                mask = mask & (kv_pos <= q_pos)
+            s = jnp.where(mask, s, NEG_INF)
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m - m_new)
@@ -58,7 +62,21 @@ def _flash_kernel(seq_lens_ref, q_ref, k_ref, v_ref, o_ref, *,
     init = (jnp.zeros((bq, d), jnp.float32),
             jnp.full((bq, 1), NEG_INF, jnp.float32),
             jnp.zeros((bq, 1), jnp.float32))
-    acc, m, l = jax.lax.fori_loop(0, s_total // block_s, body, init)
+    n_blocks = s_total // block_s
+    if causal:
+        # every block needs the causal mask (pad mask rides along)
+        carry = jax.lax.fori_loop(
+            0, n_blocks, functools.partial(body, masked=True), init)
+    else:
+        # pad masking is STATIC: only blocks past the true sequence end
+        # carry padded columns — the main loop skips the per-block mask
+        # compare/where entirely (pure MXU + online softmax)
+        full = s_true // block_s
+        carry = jax.lax.fori_loop(
+            0, full, functools.partial(body, masked=False), init)
+        carry = jax.lax.fori_loop(
+            full, n_blocks, functools.partial(body, masked=True), carry)
+    acc, m, l = carry
     o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
@@ -67,7 +85,7 @@ def _flash_kernel(seq_lens_ref, q_ref, k_ref, v_ref, o_ref, *,
                                              "interpret"))
 def flash_attention_pallas(q: jnp.ndarray, k: jnp.ndarray,
                            v: jnp.ndarray, scale: float,
-                           causal: bool = False, q_block: int = 256,
+                           causal: bool = False, q_block: int = 512,
                            block_s: int = 512,
                            interpret: bool = False) -> jnp.ndarray:
     """q [B, T, H, D] × k/v [B, S, H, D] → [B, T, H, D] (H == Hkv)."""
@@ -104,7 +122,7 @@ def flash_attention_pallas(q: jnp.ndarray, k: jnp.ndarray,
     )
     kernel = functools.partial(_flash_kernel, block_s=block_s,
                                causal=causal, scale=scale,
-                               q_block=q_block)
+                               q_block=q_block, s_true=s)
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
