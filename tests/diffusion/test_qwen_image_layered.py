@@ -200,3 +200,61 @@ def test_layered_pipeline_end_to_end(tmp_path):
     # layers=2 → 3 denoised frames, frame 0 dropped → 2 layer images
     assert arr.shape == (2, 32, 32, 3)
     assert arr.dtype == np.uint8
+
+
+def test_conditioned_steps_bypass_cache_accel(qwen_pipeline_dir=None,
+                                              tmp_path_factory=None):
+    """cache.enabled + a conditioned step body (ref/vace/layered) used
+    to hand the cached arg list to a non-cached body — the conditioned
+    path now steps aside from cache accel (reference
+    _NO_CACHE_ACCELERATION registry role) instead of crashing."""
+    from tests.diffusion.test_qwen_image_loader import (
+        pipeline_dir as _)  # noqa: F401  (fixture import for reuse)
+    import tempfile
+
+    from vllm_omni_tpu.core.request import DiffusionRequest
+    from vllm_omni_tpu.core.sampling_params import DiffusionSamplingParams
+    from vllm_omni_tpu.diffusion.config import DiffusionConfig
+    from vllm_omni_tpu.diffusion.pipeline import DiffusionPipeline
+
+    # build a plain qwen_image dir inline (Edit-style ref conditioning)
+    import json as _json
+    root = tempfile.mkdtemp()
+    import os
+    for d in ("transformer", "scheduler", "vae"):
+        os.makedirs(os.path.join(root, d))
+    with open(os.path.join(root, "model_index.json"), "w") as f:
+        _json.dump({"_class_name": "QwenImageEditPipeline",
+                    "transformer": ["diffusers",
+                                    "QwenImageTransformer2DModel"],
+                    "scheduler": ["diffusers",
+                                  "FlowMatchEulerDiscreteScheduler"],
+                    "vae": ["diffusers", "AutoencoderKLQwenImage"]}, f)
+    with open(os.path.join(root, "transformer", "config.json"), "w") as f:
+        _json.dump({"_class_name": "QwenImageTransformer2DModel",
+                    **TINY}, f)
+    with open(os.path.join(root, "scheduler",
+                           "scheduler_config.json"), "w") as f:
+        _json.dump({"_class_name": "FlowMatchEulerDiscreteScheduler",
+                    "num_train_timesteps": 1000, "shift": 1.0}, f)
+    with open(os.path.join(root, "vae", "config.json"), "w") as f:
+        _json.dump({"_class_name": "AutoencoderKLQwenImage", "z_dim": 4,
+                    "block_out_channels": [16, 32, 32, 32]}, f)
+    save_file(_tiny_state_dict(), os.path.join(
+        root, "transformer", "diffusion_pytorch_model.safetensors"))
+
+    pipe = DiffusionPipeline(DiffusionConfig(
+        model=root, dtype="float32", resolution_buckets=((32, 32),),
+        flow_shift=1.0,
+        cache={"backend": "tea_cache", "rel_l1_thresh": 1e9}))
+    assert pipe.config.cache.enabled
+    img = np.zeros((32, 32, 3), np.float32)
+    st = pipe.prepare(DiffusionRequest(
+        "r", "edit it", DiffusionSamplingParams(
+            num_inference_steps=3, height=32, width=32,
+            guidance_scale=1.0, seed=0, output_type="latent",
+            extra_args={"ref_image": img})))
+    assert st.ref_latents is not None
+    while not st.done:
+        pipe.denoise_step(st)  # used to TypeError on the cached branch
+    assert np.isfinite(np.asarray(st.latents)).all()

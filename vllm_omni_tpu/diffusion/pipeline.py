@@ -943,7 +943,6 @@ class DiffusionPipeline:
         sigma = float(state.sigmas[i])
         sigma_next = float(state.sigmas[i + 1])
         t = float(state.timesteps[i])
-        cached = self.config.cache.enabled
         extras_key = None
         if state.cond_extras is not None:
             extras_key = ("glm", bool(
@@ -954,6 +953,10 @@ class DiffusionPipeline:
         elif state.vace is not None:
             extras_key = ("vace", tuple(state.vace[0].shape),
                           float(state.vace[1]))
+        # cache accel steps aside for conditioned step bodies (ref/
+        # vace/prior) — the reference similarly excludes conditioned
+        # archs from cache accel (registry _NO_CACHE_ACCELERATION :204)
+        cached = self.config.cache.enabled and extras_key is None
         fn = self._get_step_fn(state.latents.shape, state.use_cfg,
                                cached, extras_key)
         if cached:
@@ -1347,9 +1350,14 @@ class DiffusionPipeline:
     def _probe_shape(self, latent_shape) -> tuple:
         """Shape of the family's modulated-input probe buffer."""
         if self.family == "qwen_image":
-            b, h, w, _ = latent_shape
+            if len(latent_shape) == 5:  # Layered stacked frames
+                b, f, h, w, _ = latent_shape
+            else:
+                b, h, w, _ = latent_shape
+                f = 1
             p = self.family_cfg.patch_size
-            return (b, (h // p) * (w // p), self.family_cfg.inner_dim)
+            return (b, f * (h // p) * (w // p),
+                    self.family_cfg.inner_dim)
         if self.family == "flux":
             b, h, w, _ = latent_shape
             p = self.family_cfg.pack_factor

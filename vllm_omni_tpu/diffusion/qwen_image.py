@@ -412,8 +412,14 @@ def qwen_image_modulated_input(params: Params, cfg: QwenImageConfig,
     extract_qwen_context — block.img_mod(temb) first chunk applied to
     img_norm1(hidden)). Cheap relative to a full forward: one packing
     matmul + the timestep MLP + one modulation linear."""
-    img = linear(pack_latents(latents, cfg.patch_size),
-                 params["img_in"])
+    if latents.ndim == 5:  # Layered stacked frames
+        b5, f5 = latents.shape[0], latents.shape[1]
+        flat = latents.reshape(b5 * f5, *latents.shape[2:])
+        img = pack_latents(flat, cfg.patch_size)
+        img = img.reshape(b5, f5 * img.shape[1], img.shape[2])
+    else:
+        img = pack_latents(latents, cfg.patch_size)
+    img = linear(img, params["img_in"])
     temb = qwen_time_embed(params, timesteps, img.dtype)
     silu_t = jax.nn.silu(temb.astype(jnp.float32)).astype(img.dtype)
     blk = params["blocks"][0]
