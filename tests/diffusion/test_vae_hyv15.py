@@ -265,3 +265,198 @@ def test_hyv15_e2e_video_decodes_through_real_vae(tmp_path):
     # 2 latent frames → (2−1)·4+1 = 5 video frames at 32×32 RGB
     assert vid.shape == (5, 32, 32, 3)
     assert vid.dtype == np.uint8
+
+
+# ---------------------------------------------------------------------------
+# Encoder (i2v first-frame conditioning)
+# ---------------------------------------------------------------------------
+
+
+class CausalDownsample(nn.Module):
+    """Strided causal conv: spatial zero pad (0,1) trailing edges +
+    stride 2 unpadded; time front-replicate (k−1) + stride 2."""
+
+    def __init__(self, c, spatial, temporal, k=3):
+        super().__init__()
+        self.k, self.spatial, self.temporal = k, spatial, temporal
+        self.conv = nn.Conv3d(c, c, k, stride=(2 if temporal else 1,
+                                               2 if spatial else 1,
+                                               2 if spatial else 1))
+
+    def forward(self, x):
+        if self.k > 1:
+            front = x[:, :, :1].repeat(1, 1, self.k - 1, 1, 1)
+            x = torch.cat([front, x], dim=2)
+        if self.spatial:
+            x = torch.nn.functional.pad(x, (0, self.k - 2, 0,
+                                            self.k - 2))
+        else:
+            p = self.k // 2
+            x = torch.nn.functional.pad(x, (p, p, p, p))
+        return self.conv(x)
+
+
+class Encoder(nn.Module):
+    def __init__(self, cfg: VAEHYV15Config):
+        super().__init__()
+        ew = cfg.block_out_channels
+        g = cfg.norm_num_groups
+        self.conv_in = CausalConv3d(cfg.in_channels, ew[0], 3)
+        self.down_blocks = nn.ModuleList()
+        for j, (sp, tp) in enumerate(cfg.down_flags):
+            cin = ew[max(j - 1, 0)]
+            cout = ew[j]
+            blk = nn.Module()
+            blk.resnets = nn.ModuleList(
+                [Resnet(cin if r == 0 else cout, cout, g)
+                 for r in range(cfg.layers_per_block)])
+            if sp or tp:
+                blk.downsamplers = nn.ModuleList(
+                    [CausalDownsample(cout, sp, tp)])
+            self.down_blocks.append(blk)
+        mid = nn.Module()
+        mid.resnets = nn.ModuleList(
+            [Resnet(ew[-1], ew[-1], g) for _ in range(2)])
+        mid.attentions = nn.ModuleList([MidAttn(ew[-1], g)])
+        self.mid_block = mid
+        self.norm_out = nn.GroupNorm(g, ew[-1], eps=1e-6)
+        self.conv_out = CausalConv3d(ew[-1],
+                                     2 * cfg.latent_channels, 3)
+
+    def forward(self, x):
+        x = self.conv_in(x)
+        for blk in self.down_blocks:
+            for r in blk.resnets:
+                x = r(x)
+            if hasattr(blk, "downsamplers"):
+                x = blk.downsamplers[0](x)
+        x = self.mid_block.resnets[0](x)
+        x = self.mid_block.attentions[0](x)
+        x = self.mid_block.resnets[1](x)
+        x = torch.nn.functional.silu(self.norm_out(x))
+        return self.conv_out(x)
+
+
+class OracleFullVAE(nn.Module):
+    def __init__(self, cfg):
+        super().__init__()
+        self.encoder = Encoder(cfg)
+        self.quant_conv = CausalConv3d(2 * cfg.latent_channels,
+                                       2 * cfg.latent_channels, 1)
+        self.post_quant_conv = CausalConv3d(
+            cfg.latent_channels, cfg.latent_channels, 1)
+        self.decoder = Decoder(cfg)
+
+
+def test_hyv15_vae_encode_parity():
+    torch.manual_seed(4)
+    m = OracleFullVAE(CFG).eval()
+    for p in m.parameters():
+        p.requires_grad_(False)
+        if p.ndim >= 4:
+            p.mul_(0.3)
+    from vllm_omni_tpu.diffusion.vae_hyv15 import hyv15_vae_encode
+
+    params = init_hyv15_vae_params(CFG, dtype=jnp.float32,
+                                   with_encoder=True)
+    unmapped = [k for k, v in m.state_dict().items()
+                if not assign_hyv15_vae_tensor(
+                    params, k, v.detach().numpy(), jnp.float32)]
+    assert not unmapped, unmapped
+
+    rng = np.random.default_rng(6)
+    vid = rng.uniform(-1, 1, (1, 3, 1, 32, 32)).astype(np.float32)
+    with torch.no_grad():
+        moments = m.quant_conv(m.encoder(torch.from_numpy(vid)))
+        want = moments[:, :CFG.latent_channels].numpy()
+    got = np.asarray(hyv15_vae_encode(
+        params, CFG, jnp.asarray(vid.transpose(0, 2, 3, 4, 1)),
+        sample=False))
+    got = got.transpose(0, 4, 1, 2, 3)
+    # single frame: no temporal downsampling applies, spatial ×8
+    assert got.shape == want.shape == (1, 6, 1, 4, 4)
+    np.testing.assert_allclose(got, want, atol=5e-4, rtol=5e-3)
+
+
+def test_hyv15_i2v_first_frame_conditioning(tmp_path):
+    """HunyuanVideo15 I2V through the engine: the reference image
+    encodes through the checkpoint's VAE encoder onto cond frame 0
+    with a first-frame mask (pipeline_hunyuan_video_1_5_i2v.py:372-399)
+    — the denoised latents must differ from the unconditioned run."""
+    from safetensors.torch import save_file
+
+    from tests.diffusion.test_hunyuan_video_loader import (
+        TINY, _tiny_state_dict)
+    from vllm_omni_tpu.core.request import DiffusionRequest
+    from vllm_omni_tpu.core.sampling_params import DiffusionSamplingParams
+    from vllm_omni_tpu.diffusion.config import DiffusionConfig
+    from vllm_omni_tpu.diffusion.engine import DiffusionEngine
+
+    vcfg = VAEHYV15Config(
+        latent_channels=4, block_out_channels=(8, 16, 16),
+        layers_per_block=1, norm_num_groups=4,
+        spatial_compression_ratio=8, temporal_compression_ratio=4,
+        scaling_factor=0.9)
+    root = tmp_path / "hv15_i2v"
+    for d in ("transformer", "scheduler", "vae"):
+        (root / d).mkdir(parents=True)
+    with open(root / "model_index.json", "w") as f:
+        json.dump({"_class_name": "HunyuanVideo15ImageToVideoPipeline",
+                   "transformer": ["diffusers",
+                                   "HunyuanVideo15Transformer3DModel"],
+                   "scheduler": ["diffusers",
+                                 "FlowMatchEulerDiscreteScheduler"],
+                   "vae": ["diffusers",
+                           "AutoencoderKLHunyuanVideo15"]}, f)
+    with open(root / "transformer" / "config.json", "w") as f:
+        json.dump({"_class_name": "HunyuanVideo15Transformer3DModel",
+                   **TINY}, f)
+    with open(root / "scheduler" / "scheduler_config.json", "w") as f:
+        json.dump({"_class_name": "FlowMatchEulerDiscreteScheduler",
+                   "num_train_timesteps": 1000, "shift": 1.0}, f)
+    with open(root / "vae" / "config.json", "w") as f:
+        json.dump({"_class_name": "AutoencoderKLHunyuanVideo15",
+                   "latent_channels": 4,
+                   "block_out_channels": [8, 16, 16],
+                   "layers_per_block": 1, "norm_num_groups": 4,
+                   "spatial_compression_ratio": 8,
+                   "temporal_compression_ratio": 4,
+                   "scaling_factor": 0.9}, f)
+    save_file(_tiny_state_dict(), str(
+        root / "transformer" / "diffusion_pytorch_model.safetensors"))
+    torch.manual_seed(11)
+    vae = OracleFullVAE(vcfg).eval()
+    for p in vae.parameters():
+        p.requires_grad_(False)
+        if p.ndim >= 4:
+            p.mul_(0.3)
+    save_file({k: v.detach().clone()
+               for k, v in vae.state_dict().items()},
+              str(root / "vae" / "diffusion_pytorch_model.safetensors"))
+
+    eng = DiffusionEngine(DiffusionConfig(
+        model=str(root), dtype="float32",
+        resolution_buckets=((32, 32),), flow_shift=1.0))
+    assert eng.pipeline.vae_kind == "hyv15"
+    assert "encoder" in eng.pipeline.vae_params
+
+    img = np.random.default_rng(7).uniform(
+        -1, 1, (32, 32, 3)).astype(np.float32)
+
+    def run(extra):
+        return eng.generate([DiffusionRequest(
+            "r", "a dog runs", DiffusionSamplingParams(
+                num_inference_steps=2, height=32, width=32,
+                num_frames=2, guidance_scale=3.0, seed=0,
+                output_type="latent", extra_args=extra))])[0]
+
+    out = run({"ref_image": img})
+    assert out.error is None, out.error
+    base = run(None)
+    assert base.error is None
+
+    def lat(o):
+        x = o.images if o.images is not None else o.video
+        return np.asarray(x, np.float32)
+
+    assert np.abs(lat(out) - lat(base)).max() > 1e-4

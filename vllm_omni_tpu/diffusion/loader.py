@@ -83,6 +83,23 @@ def _shard_files(comp_dir: str) -> list[str]:
     return files
 
 
+def component_tensor_names(path: str, subfolder: str) -> list[str]:
+    """Tensor names across all shards WITHOUT loading data (safetensors
+    headers only; gguf shards fall back to a full iteration)."""
+    from safetensors import safe_open
+
+    names: list[str] = []
+    for f in _shard_files(os.path.join(path, subfolder)):
+        if f.endswith(".gguf"):
+            from vllm_omni_tpu.diffusion.gguf import iter_gguf_tensors
+
+            names.extend(n for n, _ in iter_gguf_tensors(f))
+            continue
+        with safe_open(f, framework="numpy") as st:
+            names.extend(st.keys())
+    return names
+
+
 def iter_component_tensors(path: str, subfolder: str
                            ) -> Iterator[tuple[str, np.ndarray]]:
     """Yield (name, np array) over all shards of one component. bf16
@@ -388,7 +405,12 @@ def load_vae(path: str, dtype=jnp.bfloat16) -> dict[str, Any]:
             init_hyv15_vae_params)
 
         cfg = VAEHYV15Config.from_json(cfg_json)
-        params = init_hyv15_vae_params(cfg, dtype)
+        # load the encoder too when the checkpoint ships one (i2v
+        # first-frame conditioning encodes through it)
+        with_enc = any(n.startswith("encoder.") for n in
+                       component_tensor_names(path, "vae"))
+        params = init_hyv15_vae_params(cfg, dtype,
+                                       with_encoder=with_enc)
         assign = assign_hyv15_vae_tensor
         meta["latent_channels"] = cfg.latent_channels
         meta["scale_factor"] = cfg.spatial_compression_ratio
@@ -412,10 +434,9 @@ def load_vae(path: str, dtype=jnp.bfloat16) -> dict[str, Any]:
             finalize_oobleck_params)
 
         finalize_oobleck_params(params)
-    if kind in ("oobleck", "ltx2", "hyv15"):
+    if kind in ("oobleck", "ltx2"):
         # encoder-side tensors are intentionally skipped at serving
-        # time (quant_conv is the encode-side projection; the decode
-        # side post_quant_conv IS mapped)
+        # time (hyv15 DOES map its encoder for i2v conditioning)
         unmapped = [n for n in unmapped
                     if not n.startswith("encoder.") and
                     not n.startswith("quant_conv.")]

@@ -671,6 +671,46 @@ class DiffusionPipeline:
                     del vae
                 ref_latents = ref_latents.astype(self.dtype)
                 ref_img = None  # handled; skip the Kontext branch
+            elif self.family == "hunyuan_video":
+                # HunyuanVideo15 I2V: first-frame conditioning — the
+                # image's argmax latents · scaling_factor ride the
+                # cond_latents channel block with a first-frame mask
+                # (pipeline_hunyuan_video_1_5_i2v.py:372-399). SigLIP
+                # image_embeds are an additive extra the serving path
+                # leaves zero (documented delta).
+                if self.vae_kind != "hyv15":
+                    raise ValueError(
+                        "HunyuanVideo15 I2V needs the checkpoint's "
+                        "AutoencoderKLHunyuanVideo15 (with encoder "
+                        "weights) to encode the reference image")
+                if "encoder" not in (self._vae_host or self.vae_params):
+                    raise ValueError(
+                        "vae/ ships no encoder weights — cannot encode "
+                        "the I2V reference image")
+                from vllm_omni_tpu.diffusion.vae_hyv15 import (
+                    hyv15_vae_encode)
+
+                rimg = np.asarray(ref_img, np.float32)
+                if rimg.ndim == 2:
+                    rimg = rimg[..., None].repeat(3, axis=-1)
+                if rimg.max() > 2.0:
+                    rimg = rimg / 127.5 - 1.0
+                if rimg.shape[:2] != (p.height, p.width):
+                    raise ValueError("ref_image must match the "
+                                     "requested height/width")
+                vae = (jax.device_put(self._vae_host)
+                       if self._vae_host is not None
+                       else self.vae_params)
+                lat1 = hyv15_vae_encode(
+                    vae, self.vae_cfg,
+                    jnp.asarray(rimg, self.dtype)[None, None],
+                    sample=False)
+                if self._vae_host is not None:
+                    del vae
+                ref_latents = (lat1[:, 0] *
+                               self.vae_cfg.scaling_factor).astype(
+                    self.dtype)
+                ref_img = None  # handled; skip the Kontext branch
         if ref_img is not None and (p.num_frames <= 1 or layered):
             if self.family not in ("flux", "qwen_image"):
                 raise ValueError(
@@ -1044,8 +1084,12 @@ class DiffusionPipeline:
         fn = self._step_fns.get(key)
         if fn is None:
             if extras_key is not None and extras_key[0] == "ref":
-                body = self._step_body_wan_i2v \
-                    if self.family == "wan" else self._step_body_ref
+                if self.family == "wan":
+                    body = self._step_body_wan_i2v
+                elif self.family == "hunyuan_video":
+                    body = self._step_body_hyv_i2v
+                else:
+                    body = self._step_body_ref
             elif extras_key is not None and extras_key[0] == "vace":
                 body = functools.partial(self._step_body_vace,
                                          vace_scale=extras_key[2])
@@ -1528,6 +1572,51 @@ class DiffusionPipeline:
             v = fwd(latents, text_states[:1], drop).astype(jnp.float32)
         return (latents.astype(jnp.float32) +
                 (sigma_next - sigma) * v).astype(latents.dtype)
+
+    def _step_body_hyv_i2v(self, params, latents, text_states, t,
+                           sigma, sigma_next, guidance, pooled, cond,
+                           *, use_cfg: bool):
+        """HunyuanVideo15 I2V step: cond_latents = the image's latents
+        on frame 0 (zeros after), mask 1.0 on frame 0
+        (pipeline_hunyuan_video_1_5_i2v.py prepare_cond_latents_and_
+        mask); the transformer consumes the [latent, cond, mask]
+        channel concat every step."""
+        del pooled
+        from vllm_omni_tpu.diffusion.hunyuan_video import (
+            hunyuan_video_forward)
+
+        squeeze_f = latents.ndim == 4
+        lat5 = latents[:, None] if squeeze_f else latents
+        f = lat5.shape[1]
+        cond5 = jnp.zeros_like(lat5)
+        cond5 = cond5.at[:, 0].set(cond.astype(lat5.dtype))
+        mask = jnp.zeros(lat5.shape[:-1] + (1,), lat5.dtype)
+        mask = mask.at[:, 0].set(1.0)
+        # scheduler t arrives in train units; the family forward takes
+        # flow-match σ ∈ [0, 1] (same normalization _predict_velocity
+        # applies for real-geometry families)
+        sig = t / self.config.num_train_timesteps
+
+        def fwd(lat, txt):
+            tt = jnp.full((lat.shape[0],), sig, jnp.float32)
+            return hunyuan_video_forward(
+                params, self.family_cfg, lat, txt, tt,
+                cond_latents=jnp.concatenate([cond5] * lat.shape[0],
+                                             axis=0),
+                cond_mask=jnp.concatenate([mask] * lat.shape[0],
+                                          axis=0),
+                mesh=self.mesh)
+
+        del f
+        if use_cfg:
+            lat2 = jnp.concatenate([lat5, lat5], axis=0)
+            v = fwd(lat2, text_states).astype(jnp.float32)
+            v = v[1:] + guidance * (v[:1] - v[1:])
+        else:
+            v = fwd(lat5, text_states[:1]).astype(jnp.float32)
+        new5 = (lat5.astype(jnp.float32) +
+                (sigma_next - sigma) * v).astype(lat5.dtype)
+        return new5[:, 0] if squeeze_f else new5
 
     def _step_body_vace(self, params, latents, text_states, t, sigma,
                         sigma_next, guidance, pooled, vace_ctx, *,

@@ -78,6 +78,17 @@ class VAEHYV15Config:
             flags.append((sp, tp))
         return flags
 
+    @property
+    def down_flags(self) -> list:
+        """[(spatial_down, temporal_down)] per encoder down block —
+        the mirror of up_flags: spatial in the first log2(ratio)
+        blocks, temporal in the DEEPEST of those (the decoder upsamples
+        temporally in its earliest = deepest blocks)."""
+        n = len(self.block_out_channels)
+        n_sp = int(math.log2(self.spatial_compression_ratio))
+        n_tp = int(math.log2(self.temporal_compression_ratio))
+        return [(j < n_sp, n_sp - n_tp <= j < n_sp) for j in range(n)]
+
     @classmethod
     def from_json(cls, cfg: dict[str, Any]) -> "VAEHYV15Config":
         keep = set(cls.__dataclass_fields__)
@@ -168,6 +179,28 @@ def _upsample(x: jnp.ndarray, p: Params, spatial: bool,
     return _causal_conv3d(x, p["conv"])
 
 
+def _causal_downsample(x: jnp.ndarray, p: Params, spatial: bool,
+                       temporal: bool) -> jnp.ndarray:
+    """Strided causal conv (HunyuanVideo DownsampleCausal3D lineage):
+    spatial zero pad (0, 1) each trailing edge then stride 2 unpadded;
+    time front-REPLICATE (k−1) then stride 2 → F frames encode to
+    ceil(F/2) (a single i2v frame stays a single latent frame)."""
+    kt, kh, kw = p["w"].shape[:3]
+    st = 2 if temporal else 1
+    ss = 2 if spatial else 1
+    if kt > 1:
+        front = jnp.repeat(x[:, :1], kt - 1, axis=1)
+        x = jnp.concatenate([front, x], axis=1)
+    pad_h = (0, max(kh - ss, 0)) if spatial else (kh // 2, kh // 2)
+    pad_w = (0, max(kw - ss, 0)) if spatial else (kw // 2, kw // 2)
+    out = jax.lax.conv_general_dilated(
+        x, p["w"].astype(x.dtype), window_strides=(st, ss, ss),
+        padding=[(0, 0), pad_h, pad_w], dimension_numbers=_DN)
+    if "b" in p:
+        out = out + p["b"].astype(out.dtype)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # decode
 # ---------------------------------------------------------------------------
@@ -198,13 +231,47 @@ def hyv15_vae_decode(params: Params, cfg: VAEHYV15Config,
     return _causal_conv3d(x, dec["conv_out"])
 
 
+def hyv15_vae_encode(params: Params, cfg: VAEHYV15Config,
+                     video: jnp.ndarray, key=None,
+                     sample: bool = False) -> jnp.ndarray:
+    """video [B, F, H, W, 3] in [-1, 1] → latents
+    [B, ceil(F/t_ratio... causal), H/s, W/s, C_lat]. Default argmax
+    (posterior mean — reference i2v retrieve_latents sample_mode=
+    "argmax", pipeline_hunyuan_video_1_5_i2v.py:372). NOTE: the i2v
+    conditioning path multiplies by scaling_factor at the CALL site
+    (:373 image_latents · scaling_factor)."""
+    enc = params["encoder"]
+    g = cfg.norm_num_groups
+    x = _causal_conv3d(video, enc["conv_in"])
+    for blk, (sp, tp) in zip(enc["down_blocks"], cfg.down_flags):
+        for r in blk["resnets"]:
+            x = _resnet(x, r, g)
+        if "downsampler" in blk:
+            x = _causal_downsample(x, blk["downsampler"], sp, tp)
+    x = _resnet(x, enc["mid_resnet1"], g)
+    if "mid_attn" in enc:
+        x = _mid_attention(x, enc["mid_attn"], g)
+    x = _resnet(x, enc["mid_resnet2"], g)
+    x = jax.nn.silu(_group_norm(x, enc["norm_out"], g).astype(
+        jnp.float32)).astype(x.dtype)
+    moments = _causal_conv3d(x, enc["conv_out"])
+    if "quant_conv" in params:
+        moments = _causal_conv3d(moments, params["quant_conv"])
+    mean, logvar = jnp.split(moments.astype(jnp.float32), 2, axis=-1)
+    if sample and key is not None:
+        std = jnp.exp(0.5 * jnp.clip(logvar, -30.0, 20.0))
+        mean = mean + std * jax.random.normal(key, mean.shape,
+                                              jnp.float32)
+    return mean.astype(video.dtype)
+
+
 # ---------------------------------------------------------------------------
 # init + tensor mapping
 # ---------------------------------------------------------------------------
 
 
-def init_hyv15_vae_params(cfg: VAEHYV15Config,
-                          dtype=jnp.bfloat16) -> Params:
+def init_hyv15_vae_params(cfg: VAEHYV15Config, dtype=jnp.bfloat16,
+                          with_encoder: bool = False) -> Params:
     def conv(k, cin, cout):
         return {"w": jnp.zeros((k, k, k, cin, cout), dtype),
                 "b": jnp.zeros((cout,), dtype)}
@@ -253,7 +320,34 @@ def init_hyv15_vae_params(cfg: VAEHYV15Config,
         if sp or tp:
             blk["upsampler"] = {"conv": conv(3, cout, cout)}
         dec["up_blocks"].append(blk)
-    return {"decoder": dec}
+    params: Params = {"decoder": dec}
+    if with_encoder:
+        ew = cfg.block_out_channels
+        enc: Params = {
+            "conv_in": conv(3, cfg.in_channels, ew[0]),
+            "down_blocks": [],
+            "mid_resnet1": resnet(ew[-1], ew[-1]),
+            "mid_resnet2": resnet(ew[-1], ew[-1]),
+            "norm_out": norm(ew[-1]),
+            "conv_out": conv(3, ew[-1], 2 * cfg.latent_channels),
+        }
+        if cfg.mid_block_add_attention:
+            enc["mid_attn"] = {"group_norm": norm(ew[-1]),
+                               "to_q": lin(ew[-1]),
+                               "to_k": lin(ew[-1]),
+                               "to_v": lin(ew[-1]),
+                               "to_out": lin(ew[-1])}
+        for j, (sp, tp) in enumerate(cfg.down_flags):
+            cin = ew[max(j - 1, 0)]
+            cout = ew[j]
+            resnets = [resnet(cin if r == 0 else cout, cout)
+                       for r in range(cfg.layers_per_block)]
+            blk = {"resnets": resnets}
+            if sp or tp:
+                blk["downsampler"] = conv(3, cout, cout)
+            enc["down_blocks"].append(blk)
+        params["encoder"] = enc
+    return params
 
 
 def assign_hyv15_vae_tensor(params: Params, name: str, value,
@@ -299,9 +393,52 @@ def assign_hyv15_vae_tensor(params: Params, name: str, value,
         return False
 
     parts = name.split(".")
-    if parts[0] == "post_quant_conv":
-        slot = params.setdefault("post_quant_conv", {})
+    if parts[0] in ("post_quant_conv", "quant_conv"):
+        slot = params.setdefault(parts[0], {})
         return put_conv(slot, parts[-1])
+    if parts[0] == "encoder":
+        if "encoder" not in params:
+            return False
+        enc = params["encoder"]
+        rest = parts[1:]
+        if rest[0] == "conv_in":
+            return put_conv(enc["conv_in"], rest[-1])
+        if rest[0] == "conv_out":
+            return put_conv(enc["conv_out"], rest[-1])
+        if rest[0] == "norm_out":
+            return put_norm(enc["norm_out"], rest[-1])
+        if rest[0] == "mid_block":
+            sub = rest[1:]
+            if sub[0] == "resnets":
+                i = int(sub[1])
+                tgt = enc["mid_resnet1"] if i == 0 else \
+                    enc["mid_resnet2"]
+                return resnet_slot(tgt, sub[2:])
+            if sub[0] == "attentions" and "mid_attn" in enc:
+                a = enc["mid_attn"]
+                s2 = sub[2:]
+                if s2[0] == "group_norm":
+                    return put_norm(a["group_norm"], s2[-1])
+                if s2[0] in ("to_q", "to_k", "to_v", "to_out"):
+                    return put_lin(a[s2[0]], s2[-1])
+            return False
+        if rest[0] == "down_blocks":
+            i = int(rest[1])
+            if i >= len(enc["down_blocks"]):
+                return False
+            blk = enc["down_blocks"][i]
+            sub = rest[2:]
+            if sub[0] == "resnets":
+                j = int(sub[1])
+                if j >= len(blk["resnets"]):
+                    return False
+                return resnet_slot(blk["resnets"][j], sub[2:])
+            if sub[0] == "downsamplers":
+                if "downsampler" not in blk:
+                    return False
+                return put_conv(blk["downsampler"], sub[-1])
+            return False
+        return False
     if parts[0] != "decoder":
         return False
     parts = parts[1:]
