@@ -460,3 +460,102 @@ def test_hyv15_i2v_first_frame_conditioning(tmp_path):
         return np.asarray(x, np.float32)
 
     assert np.abs(lat(out) - lat(base)).max() > 1e-4
+
+
+def test_hyv15_i2v_siglip_image_embeds(tmp_path):
+    """When the checkpoint ships an image_encoder/ (SiglipVisionModel),
+    its last_hidden_state tokens feed the transformer's image_embedder
+    (pipeline_hunyuan_video_1_5_i2v.py:135, :358) — the denoised
+    latents must differ from the run without the tower."""
+    pytest.importorskip("transformers")
+    import shutil
+
+    from transformers import SiglipVisionConfig, SiglipVisionModel
+
+    from tests.diffusion.test_hunyuan_video_loader import TINY
+    from vllm_omni_tpu.core.request import DiffusionRequest
+    from vllm_omni_tpu.core.sampling_params import DiffusionSamplingParams
+    from vllm_omni_tpu.diffusion.config import DiffusionConfig
+    from vllm_omni_tpu.diffusion.engine import DiffusionEngine
+
+    # build the i2v dir, then clone it with/without the tower
+    base_dir = tmp_path / "with_tower"
+    import json as _json
+
+    from safetensors.torch import save_file
+
+    from tests.diffusion.test_hunyuan_video_loader import _tiny_state_dict
+    vcfg = VAEHYV15Config(
+        latent_channels=4, block_out_channels=(8, 16, 16),
+        layers_per_block=1, norm_num_groups=4,
+        spatial_compression_ratio=8, temporal_compression_ratio=4,
+        scaling_factor=0.9)
+    for d in ("transformer", "scheduler", "vae"):
+        (base_dir / d).mkdir(parents=True)
+    with open(base_dir / "model_index.json", "w") as f:
+        _json.dump({"_class_name":
+                    "HunyuanVideo15ImageToVideoPipeline",
+                    "transformer": ["diffusers",
+                                    "HunyuanVideo15Transformer3DModel"],
+                    "scheduler": ["diffusers",
+                                  "FlowMatchEulerDiscreteScheduler"],
+                    "vae": ["diffusers",
+                            "AutoencoderKLHunyuanVideo15"]}, f)
+    with open(base_dir / "transformer" / "config.json", "w") as f:
+        _json.dump({"_class_name": "HunyuanVideo15Transformer3DModel",
+                    **TINY}, f)
+    with open(base_dir / "scheduler" / "scheduler_config.json",
+              "w") as f:
+        _json.dump({"_class_name": "FlowMatchEulerDiscreteScheduler",
+                    "num_train_timesteps": 1000, "shift": 1.0}, f)
+    with open(base_dir / "vae" / "config.json", "w") as f:
+        _json.dump({"_class_name": "AutoencoderKLHunyuanVideo15",
+                    "latent_channels": 4,
+                    "block_out_channels": [8, 16, 16],
+                    "layers_per_block": 1, "norm_num_groups": 4,
+                    "spatial_compression_ratio": 8,
+                    "temporal_compression_ratio": 4,
+                    "scaling_factor": 0.9}, f)
+    save_file(_tiny_state_dict(), str(
+        base_dir / "transformer" /
+        "diffusion_pytorch_model.safetensors"))
+    torch.manual_seed(11)
+    vae = OracleFullVAE(vcfg).eval()
+    for p in vae.parameters():
+        p.requires_grad_(False)
+        if p.ndim >= 4:
+            p.mul_(0.3)
+    save_file({k: v.detach().clone()
+               for k, v in vae.state_dict().items()},
+              str(base_dir / "vae" /
+                  "diffusion_pytorch_model.safetensors"))
+    no_tower = tmp_path / "no_tower"
+    shutil.copytree(base_dir, no_tower)
+    # hidden 12 == the tiny transformer's image_embed_dim
+    torch.manual_seed(3)
+    sig = SiglipVisionModel(SiglipVisionConfig(
+        hidden_size=12, intermediate_size=24, num_hidden_layers=1,
+        num_attention_heads=2, num_channels=3, image_size=32,
+        patch_size=8, hidden_act="gelu_pytorch_tanh")).eval()
+    sig.save_pretrained(base_dir / "image_encoder")
+
+    img = np.random.default_rng(7).uniform(
+        -1, 1, (32, 32, 3)).astype(np.float32)
+
+    def run(model_dir):
+        eng = DiffusionEngine(DiffusionConfig(
+            model=str(model_dir), dtype="float32",
+            resolution_buckets=((32, 32),), flow_shift=1.0))
+        out = eng.generate([DiffusionRequest(
+            "r", "a dog runs", DiffusionSamplingParams(
+                num_inference_steps=2, height=32, width=32,
+                num_frames=2, guidance_scale=3.0, seed=0,
+                output_type="latent",
+                extra_args={"ref_image": img}))])[0]
+        assert out.error is None, out.error
+        x = out.images if out.images is not None else out.video
+        return np.asarray(x, np.float32)
+
+    with_embeds = run(base_dir)
+    without = run(no_tower)
+    assert np.abs(with_embeds - without).max() > 1e-5

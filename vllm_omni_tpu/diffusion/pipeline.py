@@ -15,6 +15,7 @@ CFG-parallel over a mesh "cfg" axis shards that batch dimension.
 from __future__ import annotations
 
 import functools
+import os
 import time
 from dataclasses import dataclass, field
 from typing import Any, Optional
@@ -74,6 +75,9 @@ class DenoiseState:
     # WanVACE per-region conditioning: (context [1, F, h, w, C_vace],
     # scale) — inactive|reactive latents + 8×8-stride mask channels
     vace: Any = None
+    # HunyuanVideo15 I2V: SigLIP vision tokens of the reference image
+    # [1, S, siglip_hidden] fed to the transformer's image_embedder
+    image_embeds: Any = None
     use_cfg: bool = False
     guidance_scale: float = 1.0
     t_start: float = field(default_factory=time.monotonic)
@@ -640,6 +644,7 @@ class DiffusionPipeline:
             latents = ((1.0 - s0) * x0.astype(jnp.float32) +
                        s0 * latents.astype(jnp.float32)).astype(self.dtype)
         ref_latents = None
+        image_embeds = None
         ref_img = (p.extra_args or {}).get(
             "ref_image", (p.extra_args or {}).get("edit_image"))
         if ref_img is not None:
@@ -710,6 +715,27 @@ class DiffusionPipeline:
                 ref_latents = (lat1[:, 0] *
                                self.vae_cfg.scaling_factor).astype(
                     self.dtype)
+                # SigLIP image tokens when the checkpoint ships an
+                # image_encoder/ (reference SiglipVisionModel,
+                # pipeline_hunyuan_video_1_5_i2v.py:135, :358
+                # last_hidden_state); zeros-absent otherwise
+                enc_dir = os.path.join(self.config.model,
+                                       "image_encoder")
+                if os.path.isdir(enc_dir):
+                    from vllm_omni_tpu.models.encoders import (
+                        load_clip_vision_encoder,
+                        vision_encoder_forward)
+
+                    if not hasattr(self, "_siglip"):
+                        self._siglip = load_clip_vision_encoder(
+                            enc_dir, dtype=self.dtype)
+                    scfg, sparams = self._siglip
+                    pix = jax.image.resize(
+                        jnp.asarray(rimg, jnp.float32)[None],
+                        (1, scfg.image_size, scfg.image_size, 3),
+                        "bilinear")
+                    image_embeds = vision_encoder_forward(
+                        sparams, scfg, pix.astype(self.dtype))
                 ref_img = None  # handled; skip the Kontext branch
         if ref_img is not None and (p.num_frames <= 1 or layered):
             if self.family not in ("flux", "qwen_image"):
@@ -786,7 +812,8 @@ class DiffusionPipeline:
             ref_latents=ref_latents, sigmas=sigmas,
             timesteps=self.scheduler.timesteps_for(sigmas),
             use_cfg=use_cfg, guidance_scale=p.guidance_scale,
-            cond_extras=cond_extras, vace=vace)
+            cond_extras=cond_extras, vace=vace,
+            image_embeds=image_embeds)
 
     def _prepare_vace(self, p) -> Any:
         """WanVACE conditioning context (reference
@@ -989,7 +1016,9 @@ class DiffusionPipeline:
                 state.cond_extras.get("prior_missing")),
                 state.cond_extras["prior_token_id"].shape)
         elif state.ref_latents is not None:
-            extras_key = ("ref", tuple(state.ref_latents.shape))
+            extras_key = ("ref", tuple(state.ref_latents.shape),
+                          None if state.image_embeds is None
+                          else tuple(state.image_embeds.shape))
         elif state.vace is not None:
             extras_key = ("vace", tuple(state.vace[0].shape),
                           float(state.vace[1]))
@@ -1045,12 +1074,15 @@ class DiffusionPipeline:
                 pooled = jnp.zeros(
                     (state.text_states.shape[0],
                      self.family_cfg.pooled_projection_dim), self.dtype)
-            state.latents = fn(self.dit_params, state.latents,
-                               state.text_states,
-                               jnp.float32(t), jnp.float32(sigma),
-                               jnp.float32(sigma_next),
-                               jnp.float32(state.guidance_scale),
-                               pooled, state.ref_latents)
+            args = (self.dit_params, state.latents, state.text_states,
+                    jnp.float32(t), jnp.float32(sigma),
+                    jnp.float32(sigma_next),
+                    jnp.float32(state.guidance_scale),
+                    pooled, state.ref_latents)
+            if self.family == "hunyuan_video" and \
+                    state.image_embeds is not None:
+                args = args + (state.image_embeds,)
+            state.latents = fn(*args)
         elif state.vace is not None:
             state.latents = fn(self.dit_params, state.latents,
                                state.text_states,
@@ -1575,7 +1607,7 @@ class DiffusionPipeline:
 
     def _step_body_hyv_i2v(self, params, latents, text_states, t,
                            sigma, sigma_next, guidance, pooled, cond,
-                           *, use_cfg: bool):
+                           image_embeds=None, *, use_cfg: bool):
         """HunyuanVideo15 I2V step: cond_latents = the image's latents
         on frame 0 (zeros after), mask 1.0 on frame 0
         (pipeline_hunyuan_video_1_5_i2v.py prepare_cond_latents_and_
@@ -1599,13 +1631,20 @@ class DiffusionPipeline:
 
         def fwd(lat, txt):
             tt = jnp.full((lat.shape[0],), sig, jnp.float32)
+            kw = {}
+            if image_embeds is not None:
+                ie = jnp.concatenate([image_embeds] * lat.shape[0],
+                                     axis=0)
+                kw = dict(image_embeds=ie,
+                          image_embeds_mask=jnp.ones(
+                              ie.shape[:2], bool))
             return hunyuan_video_forward(
                 params, self.family_cfg, lat, txt, tt,
                 cond_latents=jnp.concatenate([cond5] * lat.shape[0],
                                              axis=0),
                 cond_mask=jnp.concatenate([mask] * lat.shape[0],
                                           axis=0),
-                mesh=self.mesh)
+                mesh=self.mesh, **kw)
 
         del f
         if use_cfg:

@@ -69,6 +69,10 @@ def _act(x: jnp.ndarray, kind: str) -> jnp.ndarray:
     xf = x.astype(jnp.float32)
     if kind == "quick_gelu":
         return (xf * jax.nn.sigmoid(1.702 * xf)).astype(x.dtype)
+    if kind in ("gelu_pytorch_tanh", "gelu_new", "gelu_tanh"):
+        # SigLIP towers use the tanh approximation — golden parity vs
+        # transformers requires matching it exactly
+        return jax.nn.gelu(xf, approximate=True).astype(x.dtype)
     # exact erf GELU — HF whisper/CLIP "gelu" is exact, and the tanh
     # approximation differs by up to ~6e-2 (breaks golden parity)
     return jax.nn.gelu(xf, approximate=False).astype(x.dtype)
@@ -185,6 +189,8 @@ def vision_encoder_forward(params: Params, cfg: VisionEncoderConfig,
         window_strides=(p, p), padding="VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.float32).astype(pixels.dtype)
+    if "b" in params["patch_embed"]:  # SigLIP patch conv carries bias
+        x = x + params["patch_embed"]["b"].astype(x.dtype)
     b, gh, gw, h = x.shape
     x = x.reshape(b, gh * gw, h)
     if cfg.use_cls_token:
@@ -436,6 +442,10 @@ def load_clip_vision_encoder(path: str, output_dim: int = 0,
             dtype),
         "layers": [],
     }
+    if "embeddings.patch_embedding.bias" in tensors:  # SigLIP towers
+        params["patch_embed"]["b"] = jnp.asarray(np.asarray(
+            tensors["embeddings.patch_embedding.bias"], np.float32),
+            dtype)
     if cfg.use_cls_token:
         params["cls"] = jnp.asarray(np.asarray(
             tensors["embeddings.class_embedding"], np.float32), dtype)
