@@ -680,9 +680,8 @@ class DiffusionPipeline:
                 # HunyuanVideo15 I2V: first-frame conditioning — the
                 # image's argmax latents · scaling_factor ride the
                 # cond_latents channel block with a first-frame mask
-                # (pipeline_hunyuan_video_1_5_i2v.py:372-399). SigLIP
-                # image_embeds are an additive extra the serving path
-                # leaves zero (documented delta).
+                # (pipeline_hunyuan_video_1_5_i2v.py:372-399); SigLIP
+                # tokens load below when image_encoder/ ships.
                 if self.vae_kind != "hyv15":
                     raise ValueError(
                         "HunyuanVideo15 I2V needs the checkpoint's "
