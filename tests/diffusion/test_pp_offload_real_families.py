@@ -24,6 +24,8 @@ from tests.diffusion.test_wan_loader import (  # noqa: E402,F401
     pipeline_dir as wan_pipeline_dir)
 from tests.diffusion.test_sd3_loader import (  # noqa: E402,F401
     pipeline_dir as sd3_pipeline_dir)
+from tests.diffusion.test_flux_loader import (  # noqa: E402,F401
+    pipeline_dir as flux_pipeline_dir)
 
 
 def _run(model, *, parallel=None, offload=None, guidance=4.0,
@@ -87,3 +89,20 @@ def test_layerwise_rejects_unwired_family(sd3_pipeline_dir):
     silent fall-through to a wrong path."""
     with pytest.raises(ValueError, match="layerwise"):
         _run(sd3_pipeline_dir, offload="layerwise")
+
+
+def test_layerwise_offload_parity_flux(request):
+    """flux's heterogeneous double→single block stream also runs
+    layerwise: two block programs with a txt/img-concat transition at
+    the phase boundary — identical output to the resident run."""
+    from tests.diffusion.test_flux_loader import (
+        pipeline_dir as _flux_dir)  # noqa: F401
+
+    model = request.getfixturevalue("flux_pipeline_dir")
+    base, bp = _run(model, guidance=1.0)
+    assert bp.family == "flux"
+    lw, pipe = _run(model, offload="layerwise", guidance=1.0)
+    assert pipe._host_layer_tags is not None
+    assert "double" in pipe._host_layer_tags and \
+        "single" in pipe._host_layer_tags
+    np.testing.assert_allclose(lw, base, rtol=2e-4, atol=2e-5)

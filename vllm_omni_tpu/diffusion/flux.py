@@ -283,6 +283,31 @@ def flux_forward(params: Params, cfg: FluxConfig, latents: jnp.ndarray,
     → velocity prediction, same shape as latents."""
     b, h, w, c = latents.shape
     p = cfg.pack_factor
+    (img, txt), temb, (cos, sin), n_target = flux_prolog(
+        params, cfg, latents, text_states, timesteps, pooled=pooled,
+        guidance=guidance, ref_latents=ref_latents, mesh=mesh)
+
+    for blk in params["double_blocks"]:
+        img, txt = flux_double_block(blk, cfg, img, txt, temb, cos, sin,
+                                     mesh=mesh)
+    x = jnp.concatenate([txt, img], axis=1)
+    for blk in params["single_blocks"]:
+        x = flux_single_block(blk, cfg, x, temb, cos, sin, mesh=mesh)
+
+    return flux_epilog(params, cfg, x, temb, text_states.shape[1], h,
+                       w, n_target)
+
+
+def flux_prolog(params: Params, cfg: FluxConfig, latents: jnp.ndarray,
+                text_states: jnp.ndarray, timesteps: jnp.ndarray,
+                pooled: Optional[jnp.ndarray] = None,
+                guidance: Optional[jnp.ndarray] = None,
+                ref_latents: Optional[jnp.ndarray] = None, mesh=None):
+    """Embedding + conditioning stage → ((img, txt) carry, temb,
+    (cos, sin), n_target) — the unit boundary the layerwise offloader
+    shares with the plain forward."""
+    b, h, w, c = latents.shape
+    p = cfg.pack_factor
     img = pack_latents(latents, p)  # channel-major, matches _pack_latents
     n_target = img.shape[1]
     ref_hw = None
@@ -300,15 +325,14 @@ def flux_forward(params: Params, cfg: FluxConfig, latents: jnp.ndarray,
                            img.dtype)
     cos, sin = flux_rope(cfg, h // p, w // p, text_states.shape[1],
                          ref_hw=ref_hw)
+    return (img, txt), temb, (cos, sin), n_target
 
-    for blk in params["double_blocks"]:
-        img, txt = flux_double_block(blk, cfg, img, txt, temb, cos, sin,
-                                     mesh=mesh)
-    x = jnp.concatenate([txt, img], axis=1)
-    for blk in params["single_blocks"]:
-        x = flux_single_block(blk, cfg, x, temb, cos, sin, mesh=mesh)
-    img = x[:, txt.shape[1]:]
 
+def flux_epilog(params: Params, cfg: FluxConfig, x: jnp.ndarray,
+                temb: jnp.ndarray, text_len: int, h: int, w: int,
+                n_target: int) -> jnp.ndarray:
+    """Final AdaLN + projection; x = the joint [txt; img] stream."""
+    img = x[:, text_len:]
     # AdaLayerNormContinuous (scale chunked FIRST — same as qwen_image)
     fin = linear(jax.nn.silu(temb.astype(jnp.float32)).astype(img.dtype),
                  params["norm_out"])
@@ -316,9 +340,9 @@ def flux_forward(params: Params, cfg: FluxConfig, latents: jnp.ndarray,
     scale_o, shift_o = fin[:, :hs], fin[:, hs:]
     out = _ada_norm(img, shift_o, scale_o, cfg.eps)
     out = linear(out, params["proj_out"])
-    if ref_latents is not None:
+    if out.shape[1] != n_target:
         out = out[:, :n_target]  # reference tokens carry no prediction
-    return unpack_latents(out, h, w, p)
+    return unpack_latents(out, h, w, cfg.pack_factor)
 
 
 def flux_modulated_input(params: Params, cfg: FluxConfig,

@@ -45,7 +45,7 @@ _CACHE_ACCEL_FAMILIES = ("qwen_image", "flux", "wan")
 # and the layerwise host-offload streamer (VERDICT r4 item 7; reference
 # group_coordinator.py:549 / offloader/layerwise_backend.py:21)
 _PP_FAMILIES = ("generic", "qwen_image", "wan")
-_LAYERWISE_FAMILIES = ("generic", "qwen_image", "wan")
+_LAYERWISE_FAMILIES = ("generic", "qwen_image", "wan", "flux")
 
 AUDIO_LATENT_FAMILIES = ("stable_audio", "cosyvoice3_audio",
                          "omnivoice", "voxcpm", "voxcpm2")
@@ -326,14 +326,32 @@ class DiffusionPipeline:
             # program) — peak HBM = resident embedders + 2 blocks +
             # activations. Block 0 stays resident so the TeaCache
             # modulated-input probe composes with layerwise offload.
-            lkey = "layers" if self.family == "generic" else "blocks"
-            blocks = self.dit_params[lkey]
-            self._host_layers = [jax.device_get(l) for l in blocks]
-            self.dit_params = {k: v for k, v in self.dit_params.items()
-                               if k != lkey}
-            self.dit_params[lkey] = blocks[:1]
+            self._host_layer_tags = None
+            if self.family == "flux":
+                # heterogeneous stream: double blocks then single
+                # blocks, with a txt/img-concat transition between
+                dbl = self.dit_params["double_blocks"]
+                sgl = self.dit_params["single_blocks"]
+                self._host_layers = [jax.device_get(l)
+                                     for l in dbl + sgl]
+                self._host_layer_tags = (["double"] * len(dbl) +
+                                         ["single"] * len(sgl))
+                self.dit_params = {
+                    k: v for k, v in self.dit_params.items()
+                    if k not in ("double_blocks", "single_blocks")}
+                self.dit_params["double_blocks"] = dbl[:1]
+                self.dit_params["single_blocks"] = []
+            else:
+                lkey = "layers" if self.family == "generic" else \
+                    "blocks"
+                blocks = self.dit_params[lkey]
+                self._host_layers = [jax.device_get(l) for l in blocks]
+                self.dit_params = {
+                    k: v for k, v in self.dit_params.items()
+                    if k != lkey}
+                self.dit_params[lkey] = blocks[:1]
             self._block_fn = jax.jit(functools.partial(
-                self._apply_block_jit))
+                self._apply_block_jit), static_argnames=("phase",))
             self._prolog_fn = jax.jit(self._prolog_jit)
             self._epilog_fn = jax.jit(self._epilog_jit,
                                       static_argnames=("text_len",
@@ -1149,7 +1167,20 @@ class DiffusionPipeline:
     # layerwise-offload jit pieces (shapes shared by all blocks → one
     # compiled program each). Family-dispatched over the same
     # (carry, row_consts, shared_consts) split the PP GPipe body uses.
-    def _prolog_jit(self, params, latents, text_states, timesteps):
+    def _prolog_jit(self, params, latents, text_states, timesteps,
+                    guidance=None, pooled=None):
+        if self.family == "flux":
+            from vllm_omni_tpu.diffusion.flux import flux_prolog
+
+            g = None
+            if self.family_cfg.guidance_embeds and guidance is not None:
+                g = jnp.full((latents.shape[0],), guidance, jnp.float32)
+            pl_rows = pooled[:latents.shape[0]] \
+                if pooled is not None else None
+            (img, txt), temb, (cos, sin), _ = flux_prolog(
+                params, self.family_cfg, latents, text_states,
+                timesteps, pooled=pl_rows, guidance=g, mesh=self.mesh)
+            return (img, txt), (temb,), (cos, sin)
         if self.family == "qwen_image":
             from vllm_omni_tpu.diffusion.qwen_image import (
                 qwen_image_prolog)
@@ -1174,7 +1205,19 @@ class DiffusionPipeline:
                             text_states.shape[1])
         return (x,), (temb,), (cos, sin)
 
-    def _apply_block_jit(self, layer, carry, rows, shared):
+    def _apply_block_jit(self, layer, carry, rows, shared, phase=None):
+        if self.family == "flux":
+            from vllm_omni_tpu.diffusion.flux import (flux_double_block,
+                                                      flux_single_block)
+
+            if phase == "double":
+                return flux_double_block(layer, self.family_cfg,
+                                         carry[0], carry[1], rows[0],
+                                         shared[0], shared[1],
+                                         mesh=self.mesh)
+            return (flux_single_block(layer, self.family_cfg, carry[0],
+                                      rows[0], shared[0], shared[1],
+                                      mesh=self.mesh),)
         if self.family == "qwen_image":
             from vllm_omni_tpu.diffusion.qwen_image import (
                 qwen_image_block)
@@ -1196,6 +1239,14 @@ class DiffusionPipeline:
 
     def _epilog_jit(self, params, carry, rows, *, text_len: int,
                     latent_shape):
+        if self.family == "flux":
+            from vllm_omni_tpu.diffusion.flux import flux_epilog
+
+            b, h, w, c = latent_shape
+            p = self.family_cfg.pack_factor
+            return flux_epilog(params, self.family_cfg, carry[0],
+                               rows[0], text_len, h, w,
+                               (h // p) * (w // p))
         if self.family == "qwen_image":
             from vllm_omni_tpu.diffusion.qwen_image import (
                 qwen_image_epilog)
@@ -1222,17 +1273,28 @@ class DiffusionPipeline:
                           text_len, latent_shape)
 
     def _predict_velocity_layerwise(self, latents, text_states,
-                                    timesteps):
+                                    timesteps, guidance=None,
+                                    pooled=None):
         carry, rows, shared = self._prolog_fn(
-            self.dit_params, latents, text_states, timesteps)
+            self.dit_params, latents, text_states, timesteps,
+            guidance, pooled)
+        tags = getattr(self, "_host_layer_tags", None)
         # double-buffered host→HBM prefetch: device_put is async, so
         # block i+1 stages in while block i computes
         nxt = jax.device_put(self._host_layers[0])
+        prev_tag = tags[0] if tags else None
         for i in range(len(self._host_layers)):
             cur = nxt
             if i + 1 < len(self._host_layers):
                 nxt = jax.device_put(self._host_layers[i + 1])
-            carry = self._block_fn(cur, carry, rows, shared)
+            tag = tags[i] if tags else None
+            if tag != prev_tag:
+                # flux double→single phase boundary: the dual streams
+                # concat into the joint [txt; img] stream
+                carry = (jnp.concatenate([carry[1], carry[0]],
+                                         axis=1),)
+                prev_tag = tag
+            carry = self._block_fn(cur, carry, rows, shared, phase=tag)
             del cur
         return self._epilog_fn(self.dit_params, carry, rows,
                                text_len=text_states.shape[1],
@@ -1257,12 +1319,14 @@ class DiffusionPipeline:
             if use_cfg:
                 lat2 = jnp.concatenate([latents, latents], axis=0)
                 tt2 = jnp.full((2,), t, jnp.float32)
-                v = self._predict_velocity_layerwise(lat2, text_states,
-                                                     tt2)
+                v = self._predict_velocity_layerwise(
+                    lat2, text_states, tt2, guidance=guidance,
+                    pooled=pooled)
                 v_cond, v_uncond = v[:1], v[1:]
                 return v_uncond + guidance * (v_cond - v_uncond)
             return self._predict_velocity_layerwise(
-                latents, text_states[:1], tt0)
+                latents, text_states[:1], tt0, guidance=guidance,
+                pooled=pooled)
         if self.family == "qwen_image":
             from vllm_omni_tpu.diffusion.qwen_image import (
                 qwen_image_forward)
