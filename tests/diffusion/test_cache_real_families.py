@@ -26,6 +26,12 @@ from tests.diffusion.test_flux_loader import (  # noqa: E402,F401
     pipeline_dir as flux_pipeline_dir)
 from tests.diffusion.test_sd3_loader import (  # noqa: E402,F401
     pipeline_dir as sd3_pipeline_dir)
+from tests.diffusion.test_flux2_loader import (  # noqa: E402,F401
+    pipeline_dir as flux2_pipeline_dir)
+from tests.diffusion.test_z_image_loader import (  # noqa: E402,F401
+    pipeline_dir as zimage_pipeline_dir)
+from tests.diffusion.test_stable_audio_loader import (  # noqa: E402,F401
+    pipeline_dir as audio_pipeline_dir)
 
 
 def _run(model, cache, steps=6, **p_kw):
@@ -47,6 +53,8 @@ def _run(model, cache, steps=6, **p_kw):
     ("qwen_pipeline_dir", "qwen_image"),
     ("flux_pipeline_dir", "flux"),
     ("wan_pipeline_dir", "wan"),
+    ("flux2_pipeline_dir", "flux2"),
+    ("zimage_pipeline_dir", "z_image"),
 ])
 def test_tea_cache_engages_on_real_family(request, fixture_name,
                                           family):
@@ -99,3 +107,34 @@ def test_unwired_family_still_gates(sd3_pipeline_dir):
     pipe = DiffusionPipeline(cfg)
     assert pipe.family == "sd3"
     assert not pipe.config.cache.enabled
+
+
+def test_tea_cache_engages_on_stable_audio(audio_pipeline_dir):
+    """The audio-latent family rides the same cache machinery: the
+    temb-token norm1 probe (reference extract_stable_audio_context
+    :770-784) discriminates steps; skip-all bound + exact parity at
+    threshold 0."""
+    def run_audio(cache):
+        cfg = DiffusionConfig(model=audio_pipeline_dir,
+                              dtype="float32", flow_shift=1.0,
+                              cache=cache)
+        pipe = DiffusionPipeline(cfg)
+        p = DiffusionSamplingParams(
+            num_inference_steps=6, seed=3, output_type="latent",
+            extra_args={"audio_seconds": 0.05})
+        st = pipe.prepare(DiffusionRequest("r", "rain sounds", p))
+        while not st.done:
+            pipe.denoise_step(st)
+        skips = int(st.cache_skips) if st.cache_skips is not None else 0
+        return np.asarray(st.latents), skips, pipe
+
+    base, _, _ = run_audio({"backend": "none"})
+    lat, skips, pipe = run_audio({"backend": "tea_cache",
+                                  "rel_l1_thresh": 1e9})
+    assert pipe.family == "stable_audio"
+    assert pipe.config.cache.enabled
+    assert skips == 4
+    exact, skips0, _ = run_audio({"backend": "tea_cache",
+                                  "rel_l1_thresh": 0.0})
+    assert skips0 == 0
+    np.testing.assert_allclose(exact, base, atol=2e-5, rtol=2e-5)

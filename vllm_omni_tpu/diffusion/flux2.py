@@ -478,3 +478,21 @@ def assign_flux2_tensor(params: Params, name: str, value, dtype) -> bool:
                 put(a[rest[1]], "w", value)
                 return True
     return False
+
+
+def flux2_modulated_input(params: Params, cfg: Flux2Config,
+                          latents: jnp.ndarray, timesteps: jnp.ndarray,
+                          guidance: Optional[jnp.ndarray] = None
+                          ) -> jnp.ndarray:
+    """TeaCache probe: block-0 img-stream modulated embedding
+    (reference cache/teacache/extractors.py:895-903
+    extract_flux2_context — (1+scale)·norm1(hidden)+shift from the
+    GLOBAL double_stream_modulation_img set 0). Cheap: one packing
+    matmul + time embed + one modulation linear."""
+    img = linear(pack_latents(latents, cfg.pack_factor),
+                 params["x_embedder"])
+    temb = flux2_time_embed(params, cfg, timesteps, guidance, img.dtype)
+    shift, scale, _ = _modulation(
+        params["double_stream_modulation_img"], temb, 2)[0]
+    return (_layer_norm_nb(img, cfg.eps) * (1.0 + scale) +
+            shift).astype(jnp.float32)

@@ -40,7 +40,8 @@ logger = init_logger(__name__)
 # diffusers-loaded families with a TeaCache/TaylorSeer modulated-input
 # extractor (reference cache/teacache/extractors.py per-model registry
 # — qwen first, teacache.md:23 1.5-2.0×). Others disable with a warning.
-_CACHE_ACCEL_FAMILIES = ("qwen_image", "flux", "wan")
+_CACHE_ACCEL_FAMILIES = ("qwen_image", "flux", "wan", "flux2",
+                         "z_image", "stable_audio")
 # families whose block loop is wired through dit.gpipe_blocks (DiT PP)
 # and the layerwise host-offload streamer (VERDICT r4 item 7; reference
 # group_coordinator.py:549 / offloader/layerwise_backend.py:21)
@@ -1510,6 +1511,21 @@ class DiffusionPipeline:
             pt, ph, pw = self.family_cfg.patch_size
             return (b, (f // pt) * (h // ph) * (w // pw),
                     self.family_cfg.inner_dim)
+        if self.family == "flux2":
+            b, h, w, _ = latent_shape
+            p = self.family_cfg.pack_factor
+            return (b, (h // p) * (w // p), self.family_cfg.inner_dim)
+        if self.family == "z_image":
+            from vllm_omni_tpu.diffusion.z_image import SEQ_MULTI_OF
+
+            b, h, w, _ = latent_shape
+            p = self.family_cfg.patch_size
+            n = (h // p) * (w // p)
+            n += (-n) % SEQ_MULTI_OF
+            return (b, n, self.family_cfg.dim)
+        if self.family == "stable_audio":
+            b, L, _ = latent_shape
+            return (b, L + 1, self.family_cfg.inner_dim)
         b, h, w, _ = latent_shape
         npt = (h // self.config.dit.patch_size) * \
             (w // self.config.dit.patch_size)
@@ -1550,6 +1566,28 @@ class DiffusionPipeline:
 
             return wan_modulated_input(params, self.family_cfg, latents,
                                        tt)
+        if self.family == "flux2":
+            from vllm_omni_tpu.diffusion.flux2 import (
+                flux2_modulated_input)
+
+            g = None
+            if self.family_cfg.guidance_embeds:
+                g = jnp.full((b,), guidance, jnp.float32)
+            return flux2_modulated_input(params, self.family_cfg,
+                                         latents, tt, guidance=g)
+        if self.family == "z_image":
+            from vllm_omni_tpu.diffusion.z_image import (
+                z_image_modulated_input)
+
+            # transformer convention t = 1 − σ (like z_image_forward)
+            return z_image_modulated_input(params, self.family_cfg,
+                                           latents, 1.0 - tt)
+        if self.family == "stable_audio":
+            from vllm_omni_tpu.diffusion.stable_audio import (
+                stable_audio_modulated_input)
+
+            return stable_audio_modulated_input(params, self.family_cfg,
+                                                latents, tt)
         raise ValueError(
             f"no cache extractor for family {self.family!r}")
 

@@ -385,3 +385,25 @@ def assign_stable_audio_tensor(params: Params, name: str, value,
                 return put(blk["ff"]["net2"],
                            "w" if rest[3] == "weight" else "b", value)
     return False
+
+
+def stable_audio_modulated_input(params: Params, cfg: StableAudioConfig,
+                                 latents: jnp.ndarray,
+                                 timesteps: jnp.ndarray) -> jnp.ndarray:
+    """TeaCache probe: block-0 norm1 over the [temb-token; proj_in(x)]
+    stream (reference extractors.py:770-784
+    extract_stable_audio_context — the prepended global+time token
+    carries the timestep signal through the plain LayerNorm)."""
+    b = latents.shape[0]
+    dtype = params["proj_out"]["w"].dtype
+    x = latents.astype(dtype)
+    tproj = 2.0 * jnp.pi * timesteps.astype(jnp.float32)[:, None] * \
+        params["time_proj_weight"].astype(jnp.float32)[None, :]
+    t_feat = jnp.concatenate([jnp.cos(tproj), jnp.sin(tproj)], axis=-1)
+    temb = _silu_mlp2(params["timestep_proj"], t_feat, dtype)
+    g = temb[:, None, :]
+    x = x + linear(x, params["preprocess_conv"])
+    x = linear(x, params["proj_in"])
+    x = jnp.concatenate([g, x], axis=1)
+    return _ln_affine(x, params["blocks"][0]["norm1"],
+                      cfg.eps).astype(jnp.float32)

@@ -502,3 +502,37 @@ def assign_z_image_tensor(params: Params, name: str, value,
             return put(blk["adaLN_modulation"],
                        "w" if rest[2] == "weight" else "b", value)
     return False
+
+
+def z_image_modulated_input(params: Params, cfg: ZImageConfig,
+                            latents: jnp.ndarray,
+                            timesteps: jnp.ndarray) -> jnp.ndarray:
+    """TeaCache probe: main-layer-0 modulated IMAGE stream
+    (reference extractors.py:530-539 extract_zimage_context —
+    attention_norm1(unified)·(1+scale_msa) with layers[0]'s adaLN).
+    The caption half of the unified stream is timestep-invariant (it
+    adds no discriminative signal), so the probe runs the image tokens
+    only: embed → pad token → noise_refiner blocks → layer-0
+    modulation. Timesteps in the transformer's 1−σ convention like
+    z_image_forward."""
+    b, h, w, c = latents.shape
+    p = cfg.patch_size
+    dtype = params["cap_embedder"]["linear"]["w"].dtype
+    temb = _z_timestep_embed(params, cfg, timesteps * cfg.t_scale,
+                             dtype)
+    x = linear(_pack_z(latents.astype(dtype), p), params["x_embedder"])
+    n_img = x.shape[1]
+    pad_img = (-n_img) % SEQ_MULTI_OF
+    if pad_img:
+        pad_tok = jnp.broadcast_to(params["x_pad_token"].astype(dtype),
+                                   (b, pad_img, cfg.dim))
+        x = jnp.concatenate([x, pad_tok], axis=1)
+    cos, sin = z_image_rope(cfg, h // p, w // p, 0)
+    img_cos, img_sin = cos[:x.shape[1]], sin[:x.shape[1]]
+    for blk in params["noise_refiner"]:
+        x = z_image_block(blk, cfg, x, img_cos, img_sin, adaln=temb)
+    blk0 = params["layers"][0]
+    mod = linear(temb, blk0["adaLN_modulation"]).reshape(
+        b, 1, 4, cfg.dim)
+    return (rms_norm(x, blk0["attention_norm1"], eps=cfg.norm_eps) *
+            (1.0 + mod[:, :, 0])).astype(jnp.float32)
