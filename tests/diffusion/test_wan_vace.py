@@ -343,3 +343,24 @@ def test_vace_precomputed_context_and_missing_vae_guard(tmp_path):
             guidance_scale=1.0, seed=0, output_type="latent",
             extra_args={"source_video": video}))])[0]
     assert out.error is not None and "Wan VAE" in out.error
+
+
+def test_vace_under_layerwise_refuses(tmp_path):
+    """Layerwise offload streams the MAIN blocks only — VACE context
+    towers would be silently dropped; the step must refuse loudly."""
+    from vllm_omni_tpu.core.request import DiffusionRequest
+    from vllm_omni_tpu.core.sampling_params import DiffusionSamplingParams
+    from vllm_omni_tpu.diffusion.config import DiffusionConfig
+    from vllm_omni_tpu.diffusion.engine import DiffusionEngine
+
+    model = _vace_pipeline_dir(tmp_path, with_real_vae=False)
+    eng = DiffusionEngine(DiffusionConfig(
+        model=model, dtype="float32", resolution_buckets=((16, 16),),
+        flow_shift=1.0, offload="layerwise"))
+    ctx = np.zeros((1, 4, 4, 24), np.float32)
+    out = eng.generate([DiffusionRequest(
+        "r", "x", DiffusionSamplingParams(
+            num_inference_steps=2, height=16, width=16,
+            guidance_scale=1.0, seed=0, output_type="latent",
+            extra_args={"vace_context": ctx}))])[0]
+    assert out.error is not None and "layerwise" in out.error

@@ -1316,6 +1316,9 @@ class DiffusionPipeline:
             if ref_latents is not None:
                 raise ValueError("reference-image conditioning is not "
                                  "supported under layerwise offload")
+            if vace is not None:
+                raise ValueError("VACE conditioning is not supported "
+                                 "under layerwise offload")
             tt0 = jnp.full((latents.shape[0],), t, jnp.float32)
             if use_cfg:
                 lat2 = jnp.concatenate([latents, latents], axis=0)
