@@ -1252,11 +1252,15 @@ class DiffusionPipeline:
             from vllm_omni_tpu.diffusion.qwen_image import (
                 qwen_image_epilog)
 
-            b, h, w, c = latent_shape
+            if len(latent_shape) == 5:  # Layered stacked frames
+                b, f, h, w, c = latent_shape
+            else:
+                b, h, w, c = latent_shape
+                f = 1
             p = self.family_cfg.patch_size
             return qwen_image_epilog(params, self.family_cfg, carry[0],
                                      rows[0], h, w,
-                                     (h // p) * (w // p))
+                                     f * (h // p) * (w // p), frames=f)
         if self.family == "wan":
             from vllm_omni_tpu.diffusion.wan import wan_epilog
 
