@@ -612,3 +612,65 @@ def test_write_kv_pallas_under_shard_map_tp2():
                                rtol=1e-6, atol=1e-6)
     np.testing.assert_allclose(np.asarray(out_v), np.asarray(ref_v),
                                rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_decode_pallas_randomized_geometry_fuzz(seed):
+    """Seeded random-geometry sweep of the Pallas decode kernel vs the
+    XLA reference (reference CPU unit-tier role): random batch, GQA
+    group, head_dim ∈ {64, 128}, page size, ragged context lengths —
+    catches tiling/indexing bugs the fixed-shape matrix misses."""
+    rng = np.random.default_rng(1000 + seed)
+    b = int(rng.integers(1, 6))
+    hkv = int(rng.choice([1, 2, 4]))
+    g = int(rng.choice([1, 2, 4]))
+    d = int(rng.choice([64, 128]))
+    page_size = int(rng.choice([8, 16]))
+    max_pages = int(rng.integers(2, 5))
+    ctx = tuple(int(rng.integers(1, page_size * max_pages))
+                for _ in range(b))
+    n_pages = b * max_pages + 1
+    case = PagedCase(seed, b=b, hkv=hkv, g=g, d=d,
+                     page_size=page_size, n_pages=n_pages,
+                     ctx_lens=ctx)
+    scale = d ** -0.5
+    ref = paged_attention_decode_xla(case.q, case.k_pages, case.v_pages,
+                                     case.block_tables,
+                                     jnp.asarray(case.ctx), scale)
+    ppb = int(rng.choice([1, 2, 4]))
+    out = paged_attention_decode_pallas(
+        case.q, case.k_pages, case.v_pages, case.block_tables,
+        jnp.asarray(case.ctx), scale=scale, pages_per_blk=ppb,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=3e-5, atol=3e-5,
+                               err_msg=f"b={b} hkv={hkv} g={g} d={d} "
+                                       f"ps={page_size} ctx={ctx} "
+                                       f"ppb={ppb}")
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_flash_attention_randomized_fuzz(seed):
+    """Random (T, S, heads) dense flash sweep vs the XLA reference —
+    exercises the static pad-mask split at arbitrary off-block
+    sequence lengths."""
+    from vllm_omni_tpu.ops.attention import mha_xla
+    from vllm_omni_tpu.ops.flash_attention import flash_attention_pallas
+
+    rng = np.random.default_rng(2000 + seed)
+    b = int(rng.integers(1, 3))
+    t = int(rng.integers(5, 700))
+    h = int(rng.choice([1, 2, 4]))
+    d = 128
+    causal = bool(rng.integers(0, 2))
+    q = jnp.asarray(rng.standard_normal((b, t, h, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, t, h, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, t, h, d)), jnp.float32)
+    ref = mha_xla(q, k, v, scale=d ** -0.5, causal=causal)
+    out = flash_attention_pallas(q, k, v, scale=d ** -0.5,
+                                 causal=causal, q_block=256,
+                                 block_s=256, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5,
+                               err_msg=f"b={b} t={t} h={h} "
+                                       f"causal={causal}")
