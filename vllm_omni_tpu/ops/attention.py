@@ -163,10 +163,18 @@ def write_kv_pages(k_pages: jnp.ndarray, v_pages: jnp.ndarray,
     unsharded cache (a pallas_call under SPMD would force a gather)."""
     from vllm_omni_tpu.ops import use_pallas
 
-    if pallas_ok and use_pallas() and k_pages.shape[-1] % 128 == 0 \
-            and k_new.shape[0] <= 64:
-        return write_kv_pages_pallas(k_pages, v_pages, k_new, v_new,
-                                     slot_ids)
+    if pallas_ok and use_pallas() and k_pages.shape[-1] % 128 == 0:
+        # the writer's VMEM staging scales with rows (one page block
+        # per token) — chunk to ≤64 rows per call so batches >64 keep
+        # the in-place path instead of falling back to the XLA scatter
+        # (which copies the WHOLE cache per scan step: the round-5
+        # bs>64 decode cliff, 4270 → 2670 tok/s)
+        t = k_new.shape[0]
+        for i in range(0, t, 64):
+            k_pages, v_pages = write_kv_pages_pallas(
+                k_pages, v_pages, k_new[i:i + 64], v_new[i:i + 64],
+                slot_ids[i:i + 64])
+        return k_pages, v_pages
     return write_kv_pages_xla(k_pages, v_pages, k_new, v_new, slot_ids)
 
 
@@ -449,11 +457,31 @@ def mha_xla(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float,
 # ---------------------------------------------------------------------------
 
 
+def _e4m3_bits_to_f32(x8) -> "jnp.ndarray":
+    """int8-bitcast e4m3fn bytes → f32, integer-only field math.
+
+    v5e Mosaic lowers f8 vector loads/converts ~5.5× slower than the
+    whole bf16 kernel; int8 loads are fast, so the caller bitcasts the
+    f8 pool to int8 and this decodes s|eeee|mmm in i32 (per the rig
+    note: no i8 vector sub/shift — all shifts in i32):
+    normals → f32 bits  sign<<31 | (e+120)<<23 | m<<20;
+    subnormals (e==0) → m·2⁻⁹ exactly. 0x7f/0xff (e4m3fn NaN) decode
+    as ±480 — never written by quantize_kv (clips to ±448)."""
+    xi = x8.astype(jnp.int32)
+    em = xi & 0x7F
+    sgn = (xi & 0x80) << 24
+    mag = sgn | (((em >> 3) + 120) << 23) | ((em & 7) << 20)
+    normal = jax.lax.bitcast_convert_type(mag, jnp.float32)
+    sub = (em.astype(jnp.float32) * (2.0 ** -9) *
+           jnp.where(xi < 0, -1.0, 1.0))
+    return jnp.where(em < 8, sub, normal)
+
+
 def _decode_kernel(block_tables_ref, num_blocks_ref, cum_blocks_ref,
                    context_lens_ref, q_ref, k_hbm, v_hbm, o_ref,
                    k_buf, v_buf, k_sem, v_sem,
                    *, pages_per_blk: int, page_size: int, hkv: int,
-                   g: int, scale: float):
+                   g: int, scale: float, fp8_bits: bool = False):
     """Globally software-pipelined over the flat (seq, block) stream.
 
     Work items are numbered globally: item ``cum_blocks[b] + blk`` is
@@ -543,6 +571,14 @@ def _decode_kernel(block_tables_ref, num_blocks_ref, cum_blocks_ref,
         # the fold is exact) — see paged_attention_decode_pallas.
         k = k_buf[slot].reshape(n_cols, 128 if pack > 1 else d)
         v = v_buf[slot].reshape(n_cols, 128 if pack > 1 else d)
+        if fp8_bits:
+            # e4m3 pages arrive BITCAST to int8 (the wrapper relabels
+            # the pool): Mosaic's f8 vector loads/converts lower
+            # catastrophically on v5e (measured 5.5× the bf16 kernel),
+            # while the int8 path is fast — so decode the e4m3 fields
+            # with integer math and bitcast to f32.
+            k = _e4m3_bits_to_f32(k)
+            v = _e4m3_bits_to_f32(v)
         k = k.astype(jnp.float32)
         v = v.astype(jnp.float32)
         # small heads (d < 128): each packed 128-lane row holds `pack`
@@ -623,7 +659,15 @@ def paged_attention_decode_pallas(q: jnp.ndarray, k_pages: jnp.ndarray,
          jnp.cumsum(num_blocks, dtype=jnp.int32)[:-1]])
 
     out_dtype = q.dtype
-    if k_scale is None and k_pages.dtype == jnp.int8:
+    fp8_bits = k_pages.dtype == jnp.float8_e4m3fn
+    if fp8_bits:
+        # relabel the f8 pool as int8 (free inside jit): Mosaic's f8
+        # vector loads/converts lower ~5.5× slower than the whole bf16
+        # kernel on v5e; the kernel decodes e4m3 fields with integer
+        # math instead (_e4m3_bits_to_f32)
+        k_pages = jax.lax.bitcast_convert_type(k_pages, jnp.int8)
+        v_pages = jax.lax.bitcast_convert_type(v_pages, jnp.int8)
+    if k_scale is None and k_pages.dtype == jnp.int8 and not fp8_bits:
         k_scale = jnp.full((hkv,), 1.0 / 16.0, jnp.float32)
         v_scale = jnp.full((hkv,), 1.0 / 16.0, jnp.float32)
     if k_scale is not None:
@@ -654,7 +698,7 @@ def paged_attention_decode_pallas(q: jnp.ndarray, k_pages: jnp.ndarray,
     )
     kernel = functools.partial(_decode_kernel, pages_per_blk=pages_per_blk,
                                page_size=page_size, hkv=hkv, g=g,
-                               scale=scale)
+                               scale=scale, fp8_bits=fp8_bits)
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -688,7 +732,7 @@ def _prefill_kernel(block_tables_ref, num_blocks_ref, q_start_ref,
                     kv_lens_ref, q_ref, k_hbm, v_hbm, o_ref,
                     k_buf, v_buf, k_sem, v_sem,
                     *, pages_per_blk: int, page_size: int, scale: float,
-                    causal: bool, t_blk: int):
+                    causal: bool, t_blk: int, fp8_bits: bool = False):
     b = pl.program_id(0)
     h = pl.program_id(1)
     tb = pl.program_id(2)  # query tile (bounds VMEM at large T)
@@ -749,6 +793,14 @@ def _prefill_kernel(block_tables_ref, num_blocks_ref, q_start_ref,
         # kv head per program), never into the kernel
         k = k_buf[slot].reshape(n_cols, 128 if pack > 1 else d)
         v = v_buf[slot].reshape(n_cols, 128 if pack > 1 else d)
+        if fp8_bits:
+            # e4m3 pages arrive BITCAST to int8 (the wrapper relabels
+            # the pool): Mosaic's f8 vector loads/converts lower
+            # catastrophically on v5e (measured 5.5× the bf16 kernel),
+            # while the int8 path is fast — so decode the e4m3 fields
+            # with integer math and bitcast to f32.
+            k = _e4m3_bits_to_f32(k)
+            v = _e4m3_bits_to_f32(v)
         k = k.astype(jnp.float32)
         v = v.astype(jnp.float32)
         # lane-packed small heads: per-section selection matmuls (see
@@ -824,7 +876,15 @@ def paged_attention_prefill_pallas(q: jnp.ndarray, k_pages: jnp.ndarray,
     num_blocks = (cdiv_arr(limit, page_size) + pages_per_blk -
                   1) // pages_per_blk
     out_dtype = q.dtype
-    if k_scale is None and k_pages.dtype == jnp.int8:
+    fp8_bits = k_pages.dtype == jnp.float8_e4m3fn
+    if fp8_bits:
+        # relabel the f8 pool as int8 (free inside jit): Mosaic's f8
+        # vector loads/converts lower ~5.5× slower than the whole bf16
+        # kernel on v5e; the kernel decodes e4m3 fields with integer
+        # math instead (_e4m3_bits_to_f32)
+        k_pages = jax.lax.bitcast_convert_type(k_pages, jnp.int8)
+        v_pages = jax.lax.bitcast_convert_type(v_pages, jnp.int8)
+    if k_scale is None and k_pages.dtype == jnp.int8 and not fp8_bits:
         k_scale = jnp.full((hkv,), 1.0 / 16.0, jnp.float32)
         v_scale = jnp.full((hkv,), 1.0 / 16.0, jnp.float32)
     if k_scale is not None:
