@@ -925,7 +925,8 @@ def paged_attention_prefill_pallas(q: jnp.ndarray, k_pages: jnp.ndarray,
     kernel = functools.partial(_prefill_kernel,
                                pages_per_blk=pages_per_blk,
                                page_size=page_size, scale=scale,
-                               causal=causal, t_blk=t_blk)
+                               causal=causal, t_blk=t_blk,
+                               fp8_bits=fp8_bits)
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
