@@ -230,6 +230,47 @@ def test_vace_forward_parity_vs_torch_oracle():
     assert np.abs(plain - ours).max() > 1e-4
 
 
+def test_vace_forward_parity_under_pp2():
+    """VACE hints thread through the GPipe schedule (round-5: the
+    wan.py pp gate is lifted): the hint stack rides row_consts per
+    microbatch and per-layer idx/scale leaves select the injection —
+    pp=2 output matches the single-device conditioned forward."""
+    cfg = WanConfig.from_json(VACE_TINY)
+    sd = _vace_state_dict()
+    params, unmapped = _jax_params(sd, cfg)
+    assert unmapped == []
+
+    rng = np.random.default_rng(13)
+    lat = rng.standard_normal((2, 2, 8, 8, 4), dtype=np.float32)
+    ctx = rng.standard_normal(
+        (2, 2, 8, 8, VACE_TINY["vace_in_channels"]),
+        dtype=np.float32) * 0.5
+    txt = rng.standard_normal((2, 5, TINY["text_dim"]), dtype=np.float32)
+    t = np.asarray([0.6, 0.25], np.float32)
+
+    base = np.asarray(wan_forward(
+        params, cfg, jnp.asarray(lat), jnp.asarray(txt),
+        jnp.asarray(t), vace_context=jnp.asarray(ctx), vace_scale=1.3))
+
+    from jax.sharding import Mesh
+    devs = jax.devices()
+    if len(devs) < 2:
+        pytest.skip("needs >= 2 devices")
+    mesh = Mesh(np.asarray(devs[:2]), ("pp",))
+    pp = np.asarray(wan_forward(
+        params, cfg, jnp.asarray(lat), jnp.asarray(txt),
+        jnp.asarray(t), mesh=mesh, vace_context=jnp.asarray(ctx),
+        vace_scale=1.3))
+    np.testing.assert_allclose(pp, base, rtol=2e-4, atol=2e-4)
+
+    # scale actually biting under pp too
+    pp0 = np.asarray(wan_forward(
+        params, cfg, jnp.asarray(lat), jnp.asarray(txt),
+        jnp.asarray(t), mesh=mesh, vace_context=jnp.asarray(ctx),
+        vace_scale=0.0))
+    assert np.abs(pp - pp0).max() > 1e-4
+
+
 def _vace_pipeline_dir(tmp_path, with_real_vae=False):
     root = tmp_path / "wan_vace"
     for d in ("transformer", "scheduler", "vae"):

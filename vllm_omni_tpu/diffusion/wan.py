@@ -314,8 +314,6 @@ def wan_forward(params: Params, cfg: WanConfig, latents: jnp.ndarray,
             hints.append(linear(ctrl, vb["proj_out"]))
 
     if mesh is not None and mesh.shape.get("pp", 1) > 1:
-        if hints is not None:
-            raise ValueError("VACE context blocks not wired under pp")
         from vllm_omni_tpu.diffusion.dit import (gpipe_blocks,
                                                  stack_layers)
 
@@ -323,12 +321,42 @@ def wan_forward(params: Params, cfg: WanConfig, latents: jnp.ndarray,
         if stacked is None:
             stacked = stack_layers(params["blocks"])
 
-        def body(layer, carry, rows, shared):
-            return wan_block(layer, cfg, carry, rows[0], rows[1],
-                             shared[0], shared[1], mesh=None)
+        if hints is not None:
+            # Thread the per-region hints through the GPipe schedule:
+            # the hint stack rides row_consts (sliced per microbatch),
+            # and two per-layer leaves in the stacked pytree select
+            # which hint (if any) each main block adds — scale 0 at
+            # non-VACE layers makes the add a no-op without branching
+            # inside the scan body.
+            n_layers = len(params["blocks"])
+            mapping = {li: vi for vi, li in
+                       enumerate(cfg.vace_layers or ())}
+            stacked = dict(stacked)
+            stacked["_vace_idx"] = jnp.array(
+                [mapping.get(i, 0) for i in range(n_layers)], jnp.int32)
+            stacked["_vace_scale"] = jnp.array(
+                [vace_scale if i in mapping else 0.0
+                 for i in range(n_layers)], jnp.float32)
+            hint_stack = jnp.stack(hints, axis=1)  # [B, n_vace, S, D]
 
-        x = gpipe_blocks(stacked, body, x, (txt, tproj), (cos, sin),
-                         mesh)
+            def body(layer, carry, rows, shared):
+                y = wan_block(layer, cfg, carry, rows[0], rows[1],
+                              shared[0], shared[1], mesh=None)
+                hint = jax.lax.dynamic_index_in_dim(
+                    rows[2], layer["_vace_idx"], axis=1, keepdims=False)
+                return (y.astype(jnp.float32) +
+                        hint.astype(jnp.float32) *
+                        layer["_vace_scale"]).astype(y.dtype)
+
+            x = gpipe_blocks(stacked, body, x, (txt, tproj, hint_stack),
+                             (cos, sin), mesh)
+        else:
+            def body(layer, carry, rows, shared):
+                return wan_block(layer, cfg, carry, rows[0], rows[1],
+                                 shared[0], shared[1], mesh=None)
+
+            x = gpipe_blocks(stacked, body, x, (txt, tproj), (cos, sin),
+                             mesh)
     else:
         mapping = {li: vi for vi, li in
                    enumerate(cfg.vace_layers or ())}
