@@ -54,6 +54,26 @@ def test_int8_pallas_matches_xla():
                                rtol=1e-4, atol=1e-4)
 
 
+def test_int8_pallas_s8_matches_native():
+    """The hand-tiled s8xs8 prefill GEMM is bit-exact vs the XLA native
+    W8A8 path (same int32 accumulation, same rescale epilogue); both
+    the multi-K-block and the full-K single-accumulation tilings."""
+    from vllm_omni_tpu.ops.quant import (int8_matmul_native,
+                                         int8_matmul_pallas_s8,
+                                         quantize_int8_act)
+
+    x = _rand((512, 256), 10)
+    w = _rand((256, 512), 11)
+    q, s = quantize_int8(w)
+    ref = np.asarray(int8_matmul_native(x, q, s), np.float32)
+    xq, xs = quantize_int8_act(x)
+    for tiles in (None, (512, 128, 512), (256, 256, 256)):
+        out = np.asarray(int8_matmul_pallas_s8(
+            xq, xs, q, s, out_dtype=jnp.float32, interpret=True,
+            tiles=tiles), np.float32)
+        np.testing.assert_array_equal(out, ref)
+
+
 def test_int4_pallas_matches_xla():
     x = _rand((8, 256), 6)
     w = _rand((256, 128), 7)

@@ -306,6 +306,101 @@ def int4_matmul_pallas(x: jnp.ndarray, w_packed: jnp.ndarray,
 
 
 # ---------------------------------------------------------------------------
+# Native s8xs8 Pallas GEMM (prefill shapes — compute-bound at large M)
+# ---------------------------------------------------------------------------
+
+
+def _s8_matmul_kernel(x_ref, w_ref, xs_ref, ws_ref, o_ref, acc_ref, *,
+                      n_k: int, out_dtype):
+    """Grid (M/bm, N/bn, K/bk); int32 accumulator persists across the K
+    grid dim, per-token x per-channel rescale fused into the epilogue."""
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_ref[:] += jax.lax.dot_general(
+        x_ref[:], w_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+
+    @pl.when(k == n_k - 1)
+    def _():
+        o_ref[:] = (acc_ref[:].astype(jnp.float32) * xs_ref[:] *
+                    ws_ref[:]).astype(out_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("out_dtype", "interpret",
+                                             "tiles"))
+def int8_matmul_pallas_s8(xq: jnp.ndarray, xs: jnp.ndarray,
+                          w_q: jnp.ndarray, w_scale: jnp.ndarray,
+                          out_dtype=jnp.bfloat16,
+                          interpret: bool = False,
+                          tiles: tuple | None = None) -> jnp.ndarray:
+    """W8A8 GEMM with the MXU kept in int8 mode end to end: pre-quantized
+    activations xq int8 [M,K] / per-token scale xs f32 [M] against w_q
+    int8 [K,N] / per-channel w_scale f32 [N] → [M,N] out_dtype.
+
+    Hand-tiled for the compute-bound prefill shapes (M >= 256) where
+    XLA's s8xs8 dot reaches only ~1.3x bf16 instead of the 2x silicon
+    ratio (docs/design/performance.md prefill table). Decode-batch M
+    stays on the XLA native path, which is weight-bandwidth-optimal."""
+    M, K = xq.shape
+    K2, N = w_q.shape
+    assert K == K2
+    if tiles is not None:
+        bm, bk, bn = tiles
+        bm, bk, bn = min(bm, M), min(bk, K), min(bn, N)
+    else:
+        # measured (benchmarks/prefill_s8_gemm.py, v5e-1, M=512): the
+        # full-K single-accumulation tile wins at K<=4096 (gate_up
+        # 73.3% of int8 peak vs 58.7% for XLA's s8 dot); at larger K
+        # VMEM forces a K loop and bk=2048 times best.
+        bm = min(512, M) if M % 256 == 0 else max(
+            8, 1 << (M - 1).bit_length())
+        bk = K if K <= 4096 else 2048
+        bn = 512 if N >= 512 else N
+    grid = (cdiv(M, bm), cdiv(N, bn), cdiv(K, bk))
+    kernel = functools.partial(_s8_matmul_kernel, n_k=grid[2],
+                               out_dtype=out_dtype)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, k: (i, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk, bn), lambda i, j, k: (k, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, 1), lambda i, j, k: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j, k: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * N * K,
+            bytes_accessed=M * K + K * N + M * N * 2,
+            transcendentals=0),
+        interpret=interpret,
+    )(xq, w_q, xs.reshape(M, 1).astype(jnp.float32),
+      w_scale.reshape(1, N).astype(jnp.float32))
+
+
+def int8_matmul_native_prefill(x: jnp.ndarray, w_q: jnp.ndarray,
+                               w_scale: jnp.ndarray) -> jnp.ndarray:
+    """W8A8 prefill entry: per-token act quant (XLA, fused) + the
+    hand-tiled s8xs8 Pallas GEMM."""
+    xq, xs = quantize_int8_act(x)
+    return int8_matmul_pallas_s8(xq, xs, w_q, w_scale,
+                                 out_dtype=jnp.dtype(x.dtype))
+
+
+# ---------------------------------------------------------------------------
 # Dispatch + parameter container
 # ---------------------------------------------------------------------------
 
@@ -331,7 +426,19 @@ def quantized_matmul(x: jnp.ndarray, w_q: jnp.ndarray, scale: jnp.ndarray,
     x2 = x.reshape(-1, x.shape[-1])
     if method == "int8":
         if act8:
-            out = int8_matmul_native(x2, w_q, scale)
+            M2, K2 = x2.shape
+            N2 = w_q.shape[1]
+            if (use_pallas() and M2 % 256 == 0 and M2 >= 256
+                    and N2 >= 8192 and K2 % 1024 == 0 and N2 % 512 == 0):
+                # compute-bound prefill rows x wide N (gate_up-class):
+                # the hand-tiled s8 kernel keeps the MXU in int8 mode
+                # at 73% of int8 peak vs 59% for the XLA dot (measured,
+                # docs/design/performance.md prefill table). Narrow-N
+                # and decode-M shapes measured a wash or worse — they
+                # stay on the XLA native path.
+                out = int8_matmul_native_prefill(x2, w_q, scale)
+            else:
+                out = int8_matmul_native(x2, w_q, scale)
         else:
             out = int8_matmul_xla(x2, w_q, scale)
     elif method == "int4":
