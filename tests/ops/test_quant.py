@@ -74,6 +74,23 @@ def test_int8_pallas_s8_matches_native():
         np.testing.assert_array_equal(out, ref)
 
 
+def test_int8_pallas_fusedq_matches_native():
+    """The in-kernel-act-quant variant agrees with the native path to
+    one f32 ULP of the per-token scale (XLA's jit rewrites div-by-
+    constant to reciprocal multiply, so bit-exactness vs the eager
+    reference is not achievable)."""
+    from vllm_omni_tpu.ops.quant import (int8_matmul_native,
+                                         int8_matmul_pallas_fusedq)
+
+    x = _rand((512, 256), 12)
+    w = _rand((256, 1024), 13)
+    q, s = quantize_int8(w)
+    ref = np.asarray(int8_matmul_native(x, q, s), np.float32)
+    out = np.asarray(int8_matmul_pallas_fusedq(
+        x, q, s, interpret=True, bn=512), np.float32)
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
+
+
 def test_int4_pallas_matches_xla():
     x = _rand((8, 256), 6)
     w = _rand((256, 128), 7)

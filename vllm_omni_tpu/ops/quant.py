@@ -391,6 +391,83 @@ def int8_matmul_pallas_s8(xq: jnp.ndarray, xs: jnp.ndarray,
       w_scale.reshape(1, N).astype(jnp.float32))
 
 
+def _s8_fusedq_kernel(x_ref, w_ref, ws_ref, o_ref, xq_ref, xs_ref, *,
+                      out_dtype):
+    """Grid (M/bm, N/bn), full-K x block. Per-token act quant runs ONCE
+    per M-block (at j==0) into VMEM scratch; every N-block reuses it —
+    the quant pass never round-trips HBM and there is no kernel
+    boundary between quant and dot."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        xf = x_ref[:].astype(jnp.float32)
+        amax = jnp.max(jnp.abs(xf), axis=1, keepdims=True)
+        xs = jnp.maximum(amax / 127.0, 1e-8)
+        xs_ref[:] = xs
+        xq_ref[:] = jnp.clip(jnp.round(xf / xs), -127, 127).astype(
+            jnp.int8)
+
+    acc = jax.lax.dot_general(
+        xq_ref[:], w_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    o_ref[:] = (acc.astype(jnp.float32) * xs_ref[:] *
+                ws_ref[:]).astype(out_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "bn"))
+def int8_matmul_pallas_fusedq(x: jnp.ndarray, w_q: jnp.ndarray,
+                              w_scale: jnp.ndarray,
+                              interpret: bool = False,
+                              bn: int = 512) -> jnp.ndarray:
+    """W8A8 GEMM with in-kernel per-token activation quantization.
+    x bf16/f32 [M,K] (K <= 4096: full-K tile), w_q int8 [K,N],
+    w_scale f32 [N] → [M,N] x.dtype.
+
+    Measured-NEGATIVE variant, kept as a tuning base: at M=512 it
+    reaches gate_up 71.2% / o_proj 72.0% of int8 peak — the two-pass
+    path (XLA act quant + int8_matmul_pallas_s8) is faster (73.3%)
+    because the fused kernel's bm is VMEM-capped at 256 (the in-kernel
+    f32 quant view of the x block) while the two-pass kernel runs
+    bm=512. Also shows qkv's 33%-of-peak cap is NOT quant-pass
+    serialization (identical cap with quant fused). Not dispatched."""
+    M, K = x.shape
+    K2, N = w_q.shape
+    assert K == K2 and K <= 4096
+    # bm=256: the in-kernel quant materializes an f32 view of the x
+    # block; at bm=512/K=4096 that plus double-buffered inputs exceeds
+    # the 16 MB scoped-VMEM limit (measured 21.57M).
+    bm = min(256, M) if M % 256 == 0 else max(8, 1 << (M - 1).bit_length())
+    bn = min(bn, N)
+    grid = (cdiv(M, bm), cdiv(N, bn))
+    kernel = functools.partial(_s8_fusedq_kernel,
+                               out_dtype=jnp.dtype(x.dtype))
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, K), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, bn), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M, N), x.dtype),
+        scratch_shapes=[pltpu.VMEM((bm, K), jnp.int8),
+                        pltpu.VMEM((bm, 1), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * N * K,
+            bytes_accessed=M * K * x.dtype.itemsize + K * N + M * N * 2,
+            transcendentals=0),
+        interpret=interpret,
+    )(x, w_q, w_scale.reshape(1, N).astype(jnp.float32))
+
+
 def int8_matmul_native_prefill(x: jnp.ndarray, w_q: jnp.ndarray,
                                w_scale: jnp.ndarray) -> jnp.ndarray:
     """W8A8 prefill entry: per-token act quant (XLA, fused) + the
